@@ -1,0 +1,349 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Constants._
+import graft.config.{DatasetParams, TestParams}
+
+/** The four comparison reports for one dataset.
+  *
+  * Same shape as the reference's result dict (`comparison_job.py:251-256`,
+  * keys at `common_constants.py:58-61`); `cachedFrames` additionally exposes
+  * every frame the pipeline persisted so long-lived sessions can release
+  * them (`unpersist()`) — the reference never unpersists, which is fine for
+  * a one-shot job but leaks storage in a shared session.
+  */
+final case class ComparisonResult(
+    overallTestReport: DataFrame,
+    rowLvlTestReport: DataFrame,
+    colLvlTestReport: DataFrame,
+    unmatchedRecords: Map[String, DataFrame],
+    private[graft] val cachedFrames: Seq[DataFrame] = Seq.empty) {
+  def unpersist(): Unit = cachedFrames.foreach(_.unpersist())
+}
+
+/** The comparison engine: full-outer-join source and target on the primary
+  * keys, match rows via a sha256 row checksum, re-examine checksum
+  * mismatches column-by-column with a numeric tolerance, and emit four
+  * reports (overall / row-level / column-level / per-column unmatched
+  * extracts).
+  *
+  * Faithful to the reference algorithm (`comparison_job.py:186-256`) and its
+  * pinned semantics (SURVEY §2.10: `MISSTING_AT_TARGET` literal, M·N−1
+  * row-level duplicate counts, NULL-poisoned numeric tolerance, PASSED ⇔
+  * both side counts equal matched count), but re-planned Spark-first:
+  *
+  *  - non-key columns are derived AFTER select/drop projection, in schema
+  *    order (deterministic; fixes the reference's latent crash when
+  *    select/drop removes a column, `comparison_job.py:187` vs SURVEY
+  *    §2.10.1 — observable behavior is unchanged on the default path);
+  *  - the overall report's four per-side count actions
+  *    (`comparison_job.py:67-84`) collapse into ONE side-tagged
+  *    aggregation job — at 100 TB that is one shuffle over the key columns
+  *    instead of four full-table jobs;
+  *  - persisted frames use MEMORY_AND_DISK and are surfaced for explicit
+  *    release.
+  *
+  * Scale notes: the full-outer join (J1) can never broadcast — it
+  * shuffle-partitions both sides by the primary keys, and every downstream
+  * key-wise operator (tolerance re-join, window duplicate count, distinct)
+  * reuses that hash partitioning, so the whole pipeline pays exactly one
+  * wide exchange per side plus the per-report small aggregations. Skewed
+  * hot keys are handled by AQE skew-join splitting (enabled in
+  * [[graft.GraftSession]]).
+  */
+object Comparison {
+
+  /** Reference numeric set (`comparison_job.py:14-17`): membership by
+    * instance equality, so `DecimalType()` means exactly DecimalType(10, 0).
+    */
+  private def isNumeric(dt: DataType, params: TestParams): Boolean =
+    if (params.legacyDecimalComparison) dt match {
+      case d: DecimalType => d == DecimalType(10, 0)
+      case _ => dt.isInstanceOf[NumericType]
+    }
+    else dt.isInstanceOf[NumericType]
+
+  private def isNested(dt: DataType): Boolean = dt match {
+    case _: StructType | _: MapType | _: ArrayType => true
+    case _ => false
+  }
+
+  /** Per-column match predicate (`comparison_job.py:19-34`): numerics match
+    * within tolerance (NULL-vs-NULL numeric pairs yield NULL, kept — SURVEY
+    * §2.10.4); everything else null-safe equality.
+    */
+  private def matchedPredicate(field: StructField, params: TestParams): Column = {
+    val s = col(srcCol(field.name))
+    val t = col(tgtCol(field.name))
+    if (isNumeric(field.dataType, params))
+      abs(s - t) <= lit(params.differenceTolerance)
+    else if (params.canonicalizeNestedTypes && isNested(field.dataType))
+      to_json(s) <=> to_json(t)
+    else s <=> t
+  }
+
+  /** select → drop, as the reference applies them (`comparison_job.py:38-39`). */
+  private def project(df: DataFrame, params: DatasetParams): DataFrame = {
+    val selected =
+      if (params.selectCols == Seq("*")) df
+      else df.select(params.selectCols.map(col): _*)
+    if (params.dropCols.isEmpty) selected else selected.drop(params.dropCols: _*)
+  }
+
+  /** Checksum + per-side rename (`comparison_job.py:36-47`): one sha256 over
+    * the concatenated non-key columns turns the N-column row match into a
+    * single string compare; non-key columns get the side suffix so the
+    * full-outer join only coalesces the key columns.
+    */
+  private def transformSide(
+      df: DataFrame,
+      suffix: String => String,
+      nonKeyCols: Seq[String],
+      params: TestParams): DataFrame = {
+    val schemaByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val chkInputs = nonKeyCols.map { c =>
+      if (params.canonicalizeNestedTypes && isNested(schemaByName(c))) to_json(col(c))
+      else col(c)
+    }
+    df.withColumn(suffix(ChkSumCol), sha2(concat_ws(EmptyStr, chkInputs: _*), 256))
+      .withColumnsRenamed(nonKeyCols.map(c => c -> suffix(c)).toMap)
+  }
+
+  /** Append one `<col>_matched` boolean per non-key field and their AND-fold
+    * (`comparison_job.py:49-64`).
+    */
+  private def withPerColumnMatches(
+      unmatched: DataFrame,
+      nonKeyFields: Seq[StructField],
+      params: TestParams): DataFrame = {
+    val withCols = unmatched
+      .drop(AllRowsMatchedCol)
+      .withColumns(
+        nonKeyFields.map(f => matchedCol(f.name) -> matchedPredicate(f, params)).toMap)
+    withCols.withColumn(
+      AllRowsMatchedAfterTolCol,
+      nonKeyFields
+        .map(f => col(matchedCol(f.name)))
+        .reduceOption(_ && _)
+        .getOrElse(lit(true)))
+  }
+
+  /** Row-level report (`comparison_job.py:134-161`): per key — M·N−1
+    * duplicate count over the joined cross product, missing-side status from
+    * checksum nulls (a present row always has a non-null checksum), and the
+    * final matched flag; `distinct` collapses identical duplicate rows.
+    */
+  private def rowLevelReport(
+      datasetName: String,
+      joined: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val keyColumns = keyCols.map(col)
+    val dupWindow = Window
+      .partitionBy(keyColumns: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .select(keyColumns :+ col(srcCol(ChkSumCol)) :+ col(tgtCol(ChkSumCol)) :+ col(AllRowsMatchedCol): _*)
+      .withColumn(DuplicateCountCol, count(lit(1)).over(dupWindow) - 1)
+      .withColumn(
+        MissingRowStatusCol,
+        when(col(srcCol(ChkSumCol)).isNull, MissingAtSourceStatus)
+          .when(col(tgtCol(ChkSumCol)).isNull, MissingAtTargetStatus)
+          .otherwise(lit(PresentInBothStatus).cast(StringType)))
+      .drop(srcCol(ChkSumCol), tgtCol(ChkSumCol))
+      .distinct()
+      .withColumn(DatasetNameCol, lit(datasetName))
+      .select(
+        col(DatasetNameCol) +: keyColumns
+          :+ col(DuplicateCountCol) :+ col(MissingRowStatusCol) :+ col(AllRowsMatchedCol): _*)
+  }
+
+  /** Column-level report (`comparison_job.py:101-118`): count surviving
+    * mismatches per column in ONE aggregation row, then unpivot to
+    * (column_name, unmatched_rows_count); NULL sums from an empty mismatch
+    * set default to 0.
+    */
+  private def columnLevelReport(
+      datasetName: String,
+      unmatchedRecords: DataFrame,
+      nonKeyCols: Seq[String]): DataFrame = {
+    val sums = nonKeyCols.map(c =>
+      sum(when(!col(matchedCol(c)), 1).otherwise(0)).as(c))
+    unmatchedRecords
+      .agg(sums.head, sums.tail: _*)
+      .unpivot(Array.empty[Column], nonKeyCols.map(col).toArray, ColNameCol, UnmatchedRowsCountCol)
+      .withColumn(
+        UnmatchedRowsCountCol,
+        coalesce(col(UnmatchedRowsCountCol), lit(0).cast(IntegerType)))
+      .withColumn(DatasetNameCol, lit(datasetName))
+      .select(DatasetNameCol, ColNameCol, UnmatchedRowsCountCol)
+  }
+
+  /** Per-column unmatched-record extracts (`comparison_job.py:120-132`):
+    * the collect() pulls only column NAMES (bounded by schema width) to the
+    * driver — never data rows.
+    */
+  private def unmatchedExtracts(
+      datasetName: String,
+      unmatchedRecords: DataFrame,
+      colLvlReport: DataFrame,
+      keyCols: Seq[String]): Map[String, DataFrame] = {
+    val offending = colLvlReport
+      .where(col(UnmatchedRowsCountCol) > 0)
+      .select(ColNameCol)
+      .collect()
+      .map(_.getString(0))
+    offending.map { c =>
+      s"$datasetName/$c" -> unmatchedRecords
+        .where(!col(matchedCol(c)))
+        .select((keyCols :+ srcCol(c) :+ tgtCol(c)).map(col): _*)
+        .distinct()
+    }.toMap
+  }
+
+  /** Per-side (row count, duplicate-key count) in ONE Spark job.
+    *
+    * The reference runs four separate actions — two full counts and two
+    * groupBy-count-filter-count jobs (`comparison_job.py:67-84`). Tagging
+    * each side and aggregating per (side, key) computes all four numbers in
+    * a single pass with a single shuffle, which is the difference between
+    * one and four full scans at 100 TB. Values are identical by
+    * construction: total = Σ per-key counts, dups = #keys with count > 1.
+    */
+  private def sideStats(src: DataFrame, tgt: DataFrame, keyCols: Seq[String]): (Long, Long, Long, Long) = {
+    val side = "_side"
+    val keyColumns = keyCols.map(col)
+    val tagged = src
+      .select(keyColumns: _*)
+      .withColumn(side, lit(SourceCol))
+      .union(tgt.select(keyColumns: _*).withColumn(side, lit(TargetCol)))
+    val rows = tagged
+      .groupBy(col(side) +: keyColumns: _*)
+      .count()
+      .groupBy(side)
+      .agg(
+        sum(CountCol).as("total"),
+        sum(when(col(CountCol) > 1, 1L).otherwise(0L)).as("dups"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (srcTotal, srcDups) = rows.getOrElse(SourceCol, (0L, 0L))
+    val (tgtTotal, tgtDups) = rows.getOrElse(TargetCol, (0L, 0L))
+    (srcTotal, srcDups, tgtTotal, tgtDups)
+  }
+
+  /** Overall report (`comparison_job.py:66-99`): one row of per-side
+    * count/duplicate/missing maps plus PASSED ⇔ `source_count ==
+    * matched_count == target_count`.
+    */
+  private def overallReport(
+      spark: SparkSession,
+      datasetName: String,
+      keyCols: Seq[String],
+      src: DataFrame,
+      tgt: DataFrame,
+      rowLvlReport: DataFrame,
+      matchedRecords: DataFrame): DataFrame = {
+    import spark.implicits._
+    val matchedCount = matchedRecords.count()
+    val (srcTotal, srcDups, tgtTotal, tgtDups) = sideStats(src, tgt, keyCols)
+    val missingRows = rowLvlReport
+      .agg(
+        map(
+          lit(SourceCol),
+          sum(when(col(MissingRowStatusCol) === MissingAtSourceStatus, 1).otherwise(0)),
+          lit(TargetCol),
+          sum(when(col(MissingRowStatusCol) === MissingAtTargetStatus, 1).otherwise(0)))
+          .as(MissingRowsCol))
+      .withColumn(DatasetNameCol, lit(datasetName))
+    Seq((
+      datasetName,
+      Map(SourceCol -> srcTotal, TargetCol -> tgtTotal),
+      matchedCount,
+      Map(SourceCol -> srcDups, TargetCol -> tgtDups)))
+      .toDF(DatasetNameCol, CountCol, MatchedCountCol, DuplicateCountCol)
+      .join(missingRows, Seq(DatasetNameCol), LeftJoin)
+      .withColumn(
+        TestStatusCol,
+        when(
+          (col(CountCol).getItem(SourceCol) === col(MatchedCountCol)) &&
+            (col(CountCol).getItem(TargetCol) === col(MatchedCountCol)),
+          lit(PassedStatus))
+          .otherwise(lit(FailedStatus)))
+  }
+
+  /** The core pipeline (`compare_dataframes`, `comparison_job.py:186-256`). */
+  def compareDataFrames(
+      spark: SparkSession,
+      sourceDf: DataFrame,
+      targetDf: DataFrame,
+      params: DatasetParams): ComparisonResult = {
+    val keyCols = params.primaryKeys
+    val projectedSrc = project(sourceDf, params)
+    val projectedTgt = project(targetDf, params)
+    // Deterministic schema order, derived post-projection (SURVEY §2.10.1-2).
+    val nonKeyCols = projectedSrc.columns.toSeq.filterNot(keyCols.contains)
+    val nonKeyFields =
+      projectedTgt.schema.fields.toSeq.filter(f => nonKeyCols.contains(f.name))
+
+    val src = transformSide(projectedSrc, srcCol, nonKeyCols, params.testParams)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tgt = transformSide(projectedTgt, tgtCol, nonKeyCols, params.testParams)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Align the sides: the ONE unavoidable wide shuffle (J1, never
+    // broadcastable). Primary row match = checksum null-safe equality.
+    val joinedRaw = src
+      .join(tgt, keyCols, FullOuterJoin)
+      .withColumn(AllRowsMatchedCol, col(srcCol(ChkSumCol)) <=> col(tgtCol(ChkSumCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Tolerance second pass over present-on-both-sides checksum mismatches
+    // only — the expensive N-column compare touches just the mismatch set.
+    val mismatchedPresent = joinedRaw.filter(
+      !col(AllRowsMatchedCol) &&
+        col(srcCol(ChkSumCol)).isNotNull &&
+        col(tgtCol(ChkSumCol)).isNotNull)
+    val afterTolerance =
+      withPerColumnMatches(mismatchedPresent, nonKeyFields, params.testParams)
+
+    // Fold tolerance passes back in (left join on keys reuses the join's
+    // hash partitioning — no second wide shuffle of the big side).
+    val joined = joinedRaw
+      .join(
+        afterTolerance
+          .filter(col(AllRowsMatchedAfterTolCol))
+          .select((keyCols :+ AllRowsMatchedAfterTolCol).map(col): _*),
+        keyCols,
+        LeftJoin)
+      .withColumn(
+        AllRowsMatchedCol,
+        col(AllRowsMatchedCol) ||
+          coalesce(col(AllRowsMatchedAfterTolCol), lit(false).cast(BooleanType)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val unmatchedRecords = afterTolerance.filter(!col(AllRowsMatchedAfterTolCol))
+    val matchedRecords =
+      joined.filter(col(AllRowsMatchedCol) === true).dropDuplicates(keyCols)
+
+    val colLvl = columnLevelReport(params.datasetName, unmatchedRecords, nonKeyCols)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rowLvl = rowLevelReport(params.datasetName, joined, keyCols)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val extracts =
+      unmatchedExtracts(params.datasetName, unmatchedRecords, colLvl, keyCols)
+    val overall = overallReport(
+      spark, params.datasetName, keyCols, src, tgt, rowLvl, matchedRecords)
+
+    ComparisonResult(
+      overallTestReport = overall,
+      rowLvlTestReport = rowLvl,
+      colLvlTestReport = colLvl,
+      unmatchedRecords = extracts,
+      cachedFrames = Seq(src, tgt, joinedRaw, joined, colLvl, rowLvl))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Constants._
+import graft.config._
+import graft.core.{Comparison, ComparisonResult}
+import graft.sources.IoUtils
+
+/** Public entry points, mirroring the reference
+  * (`comparison_job.py:163-184, 258-292`):
+  *
+  *  - [[runComparisonJob]] — config-driven: read each dataset's source and
+  *    target, compare, positional-union the per-dataset reports in config
+  *    order, merge the extract maps, write everything under
+  *    `output_dir/job_name/<report>` (EP1);
+  *  - [[runComparisonJobFromDfs]] — caller-supplied DataFrames (EP2).
+  *
+  * Multi-dataset consolidation assumes compatible report schemas across
+  * datasets (identical primary-key column names) — the union fails
+  * otherwise, the reference's own failure mode (SURVEY §2.10.10).
+  */
+object ComparisonJob {
+
+  def writeResults(
+      result: ComparisonResult,
+      jobName: String,
+      outputConfig: OutputConfig): Unit = {
+    val base = s"${outputConfig.outputDir}/$jobName"
+    IoUtils.writeResult(
+      result.colLvlTestReport.orderBy(DatasetNameCol),
+      s"$base/$ColLvlTestReportDir",
+      outputConfig)
+    IoUtils.writeResult(
+      result.rowLvlTestReport.orderBy(DatasetNameCol),
+      s"$base/$RowLvlTestReportDir",
+      outputConfig)
+    result.unmatchedRecords.foreach { case (colName, df) =>
+      IoUtils.writeResult(df, s"$base/${unmatchedRowsDir(colName)}", outputConfig)
+    }
+    IoUtils.writeResult(
+      result.overallTestReport.orderBy(DatasetNameCol),
+      s"$base/$OverallTestReportDir",
+      outputConfig)
+  }
+
+  def runComparisonJobFromDfs(
+      spark: SparkSession,
+      jobName: String,
+      sourceDf: DataFrame,
+      targetDf: DataFrame,
+      params: DatasetParams,
+      outputConfig: OutputConfig): ComparisonResult = {
+    val result = Comparison.compareDataFrames(spark, sourceDf, targetDf, params)
+    writeResults(result, jobName, outputConfig)
+    result
+  }
+
+  /** Positional union of per-dataset reports (`comparison_job.py:277-291`). */
+  def consolidate(results: Seq[ComparisonResult]): ComparisonResult =
+    results.reduce { (acc, r) =>
+      ComparisonResult(
+        overallTestReport = acc.overallTestReport.union(r.overallTestReport),
+        rowLvlTestReport = acc.rowLvlTestReport.union(r.rowLvlTestReport),
+        colLvlTestReport = acc.colLvlTestReport.union(r.colLvlTestReport),
+        unmatchedRecords = acc.unmatchedRecords ++ r.unmatchedRecords,
+        cachedFrames = acc.cachedFrames ++ r.cachedFrames)
+    }
+
+  def runComparisonJob(spark: SparkSession, config: ComparisonJobConfig): ComparisonResult = {
+    require(config.datasetConfigs.nonEmpty, "dataset_configs cannot be empty")
+    val results = config.datasetConfigs.map { dc =>
+      Comparison.compareDataFrames(
+        spark,
+        IoUtils.readDataframe(spark, dc.sourceConfig),
+        IoUtils.readDataframe(spark, dc.targetConfig),
+        dc.params)
+    }
+    val consolidated = consolidate(results)
+    writeResults(consolidated, config.jobName, config.outputConfig)
+    consolidated
+  }
+
+  def runComparisonJob(spark: SparkSession, config: Map[String, Any]): ComparisonResult =
+    runComparisonJob(spark, ConfigReader.parseComparisonJobConfig(config))
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Constants
+import graft.config.{DataframeConfig, OutputConfig}
+
+/** Generic DataFrame sources & sinks — the engine reads from and writes to
+  * any Spark DataSource format.
+  *
+  * Semantics follow the reference's IO layer
+  * (`spark_data_test/utils/io_utils.py:5-38`): the `"table"` format sentinel
+  * reads a catalog table (io_utils.py:33-34); writes always overwrite
+  * (io_utils.py:18); a positive `noOfPartitions` shrinks with `coalesce`
+  * (no shuffle) and grows with `repartition` (io_utils.py:15-16).
+  */
+object IoUtils {
+
+  /** Read a DataFrame from the configured source. */
+  def readDataframe(spark: SparkSession, cfg: DataframeConfig): DataFrame =
+    if (cfg.fileFormat == Constants.TableFmt) spark.read.table(cfg.path)
+    else spark.read.options(cfg.sparkOptions).format(cfg.fileFormat).load(cfg.path)
+
+  /** Write a report DataFrame to `path` per the output config. */
+  def writeResult(df: DataFrame, path: String, outputConfig: OutputConfig): Unit = {
+    val sized =
+      if (outputConfig.noOfPartitions > 0) {
+        // coalesce avoids a shuffle when reducing parallelism; a full
+        // repartition is only paid when the caller asks for MORE output
+        // files than the plan currently has (io_utils.py:15-16).
+        if (outputConfig.noOfPartitions < df.rdd.getNumPartitions)
+          df.coalesce(outputConfig.noOfPartitions)
+        else df.repartition(outputConfig.noOfPartitions)
+      } else df
+    sized.write
+      .options(outputConfig.sparkOptions)
+      .mode(Constants.OverwriteMode)
+      .format(outputConfig.outputFileFormat)
+      .save(path)
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.config._
+import graft.core.Comparison
+import graft.jobs.ComparisonJob
+
+/** Golden-fixture parity suite: the reference's own end-to-end test data and
+  * every numeric assertion it pins
+  * (`/root/reference/tests/test_comparison_job.py:17-125`).
+  */
+class ComparisonSpec extends SparkSpec {
+  import spark.implicits._
+
+  // test_comparison_job.py:19-25 — note duplicated id=3 pair, and id=7 with
+  // string mismatches plus a 0.1-off numeric.
+  private lazy val source: DataFrame = Seq(
+    (1L, "foo", "foo", true, 1.0),
+    (3L, null, null, false, 3.0),
+    (3L, null, null, false, 3.0),
+    (4L, null, null, false, 4.0),
+    (7L, "foo7", "foo2", false, 7.1)
+  ).toDF("id", "value", "value2", "value3", "value4")
+
+  // test_comparison_job.py:26-30
+  private lazy val target: DataFrame = Seq(
+    (3L, null, null, false, 3.0),
+    (3L, null, null, false, 3.0),
+    (7L, "foo", "foo3", false, 7.0)
+  ).toDF("id", "value", "value2", "value3", "value4")
+
+  // test_comparison_job.py:33-40
+  private val params = DatasetParams(
+    datasetName = "test_dataset",
+    primaryKeys = Seq("id"),
+    testParams = TestParams(differenceTolerance = 0.1))
+
+  private lazy val result = Comparison.compareDataFrames(spark, source, target, params)
+
+  test("overall report matches the reference golden values") {
+    // test_comparison_job.py:86-93
+    val rows = result.overallTestReport.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("dataset_name") == "test_dataset")
+    val count = r.getAs[Map[String, Long]]("count")
+    assert(count == Map("source" -> 5L, "target" -> 3L))
+    assert(r.getAs[Long]("matched_count") == 1L)
+    val dup = r.getAs[Map[String, Long]]("duplicate_count")
+    assert(dup == Map("source" -> 1L, "target" -> 1L))
+    val missing = r.getAs[Map[String, Long]]("missing_rows")
+    assert(missing == Map("source" -> 0L, "target" -> 2L))
+    assert(r.getAs[String]("test_status") == "FAILED")
+  }
+
+  test("row-level report matches the reference golden values") {
+    // test_comparison_job.py:95-107
+    val rows = result.rowLvlTestReport.collect()
+    assert(rows.length == 4)
+    val byId = rows.map(r => r.getAs[Long]("id") -> r).toMap
+    // id=1 missing at target ("MISSTING" typo is canon)
+    assert(byId(1L).getAs[String]("missing_row_status") == "MISSTING_AT_TARGET")
+    assert(byId(1L).getAs[Boolean]("all_rows_matched") == false)
+    // id=3: present in both, 2×2 cross join ⇒ duplicate_count 3, matched
+    assert(byId(3L).getAs[String]("missing_row_status") == "PRESENT_IN_BOTH")
+    assert(byId(3L).getAs[Long]("duplicate_count") == 3L)
+    assert(byId(3L).getAs[Boolean]("all_rows_matched") == true)
+    // id=4 also missing at target
+    assert(byId(4L).getAs[String]("missing_row_status") == "MISSTING_AT_TARGET")
+    // id=7 present but unmatched (value/value2 differ; value4 within tolerance)
+    assert(byId(7L).getAs[String]("missing_row_status") == "PRESENT_IN_BOTH")
+    assert(byId(7L).getAs[Boolean]("all_rows_matched") == false)
+    assert(byId(7L).getAs[Long]("duplicate_count") == 0L)
+  }
+
+  test("column-level report matches the reference golden values") {
+    // test_comparison_job.py:110-125 — value4 is 0 because |7.1−7.0| ≤ 0.1.
+    val rows = result.colLvlTestReport.collect()
+    assert(rows.length == 4)
+    val byCol = rows
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Number]("unmatched_rows_count").longValue())
+      .toMap
+    assert(byCol == Map("value" -> 1L, "value2" -> 1L, "value3" -> 0L, "value4" -> 0L))
+  }
+
+  test("unmatched extracts contain exactly the offending columns with key + src/target pairs") {
+    assert(result.unmatchedRecords.keySet == Set("test_dataset/value", "test_dataset/value2"))
+    val v = result.unmatchedRecords("test_dataset/value").collect()
+    assert(v.toSet == Set(Row(7L, "foo7", "foo")))
+    val v2 = result.unmatchedRecords("test_dataset/value2").collect()
+    assert(v2.toSet == Set(Row(7L, "foo2", "foo3")))
+  }
+
+  test("comparing a dataframe with itself PASSES with zero mismatches") {
+    val self = Comparison.compareDataFrames(
+      spark, source, source, params.copy(datasetName = "self"))
+    val r = self.overallTestReport.collect().head
+    assert(r.getAs[String]("test_status") == "FAILED") // dup id=3 keeps matched_count(4) < count(5)
+    val noDup = source.dropDuplicates("id")
+    val clean = Comparison.compareDataFrames(
+      spark, noDup, noDup, params.copy(datasetName = "clean"))
+    val cr = clean.overallTestReport.collect().head
+    assert(cr.getAs[String]("test_status") == "PASSED")
+    assert(clean.colLvlTestReport.collect().forall(_.getAs[Number]("unmatched_rows_count").longValue() == 0L))
+    assert(clean.unmatchedRecords.isEmpty)
+    self.unpersist(); clean.unpersist()
+  }
+
+  test("both entry points produce equivalent written reports") {
+    // test_comparison_job.py:47-83 — run via DFs and via file-config, then
+    // compare the round-tripped parquet reports.
+    val tmp = Files.createTempDirectory("graft-cmp").toString
+    source.write.mode("overwrite").parquet(s"$tmp/in/source")
+    target.write.mode("overwrite").parquet(s"$tmp/in/target")
+    val out = OutputConfig(outputDir = s"$tmp/out", noOfPartitions = 1)
+    ComparisonJob.runComparisonJobFromDfs(
+      spark, "job_dfs", source, target, params, out)
+    ComparisonJob.runComparisonJob(spark, Map(
+      "job_name" -> "job_cfg",
+      "dataset_configs" -> Seq(Map(
+        "params" -> Map(
+          "dataset_name" -> "test_dataset",
+          "primary_keys" -> Seq("id"),
+          "test_params" -> Map("difference_tolerance" -> 0.1)),
+        "source_config" -> Map("path" -> s"$tmp/in/source"),
+        "target_config" -> Map("path" -> s"$tmp/in/target"))),
+      "output_config" -> Map("output_dir" -> s"$tmp/out", "no_of_partitions" -> 1)))
+    for (report <- Seq("overall_test_report", "row_lvl_test_report",
+        "col_lvl_test_report", "unmatched_rows/test_dataset/value")) {
+      val a = spark.read.parquet(s"$tmp/out/job_dfs/$report").collect().toSet
+      val b = spark.read.parquet(s"$tmp/out/job_cfg/$report").collect().toSet
+      assert(a == b, s"report $report differs between entry points")
+    }
+  }
+
+  test("composite primary keys and duplicate-key cross products") {
+    val src = Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c"), (2L, 1, "c"))
+      .toDF("k1", "k2", "v")
+    val tgt = Seq((1L, 1, "a"), (1L, 2, "X"), (2L, 1, "c"))
+      .toDF("k1", "k2", "v")
+    val res = Comparison.compareDataFrames(
+      spark, src, tgt,
+      DatasetParams("composite", Seq("k1", "k2")))
+    val rows = res.rowLvlTestReport.collect()
+      .map(r => (r.getAs[Long]("k1"), r.getAs[Int]("k2")) ->
+        ((r.getAs[Long]("duplicate_count"), r.getAs[Boolean]("all_rows_matched"))))
+      .toMap
+    assert(rows((1L, 1)) == ((0L, true)))
+    assert(rows((1L, 2)) == ((0L, false)))
+    assert(rows((2L, 1)) == ((1L, true))) // 2×1 cross product ⇒ M·N−1 = 1
+    res.unpersist()
+  }
+}
