@@ -1,0 +1,468 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.{DatasetParams, TestParams}
+import graft.core.Comparison
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** The operator catalog behind [[SparkEntry]]: one query per operator class
+  * in SURVEY.md §2 plus the LLM-pipeline extension operators, each paired
+  * (where SQL-expressible) with an equivalent DuckDB oracle in
+  * [[Queries.oracleSql]].
+  *
+  * Determinism rules for oracle-checked queries (the driver hash-compares
+  * values):
+  *  - numeric aggregates accumulate in DECIMAL (exact) and cast to double
+  *    once at the end — never order-dependent float sums;
+  *  - counts are BIGINT on both sides (DuckDB integer SUM/COUNT is HUGEINT
+  *    unless cast);
+  *  - column names are aliased identically in the Spark plan and the SQL;
+  *  - no raw timestamp output columns (formatted to strings when needed).
+  */
+object Queries {
+  import Tables.load
+
+  private def li(s: SparkSession, d: String) = load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = load(s, d, "customer")
+  private def docs(s: SparkSession, d: String) = load(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = load(s, d, "embeddings")
+
+  // ---- comparison-engine scenario (the flagship queries) ----------------
+  // orders vs a perturbed copy of itself: dropped keys on both sides,
+  // a string perturbation (%7), a within-tolerance numeric nudge (%11),
+  // an out-of-tolerance numeric change (%23), and injected duplicate keys
+  // (sparse, chosen to stay exact matches so cross-product semantics are
+  // closed-form). Tolerance = 0.01.
+  private def dupCond(k: Column): Column =
+    (k % 1000 === 17) && (k % 7 =!= 0) && (k % 11 =!= 0) && (k % 23 =!= 0)
+
+  private[graft] def compareScenario(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = ord(s, d)
+    val k = col("o_orderkey")
+    val src = o.filter(k % 19 =!= 0)
+    val t0 = o.filter(k % 13 =!= 0).select(
+      k,
+      col("o_custkey"),
+      when(k % 7 === 0, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      (col("o_totalprice")
+        + when(k % 11 === 0, lit(0.005)).otherwise(lit(0.0))
+        + when(k % 23 === 0, lit(1.0)).otherwise(lit(0.0))).as("o_totalprice"),
+      col("o_orderdate"),
+      col("o_orderpriority"))
+    val tgt = t0.union(t0.filter(dupCond(k)))
+    (src, tgt)
+  }
+
+  private def compareResult(s: SparkSession, d: String) = {
+    val (src, tgt) = compareScenario(s, d)
+    Comparison.compareDataFrames(
+      s, src, tgt,
+      DatasetParams("orders_cmp", Seq("o_orderkey"), TestParams(differenceTolerance = 0.01)))
+  }
+
+  // Shared oracle CTE prefix replicating the scenario + per-key join state
+  // independently of the engine (aggregated per key: per-key rows are
+  // homogeneous by construction, so MIN() is a faithful row representative).
+  private val cmpCte: String =
+    """WITH src AS (SELECT * FROM orders WHERE o_orderkey % 19 != 0),
+      |t0 AS (SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 0.005 ELSE 0.0 END
+      |               + CASE WHEN o_orderkey % 23 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+      |  o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 13 != 0),
+      |tgt AS (SELECT * FROM t0 UNION ALL SELECT * FROM t0
+      |        WHERE o_orderkey % 1000 = 17 AND o_orderkey % 7 != 0
+      |          AND o_orderkey % 11 != 0 AND o_orderkey % 23 != 0),
+      |s AS (SELECT o_orderkey, COUNT(*) cs, MIN(o_custkey) ck, MIN(o_orderstatus) st,
+      |      MIN(o_totalprice) pr, MIN(o_orderdate) dt, MIN(o_orderpriority) pri
+      |      FROM src GROUP BY o_orderkey),
+      |t AS (SELECT o_orderkey, COUNT(*) ct, MIN(o_custkey) ck, MIN(o_orderstatus) st,
+      |      MIN(o_totalprice) pr, MIN(o_orderdate) dt, MIN(o_orderpriority) pri
+      |      FROM tgt GROUP BY o_orderkey),
+      |j AS (SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey, s.cs, t.ct,
+      |  (s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL) AS present,
+      |  (s.ck IS NOT DISTINCT FROM t.ck AND s.st IS NOT DISTINCT FROM t.st
+      |   AND s.pr IS NOT DISTINCT FROM t.pr AND s.dt IS NOT DISTINCT FROM t.dt
+      |   AND s.pri IS NOT DISTINCT FROM t.pri) AS exact,
+      |  COALESCE(ABS(s.ck - t.ck) <= 0.01, FALSE) AS m_ck,
+      |  (s.st IS NOT DISTINCT FROM t.st) AS m_st,
+      |  COALESCE(ABS(s.pr - t.pr) <= 0.01, FALSE) AS m_pr,
+      |  (s.dt IS NOT DISTINCT FROM t.dt) AS m_dt,
+      |  (s.pri IS NOT DISTINCT FROM t.pri) AS m_pri
+      |  FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey),
+      |jm AS (SELECT *, (m_ck AND m_st AND m_pr AND m_dt AND m_pri) AS tol FROM j),
+      |row_lvl AS (SELECT o_orderkey,
+      |  CAST(CASE WHEN cs IS NULL THEN ct - 1 WHEN ct IS NULL THEN cs - 1
+      |       ELSE cs*ct - 1 END AS BIGINT) AS duplicate_count,
+      |  CASE WHEN cs IS NULL THEN 'MISSING_AT_SOURCE'
+      |       WHEN ct IS NULL THEN 'MISSTING_AT_TARGET'
+      |       ELSE 'PRESENT_IN_BOTH' END AS missing_row_status,
+      |  COALESCE(present AND (exact OR tol), FALSE) AS all_rows_matched
+      |  FROM jm)
+      |""".stripMargin
+
+  // ---- the catalog ------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 + P1/P6: format scan with pushed filter + projection
+    "q_s1_scan_filter" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    // S2: catalog-table scan via the "table" sentinel path
+    "q_s2_table_scan" -> ((s, d) => {
+      load(s, d, "region").createOrReplaceTempView("graft_region_v")
+      s.read.table("graft_region_v").select("r_regionkey", "r_name")
+    }),
+
+    // S5 + J3: driver-local table broadcast-joined to a dimension
+    "q_s5_local_broadcast" -> ((s, d) => {
+      import s.implicits._
+      val expected = Seq((0, "AFRICA"), (1, "AMERICA"))
+        .toDF("r_regionkey", "expected_name")
+      load(s, d, "region")
+        .join(broadcast(expected), Seq("r_regionkey"))
+        .select("r_regionkey", "r_name", "expected_name")
+    }),
+
+    // P3 + E1: sha256 row-checksum derivation
+    "q_p3_checksum" -> ((s, d) =>
+      cust(s, d).select(
+        col("c_custkey"),
+        sha2(concat_ws("", col("c_name"), col("c_mktsegment")), 256).as("row_chk"))),
+
+    // P4/P5: bulk + single column rename
+    "q_p4_rename" -> ((s, d) =>
+      li(s, d)
+        .withColumnsRenamed(Map(
+          "l_quantity" -> "l_quantity_src",
+          "l_extendedprice" -> "l_extendedprice_src"))
+        .select("l_orderkey", "l_linenumber", "l_quantity_src", "l_extendedprice_src")),
+
+    // A1 + E5: global conditional sums
+    "q_a1_condsum" -> ((s, d) =>
+      ord(s, d).agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        count(lit(1)).as("n_rows"))),
+
+    // A2 + P10 + U1: duplicate-key counting over a union with injected dups
+    "q_a2_dup_keys" -> ((s, d) => {
+      val c = cust(s, d)
+      c.union(c.filter(col("c_custkey") % 100 === 0))
+        .groupBy("c_custkey").count()
+        .where(col("count") > 1)
+        .agg(count(lit(1)).as("dup_key_count"))
+    }),
+
+    // W1: unordered count-over-partition duplicate count
+    "q_w1_dup_window" -> ((s, d) =>
+      li(s, d)
+        .select("l_orderkey", "l_linenumber")
+        .withColumn(
+          "duplicate_count",
+          count(lit(1)).over(
+            Window.partitionBy("l_orderkey")
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)) - 1)),
+
+    // A3 + U2 + E6: one-row aggregate unpivoted to (column_name, value)
+    "q_u2_unpivot" -> ((s, d) =>
+      li(s, d)
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("high_discount"),
+          sum(when(col("l_tax") > 0.04, 1).otherwise(0)).as("high_tax"))
+        .unpivot(Array.empty[Column], Array(col("high_discount"), col("high_tax")),
+          "column_name", "unmatched_rows_count")
+        .withColumn("unmatched_rows_count", coalesce(col("unmatched_rows_count"), lit(0L)))),
+
+    // J1 + E5: full-outer alignment with missing-side status
+    "q_j1_full_outer" -> ((s, d) => {
+      val o = ord(s, d)
+      val src = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price_src"))
+      val tgt = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price_target"))
+      src.join(tgt, Seq("o_orderkey"), "full_outer")
+        .withColumn(
+          "missing_row_status",
+          when(col("price_src").isNull, "MISSING_AT_SOURCE")
+            .when(col("price_target").isNull, "MISSTING_AT_TARGET")
+            .otherwise("PRESENT_IN_BOTH"))
+    }),
+
+    // J2 + E6: left join with null-default fold
+    "q_j2_left_coalesce" -> ((s, d) =>
+      ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("c_name"), lit("UNKNOWN")).as("cust_name"))),
+
+    // Headline grouped aggregation (decimal-exact measures)
+    "q_agg_pricing" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // O1: total-order top-k with full tie-break
+    "q_o1_topk" -> ((s, d) =>
+      ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")),
+
+    // D1/D2: distinct projection
+    "q_d2_distinct" -> ((s, d) =>
+      li(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    // ---- engine end-to-end: the three comparison reports ---------------
+    "q_compare_row_lvl" -> ((s, d) => compareResult(s, d).rowLvlTestReport),
+
+    "q_compare_col_lvl" -> ((s, d) => compareResult(s, d).colLvlTestReport),
+
+    "q_compare_overall" -> ((s, d) =>
+      compareResult(s, d).overallTestReport.select(
+        col("dataset_name"),
+        col("count").getItem("source").as("source_count"),
+        col("count").getItem("target").as("target_count"),
+        col("matched_count"),
+        col("duplicate_count").getItem("source").as("source_duplicate_count"),
+        col("duplicate_count").getItem("target").as("target_duplicate_count"),
+        col("missing_rows").getItem("source").as("source_missing_rows"),
+        col("missing_rows").getItem("target").as("target_missing_rows"),
+        col("test_status"))),
+
+    // ---- LLM-pipeline extensions ----------------------------------------
+    "q_text_stats" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(docs(s, d), "text")
+        .select("doc_id", "n_chars", "n_tokens", "mean_token_len",
+          "punct_ratio", "digit_ratio", "upper_ratio")),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    "q_text_langid" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))),
+
+    "q_dedup_exact" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.exactDuplicateGroups(
+        dd.union(dd.filter(col("doc_id") % 10 === 0)), "doc_id", Seq("text"))
+        .select("keep_id", "n_copies")
+    }),
+
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", "lang", threshold = 0.9)),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.9)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(docs(s, d), "doc_id", "text")),
+
+    "q_sim_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3)),
+
+    "q_sim_lsh_topk" -> ((s, d) =>
+      Similarity.lshBucketedTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3)),
+
+    "q_multimodal_bytes" -> ((s, d) =>
+      Multimodal.attachPayload(docs(s, d), "doc_id", "text")
+        .select(
+          col("media_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          sha2(col("payload"), 256).as("payload_sha"))),
+
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(s, Multimodal.attachPayload(docs(s, d), "doc_id", "text"))
+        .toDF()
+        .select("media_id", "width", "height", "channels", "n_bytes")))
+
+  // ---- oracles ----------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s1_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'""".stripMargin,
+
+    "q_s2_table_scan" -> "SELECT r_regionkey, r_name FROM region",
+
+    "q_s5_local_broadcast" ->
+      """SELECT r.r_regionkey, r.r_name, v.expected_name
+        |FROM region r
+        |JOIN (VALUES (0, 'AFRICA'), (1, 'AMERICA')) v(r_regionkey, expected_name)
+        |  ON r.r_regionkey = v.r_regionkey""".stripMargin,
+
+    "q_p3_checksum" ->
+      """SELECT c_custkey, sha256(concat_ws('', c_name, c_mktsegment)) AS row_chk
+        |FROM customer""".stripMargin,
+
+    "q_p4_rename" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS l_quantity_src,
+        |  l_extendedprice AS l_extendedprice_src FROM lineitem""".stripMargin,
+
+    "q_a1_condsum" ->
+      """SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders""".stripMargin,
+
+    "q_a2_dup_keys" ->
+      """WITH u AS (SELECT * FROM customer
+        |           UNION ALL SELECT * FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS dup_key_count
+        |FROM (SELECT c_custkey FROM u GROUP BY c_custkey HAVING COUNT(*) > 1) g""".stripMargin,
+
+    "q_w1_dup_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  COUNT(*) OVER (PARTITION BY l_orderkey) - 1 AS duplicate_count
+        |FROM lineitem""".stripMargin,
+
+    "q_u2_unpivot" ->
+      """WITH a AS (SELECT
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount,
+        |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS high_tax
+        |  FROM lineitem)
+        |SELECT 'high_discount' AS column_name, high_discount AS unmatched_rows_count FROM a
+        |UNION ALL
+        |SELECT 'high_tax' AS column_name, high_tax AS unmatched_rows_count FROM a""".stripMargin,
+
+    "q_j1_full_outer" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice AS price_src FROM orders WHERE o_orderkey % 3 != 0),
+        |tgt AS (SELECT o_orderkey, o_totalprice AS price_target FROM orders WHERE o_orderkey % 5 != 0)
+        |SELECT COALESCE(src.o_orderkey, tgt.o_orderkey) AS o_orderkey, price_src, price_target,
+        |  CASE WHEN price_src IS NULL THEN 'MISSING_AT_SOURCE'
+        |       WHEN price_target IS NULL THEN 'MISSTING_AT_TARGET'
+        |       ELSE 'PRESENT_IN_BOTH' END AS missing_row_status
+        |FROM src FULL OUTER JOIN tgt ON src.o_orderkey = tgt.o_orderkey""".stripMargin,
+
+    "q_j2_left_coalesce" ->
+      """SELECT o_orderkey, COALESCE(c_name, 'UNKNOWN') AS cust_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_o1_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_d2_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_compare_row_lvl" ->
+      (cmpCte +
+        """SELECT 'orders_cmp' AS dataset_name, o_orderkey, duplicate_count,
+          |  missing_row_status, all_rows_matched FROM row_lvl""".stripMargin),
+
+    "q_compare_col_lvl" ->
+      (cmpCte +
+        """SELECT 'orders_cmp' AS dataset_name, c.column_name,
+          |  CAST(COALESCE(SUM(CASE WHEN present AND NOT exact AND NOT tol
+          |    AND NOT (CASE c.column_name
+          |      WHEN 'o_custkey' THEN m_ck WHEN 'o_orderstatus' THEN m_st
+          |      WHEN 'o_totalprice' THEN m_pr WHEN 'o_orderdate' THEN m_dt
+          |      ELSE m_pri END)
+          |    THEN cs*ct ELSE 0 END), 0) AS BIGINT) AS unmatched_rows_count
+          |FROM jm CROSS JOIN (VALUES ('o_custkey'), ('o_orderstatus'), ('o_totalprice'),
+          |  ('o_orderdate'), ('o_orderpriority')) c(column_name)
+          |GROUP BY c.column_name""".stripMargin),
+
+    "q_compare_overall" ->
+      (cmpCte +
+        """SELECT 'orders_cmp' AS dataset_name,
+          |  (SELECT COUNT(*) FROM src) AS source_count,
+          |  (SELECT COUNT(*) FROM tgt) AS target_count,
+          |  (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched) AS matched_count,
+          |  (SELECT COUNT(*) FROM s WHERE cs > 1) AS source_duplicate_count,
+          |  (SELECT COUNT(*) FROM t WHERE ct > 1) AS target_duplicate_count,
+          |  (SELECT COUNT(*) FROM row_lvl WHERE missing_row_status = 'MISSING_AT_SOURCE') AS source_missing_rows,
+          |  (SELECT COUNT(*) FROM row_lvl WHERE missing_row_status = 'MISSTING_AT_TARGET') AS target_missing_rows,
+          |  CASE WHEN (SELECT COUNT(*) FROM src) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
+          |        AND (SELECT COUNT(*) FROM tgt) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
+          |       THEN 'PASSED' ELSE 'FAILED' END AS test_status""".stripMargin),
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS INTEGER) AS n_tokens,
+        |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |            / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS DOUBLE) END AS mean_token_len,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS upper_ratio
+        |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH u AS (SELECT * FROM documents
+        |           UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0)
+        |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM u GROUP BY text HAVING COUNT(*) > 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM toks a JOIN toks b
+        |         ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.9""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, CAST(SUM(qv*qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+        |d AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |        CAST(SUM(q.qv*c.qv) AS BIGINT) AS dot
+        |      FROM e q JOIN e c ON q.pos = c.pos
+        |      WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT query_id, cand_id,
+        |        CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+        |       FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = cand_id)
+        |SELECT query_id, cand_id, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) rn
+        |  FROM sc) WHERE rn <= 3""".stripMargin,
+
+    "q_multimodal_bytes" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS payload_sha FROM documents""".stripMargin)
+}
+

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines: token
+  * counting, normalization/fingerprinting, quality scoring, and a
+  * lightweight language-ID heuristic.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * codegen'd, no UDFs — so the operators stay inside whole-stage codegen
+  * and scale linearly with input splits (no shuffle except where a groupBy
+  * is inherent to the semantics).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a (trimmed) text column. */
+  def tokens(text: Column): Column = split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
+  /** Distinct whitespace tokens (the word SET — basis for Jaccard dedup). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count; 0 for empty/blank text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Canonical document fingerprint: sha256 over whitespace-normalized text.
+    * Collapsing runs of whitespace makes the fingerprint robust to
+    * formatting-only edits; use [[Dedup.exactDuplicates]] over it for
+    * fingerprint-level dedup.
+    */
+  def fingerprint(text: Column): Column =
+    sha2(trim(regexp_replace(text, "\\s+", " ")), 256)
+
+  /** A BPE-ish sub-word token count approximation: words plus extra tokens
+    * for every ~4 characters of long words (cheap, deterministic stand-in
+    * for a real tokenizer's token count).
+    */
+  def approxBpeTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(
+        aggregate(
+          tokens(text),
+          lit(0),
+          (acc, w) => acc + greatest(lit(1), ceil(length(w) / lit(4)).cast("int"))))
+
+  /** Quality-scoring feature columns over `textCol`:
+    * character count, token count, mean token length, punctuation ratio,
+    * digit ratio, uppercase ratio — the standard cheap signals used to
+    * filter low-quality web text before training.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(t).cast("double")
+    def classRatio(pattern: String): Column =
+      when(length(t) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(t, pattern, "")).cast("double") / chars)
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn(
+        "mean_token_len",
+        when(tokenCount(t) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / tokenCount(t).cast("double")))
+      .withColumn("punct_ratio", classRatio("[^.,!?;:]"))
+      .withColumn("digit_ratio", classRatio("[^0-9]"))
+      .withColumn("upper_ratio", classRatio("[^A-Z]"))
+  }
+
+  /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Public, well-known high-frequency function words.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "por", "con", "para"))
+
+  /** Language-ID: score = fraction of tokens that are marker words of each
+    * language; predict the argmax (ties broken by language code order,
+    * "und" = undetermined when no marker hits at all). One pass, no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits = size(array_intersect(toks, array(markers.map(lit): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

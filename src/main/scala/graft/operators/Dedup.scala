@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for large-scale corpus cleaning: exact,
+  * fingerprint, n-gram/word-set Jaccard, MinHash+LSH and SimHash.
+  *
+  * Scale design: every variant is a pure dataflow of narrow maps +
+  * key-partitioned shuffles (group-bys and equi-joins) — no driver-side
+  * loops, no collect — so each runs unchanged on a 1000-executor cluster.
+  * The pairwise variants ([[jaccardPairs]]) block candidates first (by a
+  * caller-chosen blocking column, or by LSH band buckets) so the quadratic
+  * comparison only happens inside small buckets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups over `groupCols`: one row per duplicated value
+    * combination, with the lowest id kept as the canonical survivor.
+    * Plain hash-aggregation — one shuffle on the group columns, map-side
+    * partial aggregation included for free.
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Survivor view: drop all but the canonical (min-id) row per duplicate
+    * group. Equivalent to `dropDuplicates(groupCols)` but with a
+    * DETERMINISTIC survivor (dropDuplicates keeps an arbitrary row).
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, groupCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__min_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__min_id"))
+      .drop("__min_id")
+  }
+
+  /** Fingerprint dedup: exact dedup over the whitespace-normalized sha256
+    * fingerprint of `textCol` — catches formatting-only near-copies.
+    */
+  def fingerprintDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDuplicateGroups(
+      df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+      idCol,
+      Seq("__fp")).drop("__fp")
+
+  /** Word-set Jaccard near-duplicate pairs (exact, set-similarity join).
+    *
+    * Classic distributed set-similarity join: explode each document's
+    * DISTINCT tokens, self-equi-join on (token, blocking key) to generate
+    * co-occurrence counts, then jaccard = |∩| / (|A| + |B| − |∩|). The
+    * token join IS the candidate generation — documents sharing no token
+    * never meet, and the blocking column (e.g. language) keeps hot tokens
+    * from joining across unrelated partitions of the corpus.
+    *
+    * At 100 TB add a document-frequency cap on join tokens (prefix
+    * filtering) — see [[minhashCandidatePairs]] for the sub-quadratic path.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
+    val sizes = toks.groupBy("doc").agg(count(lit(1)).as("n"))
+    val co = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** Large prime for the universal-hash family h_i(x) = (a_i·x + b_i) mod p. */
+  private val MinhashPrime = 2147483629L
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    // Deterministic pseudo-random parameters from a fixed multiplicative
+    // sequence (no RNG — identical signatures on every run and executor).
+    (1 to numHashes).map(i => ((2654435761L * i) % MinhashPrime max 1L, (40503L * i) % MinhashPrime))
+
+  /** MinHash signature of each document's word set: one `array<long>` of
+    * `numHashes` minima. Token base hash is Spark's xxhash64 (codegen'd);
+    * the per-hash minimum is computed with higher-order array functions —
+    * a single narrow projection, no shuffle, no UDF.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32): DataFrame = {
+    val hashes = hashParams(numHashes)
+    val toks = df.select(col(idCol).as("doc"), explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
+    // Reduce the 64-bit token hash into the prime field FIRST so a·x + b
+    // stays < 2^62 (ANSI mode makes a silent long overflow an error).
+    val x = pmod(hash64(col("tok")), lit(MinhashPrime))
+    val perHash = hashes.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(x * a + b, lit(MinhashPrime))).as(s"h$i")
+    }
+    toks.groupBy("doc")
+      .agg(perHash.head, perHash.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  private def hash64(c: Column): Column = xxhash64(c)
+  private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
+
+  /** LSH banding over MinHash signatures: split the signature into
+    * `bands` bands of `rowsPerBand` hashes, bucket by (band, band-slice
+    * hash), and emit candidate pairs that share any bucket. Sub-quadratic:
+    * the only shuffle keys are the band buckets, so cost scales with
+    * bucket sizes, not corpus².
+    */
+  def minhashCandidatePairs(
+      signatures: DataFrame,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(
+      col("doc"),
+      posexplode(
+        array((0 until bands).map(b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)))
+      .select(col("doc"), col("col.band"), col("col.bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified: candidates from banding, then
+    * exact Jaccard on the candidate set only (the standard
+    * generate-then-verify shape; false positives are filtered, recall is
+    * governed by the band/row choice).
+    */
+  def minhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    val cands = minhashCandidatePairs(sigs, bands, numHashes / bands)
+    val sets = df.select(col(idCol).as("doc"), TextAnalysis.tokenSet(col(textCol)).as("toks"))
+    cands
+      .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
+      .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of each document's token multiset: per bit position,
+    * sum +1/−1 votes of each token hash's bit, take the sign. Computed as
+    * 64 conditional-sum aggregates (single hash-aggregation pass,
+    * codegen'd, one shuffle on the doc id).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    toks.groupBy("doc")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc"),
+        (0 until 64)
+          .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b))
+          .as("simhash"))
+  }
+
+  /** Hamming-distance near-dup pairs over SimHash, blocked by the top
+    * `prefixBits` bits (documents differing in the prefix can still be
+    * near — standard multi-probe/rotation extensions apply; this is the
+    * single-table variant).
+    */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+      .withColumn("block", shiftrightunsigned(col("simhash"), 64 - prefixBits))
+    sh.as("a")
+      .join(sh.as("b"), col("a.block") === col("b.block") && col("a.doc") < col("b.doc"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
+  }
+}

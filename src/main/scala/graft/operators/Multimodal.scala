@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * pipeline as opaque `binary` columns with a typed metadata struct, and
+  * per-batch decode / feature-extraction runs as partition-local functions
+  * over the binary batches.
+  *
+  * The Spark side — schema, partition-preserving batch iteration, output
+  * shapes — is real and tested. The actual codec calls are STUBBED with a
+  * deterministic fake (this container has no image/audio libraries); swap
+  * [[FakeCodec]] for a JNI/javacv-backed codec in production. Decode cost
+  * dominates at 100 TB, so the batch functions deliberately run
+  * per-partition (amortized setup, no per-row interpreter crossings) and
+  * keep the payload column pruned away as soon as features are extracted.
+  */
+object Multimodal {
+
+  /** Typed multimodal record: payload + metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))), nullable = true)))
+
+  /** Wrap a text column as a fake binary payload (UTF-8 bytes) — used by
+    * tests and the demo queries to exercise the binary plumbing on the
+    * `documents` table without real media files.
+    */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String, modality: String = "image"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(modality).as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB CODEC — deterministic fake standing in for a real decoder.
+    * Every value is a pure function of the payload bytes, so tests are
+    * stable; none of it is a real image decode.
+    */
+  object FakeCodec {
+    /** Fake "decode": derive (width, height, channels) from payload bytes. */
+    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+      if (payload == null || payload.isEmpty) (0, 0, 0)
+      else {
+        val h = java.util.Arrays.hashCode(payload)
+        (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, 3)
+      }
+    }
+    /** Fake per-frame feature vector (what a real extractor would emit). */
+    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+      if (payload == null) Array.fill(dim)(0f)
+      else (0 until dim).map(i => ((payload.length * (i + 1)) % 251).toFloat / 251f).toArray
+    }
+  }
+
+  /** Decoded-metadata record emitted by [[decodeFeatures]]. */
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_bytes: Long,
+      features: Array[Float])
+
+  /** Partition-local batch decode + feature extraction. The Scala analogue
+    * of a vectorized pandas-batch UDF: one function call per partition, the
+    * codec is "initialized" once per partition (where a real codec would
+    * load its native libs), rows stream through without materializing the
+    * whole partition.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec init would happen here, once per partition
+        rows.map { case (id, modality, payload) =>
+          val (w, h, c) = FakeCodec.decodeDims(payload)
+          MediaFeatures(
+            id, modality, w, h, c,
+            if (payload == null) 0L else payload.length.toLong,
+            FakeCodec.features(payload, featureDim))
+        }
+      }
+  }
+
+  /** Deterministic frame sampling: pick every `stride`-th frame index from
+    * a fake frame count derived from payload size (a real video pipeline
+    * would emit (media_id, frame_no, frame_payload) the same shape).
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames", (col("meta.n_bytes") / 100 + 1).cast("int"))
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_no"))
+}
