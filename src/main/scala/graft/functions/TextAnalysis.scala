@@ -20,6 +20,29 @@ object TextAnalysis {
   /** Distinct whitespace tokens (the word SET — basis for Jaccard dedup). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Distinct word n-gram shingles (default 3). Shingles are the right
+    * similarity unit for near-dup detection: individual words can appear in
+    * ~every document of a corpus (making word-set similarity degenerate and
+    * candidate generation quadratic), while n-gram shingles are
+    * order-sensitive and rare. Documents shorter than `n` words yield an
+    * empty shingle set and drop out of pairwise dedup.
+    */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    shinglesOfWords(tokens(text), n)
+
+  /** Shingle set over an ALREADY-SPLIT words array column. Prefer
+    * materializing the words array in a projection and calling this — if
+    * the words expression is inlined, Catalyst re-evaluates it for every
+    * `element_at` inside the transform lambda (3n array splits per row).
+    */
+  def shinglesOfWords(w: Column, n: Int = 3): Column =
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(w) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+
   /** Whitespace token count; 0 for empty/blank text. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))

@@ -59,24 +59,49 @@ object Dedup {
     * At 100 TB add a document-frequency cap on join tokens (prefix
     * filtering) — see [[minhashCandidatePairs]] for the sub-quadratic path.
     */
+  /** Materialize the words array in its own projection (so the set
+    * expression references a computed attribute instead of re-splitting the
+    * text for every element access) and spread rows across the cluster —
+    * single-file inputs otherwise run the whole tokenize+join pipeline in
+    * ONE task.
+    */
+  private def tokenSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      extraCols: Seq[(String, String)],
+      tokenizer: Column => Column): DataFrame =
+    df.select(
+        col(idCol).as("doc") +:
+          extraCols.map { case (c, a) => col(c).as(a) } :+
+          TextAnalysis.tokens(col(textCol)).as("__words"): _*)
+      .repartition(col("doc"))
+      .withColumn("__set", tokenizer(col("__words")))
+      .drop("__words")
+
+  /** @param tokenizer maps the materialized WORDS ARRAY column to the
+    *        similarity set — default 3-gram shingles; `array_distinct(_)`
+    *        gives word-set Jaccard.
+    */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
-        explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
-    val sizes = toks.groupBy("doc").agg(count(lit(1)).as("n"))
-    val co = toks.as("a")
+      threshold: Double,
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
+    // Carry each doc's set size through the explode so the final jaccard
+    // needs NO extra size-joins — the co-occurrence aggregation sees
+    // (inter, |A|, |B|) in one pass.
+    val toks = tokenSets(df, idCol, textCol, Seq(blockCol -> "blk"), tokenizer)
+      .select(col("doc"), col("blk"), size(col("__set")).as("n"),
+        explode(col("__set")).as("tok"))
+    toks.as("a")
       .join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk") &&
           col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .agg(count(lit(1)).as("inter"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
       .withColumn(
         "jaccard",
         col("inter").cast("double") /
@@ -103,9 +128,11 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32): DataFrame = {
+      numHashes: Int = 32,
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
     val hashes = hashParams(numHashes)
-    val toks = df.select(col(idCol).as("doc"), explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
+    val toks = tokenSets(df, idCol, textCol, Seq.empty, tokenizer)
+      .select(col("doc"), explode(col("__set")).as("tok"))
     // Reduce the 64-bit token hash into the prime field FIRST so a·x + b
     // stays < 2^62 (ANSI mode makes a silent long overflow an error).
     val x = pmod(hash64(col("tok")), lit(MinhashPrime))
@@ -157,10 +184,12 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+      bands: Int = 8,
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, tokenizer)
     val cands = minhashCandidatePairs(sigs, bands, numHashes / bands)
-    val sets = df.select(col(idCol).as("doc"), TextAnalysis.tokenSet(col(textCol)).as("toks"))
+    val sets = tokenSets(df, idCol, textCol, Seq.empty, tokenizer)
+      .withColumnRenamed("__set", "toks")
     cands
       .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
       .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
@@ -178,7 +207,10 @@ object Dedup {
     * codegen'd, one shuffle on the doc id).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val toks = df
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__words"))
+      .repartition(col("doc"))
+      .select(col("doc"), explode(col("__words")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))

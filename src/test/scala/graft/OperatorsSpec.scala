@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+/** Unit specs for the dedup / similarity / text extension operators. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog", "en"), // near dup of 1
+    (4L, "completely different text about spark engines", "en"),
+    (5L, "der hund ist nicht ein tier mit flügeln", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact duplicate groups find the duplicated text with min-id survivor") {
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", Seq("text")).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+    assert(groups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("dropExactDuplicates keeps the deterministic min-id row") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
+  test("fingerprint dedup is whitespace-normalization invariant") {
+    val messy = Seq(
+      (1L, "a b  c"), (2L, "a b c"), (3L, " a b c "), (4L, "a b d")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.fingerprintDuplicateGroups(messy, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n_copies") == 3L)
+  }
+
+  test("jaccard pairs rank the near-dup above unrelated docs (shingles)") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", threshold = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 1.0) // identical
+    // one word changed of 9 → 3 of 7 trigram shingles differ → 4/10
+    assert(math.abs(byPair((1L, 3L)) - 0.4) < 1e-12)
+    assert(!byPair.contains((1L, 4L))) // unrelated below threshold
+  }
+
+  test("jaccard pairs with word-set tokenizer sees the near-dup as more similar") {
+    val byPair = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", threshold = 0.5,
+        tokenizer = array_distinct(_))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(byPair((1L, 3L)) > 0.7) // word sets barely notice the 1-word swap
+  }
+
+  test("minhash signatures of identical texts are identical; near-dups collide in LSH") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.9, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical texts hash equal, near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) < java.lang.Long.bitCount(sh(1L) ^ sh(4L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (10L, Array(1.0f, 0.01f, 0.0f, 0.0f)), // ~query 0
+    (11L, Array(0.0f, 0.99f, 0.1f, 0.0f)), // ~query 1
+    (12L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k finds the aligned vector first") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") < 10, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cand_id")).toMap
+    assert(top(0L) == 10L)
+    assert(top(1L) == 11L)
+  }
+
+  test("cosineExpr matches hand-computed cosine") {
+    val c = vecs.filter(col("vec_id") === 0L)
+      .select(Similarity.cosineExpr(col("embedding"), col("embedding")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("token/text functions") {
+    val t = Seq((1L, "  Hello   world!  ")).toDF("id", "text")
+    assert(t.select(TextAnalysis.tokenCount(col("text"))).as[Int].head() == 2)
+    val fp1 = t.select(TextAnalysis.fingerprint(col("text"))).as[String].head()
+    val fp2 = Seq((1L, "Hello world!")).toDF("id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].head()
+    assert(fp1 == fp2)
+  }
+
+  test("language-ID picks the language with most marker-word hits") {
+    val preds = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist nicht ein tier mit format"),
+      (3L, "el perro es una mascota por la casa"),
+      (4L, "xyzzy qwerty asdf")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "de")
+    assert(preds(3L) == "es")
+    assert(preds(4L) == "und")
+  }
+}

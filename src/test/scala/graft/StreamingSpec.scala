@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Events
+import graft.streaming.StreamingOps
+
+/** Structured Streaming specs: the same transforms run as a file-source
+  * stream (memory sink, synchronous processAllAvailable) and as batch, and
+  * must agree.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val batchEvents = Events.load(spark, "/root/testdata/sf0.001")
+
+  private def streamedEvents(tmp: String) = {
+    batchEvents.drop("ts").withColumnRenamed("ts_ns", "ts")
+      .write.mode("overwrite").parquet(tmp) // re-write as plain longs
+    Events.decorate(
+      spark.readStream
+        .schema(Events.rawSchema)
+        .parquet(tmp))
+  }
+
+  test("streaming windowed stats equal the batch computation") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val stream = StreamingOps.windowedStats(streamedEvents(tmp), "1 hour", "10 minutes")
+    val q = stream.writeStream
+      .format("memory").queryName("win_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // append mode only emits windows closed by the watermark; every emitted
+    // window must match batch exactly, and most windows must have closed.
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k differs") }
+  }
+
+  test("stream dedup drops re-delivered event_ids within the watermark") {
+    val tmp = Files.createTempDirectory("graft-stream-dup").toString
+    val dups = batchEvents.limit(50).drop("ts").withColumnRenamed("ts_ns", "ts")
+    dups.union(dups).write.mode("overwrite").parquet(tmp) // every event twice
+    val deduped = StreamingOps.dedupEvents(
+      Events.decorate(spark.readStream.schema(Events.rawSchema).parquet(tmp)),
+      "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("dedup_out").select("event_id").as[Long].collect()
+    assert(out.length == out.distinct.length)
+    assert(out.length == 50)
+  }
+
+  test("mapGroupsWithState running stats (batch-mode execution)") {
+    val stats = StreamingOps.userRunningStats(spark, batchEvents.limit(200))
+      .collect().map(s => s.user_id -> s.n_events).toMap
+    val expected = batchEvents.limit(200).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == expected)
+  }
+}
