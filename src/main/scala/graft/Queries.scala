@@ -287,6 +287,9 @@ object Queries {
     "q_sim_lsh_topk" -> ((s, d) =>
       Similarity.lshBucketedTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3)),
 
+    "q_dedup_embedding" -> ((s, d) =>
+      Similarity.embeddingNearDuplicates(embs(s, d), "vec_id", "embedding", "label", threshold = 0.35)),
+
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.attachPayload(docs(s, d), "doc_id", "text")
         .select(
@@ -484,6 +487,22 @@ object Queries {
     "q_multimodal_bytes" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS payload_sha FROM documents""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH t AS (SELECT vec_id, label,
+        |    list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*100000000) AS BIGINT)) AS ql
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(ql, x -> x*x)) AS BIGINT) AS n2,
+        |    generate_subscripts(ql, 1) AS pos, unnest(ql) AS qv FROM t),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(SUM(a.qv*b.qv) AS BIGINT) AS dot,
+        |        MIN(a.n2) AS na, MIN(b.n2) AS nb
+        |      FROM e a JOIN e b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+        |FROM d
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35""".stripMargin,
 
     "q_events_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,

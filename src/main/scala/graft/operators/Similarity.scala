@@ -134,6 +134,43 @@ object Similarity {
       .select("query_id", "cand_id", "cosine")
   }
 
+  /** Embedding-cosine near-duplicate pairs within blocks: all pairs of rows
+    * sharing `blockCol` (a cluster id, LSH bucket, shard key …) whose cosine
+    * similarity meets `threshold`. Norms ride along each exploded component
+    * as per-row expressions — computing Σqv² with an in-row `aggregate`
+    * over the materialized quantized array costs NO shuffle, so the whole
+    * operator is one equi-join on (position, block) plus one aggregation.
+    * For an unblocked corpus, feed `lshBuckets` output as the block column.
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val e = df
+      .select(
+        col(idCol).as("id"), col(blockCol).as("blk"),
+        transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")).as("qa"))
+      .withColumn("n2", aggregate(col("qa"), lit(0L), (acc, x) => acc + x * x))
+      .select(col("id"), col("blk"), col("n2"), posexplode(col("qa")))
+      .withColumnRenamed("col", "qv")
+    e.as("a")
+      .join(e.as("b"),
+        col("a.pos") === col("b.pos") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(
+        sum(col("a.qv") * col("b.qv")).as("dot"),
+        min(col("a.n2")).as("na"), min(col("b.n2")).as("nb"))
+      .withColumn(
+        "cosine",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** In-row cosine via higher-order array functions (zip_with + aggregate).
     * Float-order-deterministic because the fold is sequential within the
     * row — no partitioning dependence. Used on pre-joined pairs.

@@ -136,6 +136,49 @@ class ComparisonSpec extends SparkSpec {
     }
   }
 
+  test("nested-type canonicalization makes array and struct columns comparable") {
+    import org.apache.spark.sql.functions.{col, struct}
+    // arrays: concat_ws coerces them even without the flag (Spark 4);
+    // canonicalization must agree on the verdicts
+    val srcA = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f))).toDF("id", "emb")
+    val tgtA = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 5.0f))).toDF("id", "emb")
+    val canonA = Comparison.compareDataFrames(spark, srcA, tgtA,
+      DatasetParams("canon_arr", Seq("id"), TestParams(canonicalizeNestedTypes = true)))
+    val byId = canonA.rowLvlTestReport.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("all_rows_matched")).toMap
+    assert(byId == Map(1L -> true, 2L -> false))
+    // structs: the checksum's concat_ws rejects them without the flag
+    val srcS = Seq((1L, ("x", 1.0))).toDF("id", "payload")
+      .select(col("id"), struct(col("payload._1").as("a"), col("payload._2").as("b")).as("payload"))
+    val tgtS = Seq((1L, ("x", 2.0))).toDF("id", "payload")
+      .select(col("id"), struct(col("payload._1").as("a"), col("payload._2").as("b")).as("payload"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Comparison.compareDataFrames(spark, srcS, tgtS,
+        DatasetParams("plain_struct", Seq("id"))).rowLvlTestReport.collect()
+    }
+    val canonS = Comparison.compareDataFrames(spark, srcS, tgtS,
+      DatasetParams("canon_struct", Seq("id"), TestParams(canonicalizeNestedTypes = true)))
+    assert(!canonS.rowLvlTestReport.collect().head.getAs[Boolean]("all_rows_matched"))
+    canonA.unpersist(); canonS.unpersist()
+  }
+
+  test("legacyDecimalComparison reproduces the reference's DecimalType(10,0)-only numeric set") {
+    import org.apache.spark.sql.functions._
+    val src = Seq((1L, "1.00")).toDF("id", "d")
+      .select(col("id"), col("d").cast("decimal(10,2)").as("d"))
+    val tgt = Seq((1L, "1.05")).toDF("id", "d")
+      .select(col("id"), col("d").cast("decimal(10,2)").as("d"))
+    val params = DatasetParams("dec", Seq("id"), TestParams(differenceTolerance = 0.1))
+    // idiomatic default: decimal(10,2) is numeric → |1.00−1.05| ≤ 0.1 matches
+    val idiomatic = Comparison.compareDataFrames(spark, src, tgt, params)
+    assert(idiomatic.rowLvlTestReport.collect().head.getAs[Boolean]("all_rows_matched"))
+    // legacy: decimal(10,2) ≠ DecimalType(10,0) → exact compare → mismatch
+    val legacy = Comparison.compareDataFrames(spark, src, tgt,
+      params.copy(testParams = TestParams(0.1, legacyDecimalComparison = true)))
+    assert(!legacy.rowLvlTestReport.collect().head.getAs[Boolean]("all_rows_matched"))
+    idiomatic.unpersist(); legacy.unpersist()
+  }
+
   test("composite primary keys and duplicate-key cross products") {
     val src = Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c"), (2L, 1, "c"))
       .toDF("k1", "k2", "v")

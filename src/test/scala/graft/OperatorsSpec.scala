@@ -90,6 +90,18 @@ class OperatorsSpec extends SparkSpec {
     assert(top(1L) == 11L)
   }
 
+  test("embedding near-duplicates within blocks") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),
+      (4L, Array(0.95f, 0.05f), 1) // near 1 but different block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.embeddingNearDuplicates(emb, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
   test("cosineExpr matches hand-computed cosine") {
     val c = vecs.filter(col("vec_id") === 0L)
       .select(Similarity.cosineExpr(col("embedding"), col("embedding")).as("c"))
