@@ -236,6 +236,22 @@ object Queries {
 
     "q_compare_col_lvl" -> ((s, d) => compareResult(s, d).colLvlTestReport),
 
+    // engine end-to-end over ARRAY columns (nested-type canonicalization):
+    // embeddings vs a copy with dropped keys and reversed vectors
+    "q_compare_arrays" -> ((s, d) => {
+      val e = embs(s, d)
+      val k = col("vec_id")
+      val src = e.filter(k % 19 =!= 0)
+      val tgt = e.filter(k % 13 =!= 0).select(
+        k,
+        when(k % 7 === 0, reverse(col("embedding"))).otherwise(col("embedding")).as("embedding"),
+        col("label"))
+      Comparison.compareDataFrames(
+        s, src, tgt,
+        DatasetParams("emb_cmp", Seq("vec_id"),
+          TestParams(canonicalizeNestedTypes = true))).rowLvlTestReport
+    }),
+
     "q_compare_overall" -> ((s, d) =>
       compareResult(s, d).overallTestReport.select(
         col("dataset_name"),
@@ -421,6 +437,21 @@ object Queries {
           |        AND (SELECT COUNT(*) FROM tgt) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
           |       THEN 'PASSED' ELSE 'FAILED' END AS test_status""".stripMargin),
 
+    "q_compare_arrays" ->
+      """WITH src AS (SELECT * FROM embeddings WHERE vec_id % 19 != 0),
+        |tgt AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding) ELSE embedding END AS embedding,
+        |    label FROM embeddings WHERE vec_id % 13 != 0)
+        |SELECT 'emb_cmp' AS dataset_name, COALESCE(s.vec_id, t.vec_id) AS vec_id,
+        |  CAST(0 AS BIGINT) AS duplicate_count,
+        |  CASE WHEN s.vec_id IS NULL THEN 'MISSING_AT_SOURCE'
+        |       WHEN t.vec_id IS NULL THEN 'MISSTING_AT_TARGET'
+        |       ELSE 'PRESENT_IN_BOTH' END AS missing_row_status,
+        |  COALESCE(s.vec_id IS NOT NULL AND t.vec_id IS NOT NULL
+        |    AND s.embedding IS NOT DISTINCT FROM t.embedding
+        |    AND s.label IS NOT DISTINCT FROM t.label, FALSE) AS all_rows_matched
+        |FROM src s FULL OUTER JOIN tgt t ON s.vec_id = t.vec_id""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,
@@ -442,6 +473,34 @@ object Queries {
     "q_text_fingerprint" ->
       """SELECT doc_id, sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // replicates TextAnalysis.langId: hits = #distinct marker words present;
+    // winner = max hits, ties to the lexicographically LAST language; 'und'
+    // when no marker hits at all
+    "q_text_langid" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS tok
+        |  FROM documents),
+        |m(lang, tok) AS (VALUES
+        |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+        |  ('de','nicht'),('de','ein'),('de','mit'),('de','für'),('de','auf'),
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+        |  ('en','is'),('en','that'),('en','it'),('en','for'),('en','with'),
+        |  ('es','el'),('es','la'),('es','los'),('es','y'),('es','es'),
+        |  ('es','no'),('es','una'),('es','por'),('es','con'),('es','para'),
+        |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+        |  ('fr','pas'),('fr','une'),('fr','pour'),('fr','dans'),('fr','que')),
+        |hits AS (SELECT t.doc_id, m.lang, COUNT(DISTINCT t.tok) AS h
+        |         FROM toks t JOIN m ON t.tok = m.tok GROUP BY 1, 2),
+        |alllang AS (SELECT d.doc_id, l.lang, COALESCE(h.h, 0) AS h
+        |  FROM documents d CROSS JOIN (SELECT DISTINCT lang FROM m) l
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang),
+        |best AS (SELECT doc_id, lang, h,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+        |  FROM alllang)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN b.h > 0 THEN b.lang ELSE 'und' END AS predicted_lang
+        |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH u AS (SELECT * FROM documents

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the properties the 100 TB design depends on must
+  * be visible in the plan, not assumed — filter/column pushdown into the
+  * parquet scan, broadcast joins for small dimensions, sort-merge (never
+  * broadcast) for the full-outer alignment join, and whole-stage codegen
+  * over the hot expressions.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, sf).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters and projections push down to the parquet scan") {
+    val p = plan("q_s1_scan_filter")
+    assert(p.contains("PushedFilters:"), "expected pushed filters in scan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), s"l_quantity filter not pushed:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "l_returnflag filter not pushed")
+    // column pruning: the 11-column lineitem scan must read only 4 columns
+    assert(
+      p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>"),
+      s"scan should read exactly the 4 projected columns:\n$p")
+  }
+
+  test("column pruning reaches the scan for aggregations") {
+    val p = plan("q_agg_pricing")
+    assert(
+      p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatus:string>"),
+      s"aggregation should scan exactly its 5 input columns:\n$p")
+  }
+
+  test("small dimension joins broadcast; large aggregations stay codegen'd") {
+    assert(plan("q_s5_local_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_j2_left_coalesce").contains("BroadcastHashJoin"),
+      "small customer dim should broadcast under the left join")
+    // the grouped aggregation must be partial→final around exactly ONE
+    // shuffle (map-side combine) — two HashAggregates, one Exchange
+    val agg = plan("q_agg_pricing")
+    assert(agg.linesIterator.count(l => l.contains("HashAggregate (")) == 2,
+      s"expected partial+final HashAggregate:\n$agg")
+    assert(agg.linesIterator.count(l => l.contains("Exchange (")) == 1,
+      s"expected exactly one shuffle:\n$agg")
+  }
+
+  test("the comparison engine's alignment join is sort-merge full-outer (never broadcast)") {
+    val (src, tgt) = Queries.compareScenario(spark, sf)
+    val joined = src
+      .withColumnRenamed("o_totalprice", "p_src")
+      .join(tgt.withColumnRenamed("o_totalprice", "p_tgt"), Seq("o_orderkey"), "full_outer")
+    val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), s"expected SMJ full outer:\n$p")
+    assert(!p.contains("BroadcastHashJoin FullOuter"), "full outer must not broadcast")
+  }
+
+  test("row checksum derivation stays inside whole-stage codegen") {
+    val p = plan("q_p3_checksum")
+    assert(p.contains("[codegen id :"))
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"),
+      "checksum scan should prune to key + checksummed columns")
+  }
+}
