@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pin + pre-touch the heap for `run` (Bench/Verify): this host's page-fault
+// path is pathologically slow, so a lazily-grown heap turns GC commit/uncommit
+// into minutes of kernel time mid-benchmark (observed 5-10x query inflation).
+// Pre-touching pays that cost once, before anything is measured.
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+)

@@ -71,6 +71,14 @@ object Queries {
         DatasetParams("orders_cmp", Seq("o_orderkey"), TestParams(differenceTolerance = 0.01)))
     })
 
+  /** Release every memoized comparison run's persisted frames (benchmarks
+    * call this between warmup and measurement).
+    */
+  def clearComparisonCache(): Unit = {
+    cmpCache.values.foreach(_.unpersist())
+    cmpCache.clear()
+  }
+
   // Shared oracle CTE prefix replicating the scenario + per-key join state
   // independently of the engine (aggregated per key: per-key rows are
   // homogeneous by construction, so MIN() is a faithful row representative).

@@ -246,34 +246,35 @@ object Comparison {
       keyCols: Seq[String],
       src: DataFrame,
       tgt: DataFrame,
-      rowLvlReport: DataFrame,
-      matchedRecords: DataFrame): DataFrame = {
+      rowLvlReport: DataFrame): DataFrame = {
     import spark.implicits._
-    val matchedCount = matchedRecords.count()
     val (srcTotal, srcDups, tgtTotal, tgtDups) = sideStats(src, tgt, keyCols)
-    val missingRows = rowLvlReport
+    // Missing-row counts AND the matched-key count come from ONE pass over
+    // the (cached, small) row-level report. matched_count ≡ the reference's
+    // joined.filter(matched).dropDuplicates(keys).count()
+    // (comparison_job.py:67, 236): a key appears matched in the distinct
+    // report iff it has a matched row in the join, so counting distinct
+    // matched keys here is value-identical with one fewer full pass over
+    // the joined frame.
+    val statsRow = rowLvlReport
       .agg(
-        map(
-          lit(SourceCol),
-          sum(when(col(MissingRowStatusCol) === MissingAtSourceStatus, 1).otherwise(0)),
-          lit(TargetCol),
-          sum(when(col(MissingRowStatusCol) === MissingAtTargetStatus, 1).otherwise(0)))
-          .as(MissingRowsCol))
-      .withColumn(DatasetNameCol, lit(datasetName))
+        coalesce(sum(when(col(MissingRowStatusCol) === MissingAtSourceStatus, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col(MissingRowStatusCol) === MissingAtTargetStatus, 1L).otherwise(0L)), lit(0L)),
+        count_distinct(
+          when(col(AllRowsMatchedCol), struct(keyCols.map(col): _*))))
+      .head()
+    val (missSrc, missTgt, matchedCount) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
     Seq((
       datasetName,
       Map(SourceCol -> srcTotal, TargetCol -> tgtTotal),
       matchedCount,
-      Map(SourceCol -> srcDups, TargetCol -> tgtDups)))
-      .toDF(DatasetNameCol, CountCol, MatchedCountCol, DuplicateCountCol)
-      .join(missingRows, Seq(DatasetNameCol), LeftJoin)
-      .withColumn(
-        TestStatusCol,
-        when(
-          (col(CountCol).getItem(SourceCol) === col(MatchedCountCol)) &&
-            (col(CountCol).getItem(TargetCol) === col(MatchedCountCol)),
-          lit(PassedStatus))
-          .otherwise(lit(FailedStatus)))
+      Map(SourceCol -> srcDups, TargetCol -> tgtDups),
+      Map(SourceCol -> missSrc, TargetCol -> missTgt),
+      if (srcTotal == matchedCount && tgtTotal == matchedCount) PassedStatus
+      else FailedStatus))
+      .toDF(DatasetNameCol, CountCol, MatchedCountCol, DuplicateCountCol,
+        MissingRowsCol, TestStatusCol)
   }
 
   /** The core pipeline (`compare_dataframes`, `comparison_job.py:186-256`). */
@@ -327,8 +328,6 @@ object Comparison {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val unmatchedRecords = afterTolerance.filter(!col(AllRowsMatchedAfterTolCol))
-    val matchedRecords =
-      joined.filter(col(AllRowsMatchedCol) === true).dropDuplicates(keyCols)
 
     val colLvl = columnLevelReport(params.datasetName, unmatchedRecords, nonKeyCols)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -336,8 +335,7 @@ object Comparison {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val extracts =
       unmatchedExtracts(params.datasetName, unmatchedRecords, colLvl, keyCols)
-    val overall = overallReport(
-      spark, params.datasetName, keyCols, src, tgt, rowLvl, matchedRecords)
+    val overall = overallReport(spark, params.datasetName, keyCols, src, tgt, rowLvl)
 
     ComparisonResult(
       overallTestReport = overall,

@@ -65,6 +65,14 @@ object Dedup {
     * single-file inputs otherwise run the whole tokenize+join pipeline in
     * ONE task.
     */
+  /** The (doc, …, __set) frame is consumed several times by every pairwise
+    * operator (postings, sizes, verify-joins). A lazy localCheckpoint
+    * materializes it once per job and — unlike `persist` — is released by
+    * the ContextCleaner when the frame becomes unreachable, so operators
+    * don't leak cache entries into long-lived sessions. Tradeoff: truncated
+    * lineage means an executor loss re-runs the job instead of recomputing
+    * the partition — acceptable for a cheap, deterministic derivation.
+    */
   private def tokenSets(
       df: DataFrame,
       idCol: String,
@@ -78,6 +86,7 @@ object Dedup {
       .repartition(col("doc"))
       .withColumn("__set", tokenizer(col("__words")))
       .drop("__words")
+      .localCheckpoint(false)
 
   /** @param tokenizer maps the materialized WORDS ARRAY column to the
     *        similarity set — default 3-gram shingles; `array_distinct(_)`
@@ -90,18 +99,34 @@ object Dedup {
       blockCol: String,
       threshold: Double,
       tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
-    // Carry each doc's set size through the explode so the final jaccard
-    // needs NO extra size-joins — the co-occurrence aggregation sees
-    // (inter, |A|, |B|) in one pass.
+    // Single tokenize pass: gather each token's (sorted) posting list and
+    // emit the pair combinations in-row — no self-join, so the tokenize
+    // subtree is evaluated once and the only shuffles are the group-bys.
+    // IMPORTANT: the explode projection must NOT also compute size(__set) —
+    // Generate inlines the set expression, so a sibling size() re-evaluates
+    // the whole shingle construction per exploded row (measured ~20× at
+    // sf0.1). Set sizes come from a cheap per-doc count of the exploded
+    // (distinct) tokens instead, joined onto the (small) pair set.
+    // Posting lists are bounded by token document-frequency (shingles are
+    // rare by construction); add prefix-filtering (a df cap) upstream for
+    // corpora with pathological hot shingles.
     val toks = tokenSets(df, idCol, textCol, Seq(blockCol -> "blk"), tokenizer)
-      .select(col("doc"), col("blk"), size(col("__set")).as("n"),
-        explode(col("__set")).as("tok"))
-    toks.as("a")
-      .join(toks.as("b"),
-        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk") &&
-          col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+      .select(col("doc"), col("blk"), explode(col("__set")).as("tok"))
+    val sizes = toks.groupBy("doc").agg(count(lit(1)).as("n"))
+    val postings = toks
+      .groupBy("blk", "tok")
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+    postings
+      .select(explode(
+        flatten(transform(col("ds"), (x, i) =>
+          transform(
+            slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn(
         "jaccard",
         col("inter").cast("double") /
@@ -186,10 +211,20 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, tokenizer)
+    // One materialized tokenization feeds both the signature pipeline and
+    // the exact-verify join.
+    val tokenized = tokenSets(df, idCol, textCol, Seq.empty, tokenizer)
+    val toks = tokenized.select(col("doc"), explode(col("__set")).as("tok"))
+    val hashes = hashParams(numHashes)
+    val x = pmod(hash64(col("tok")), lit(MinhashPrime))
+    val perHash = hashes.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(x * a + b, lit(MinhashPrime))).as(s"h$i")
+    }
+    val sigs = toks.groupBy("doc")
+      .agg(perHash.head, perHash.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
     val cands = minhashCandidatePairs(sigs, bands, numHashes / bands)
-    val sets = tokenSets(df, idCol, textCol, Seq.empty, tokenizer)
-      .withColumnRenamed("__set", "toks")
+    val sets = tokenized.withColumnRenamed("__set", "toks")
     cands
       .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
       .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
