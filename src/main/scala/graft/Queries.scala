@@ -235,7 +235,15 @@ object Queries {
         .limit(20)
         .select("o_orderkey", "o_totalprice")),
 
-    // D1/D2: distinct projection
+    // D1: key-based dropDuplicates (projected to the keys, so the survivor
+    // row is deterministic and oracle-checkable)
+    "q_d1_dropdup" -> ((s, d) => {
+      val o = ord(s, d)
+      o.select("o_custkey", "o_orderstatus")
+        .dropDuplicates(Seq("o_custkey", "o_orderstatus"))
+    }),
+
+    // D2: distinct projection
     "q_d2_distinct" -> ((s, d) =>
       li(s, d).select("l_returnflag", "l_linestatus").distinct()),
 
@@ -410,6 +418,8 @@ object Queries {
     "q_o1_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_d1_dropdup" -> "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
 
     "q_d2_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 
