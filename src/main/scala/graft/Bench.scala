@@ -29,10 +29,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup at the smallest SF: a representative subset covering
+    // untimed warmup at a mid scale factor: a representative subset covering
     // the scan / SMJ / BHJ / window / explode / HOF / codegen paths the
-    // measured queries hit
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // measured queries hit. sf0.01 (not the smallest) so shuffle/network
+    // buffers reach realistic sizes — their first-touch page faults are
+    // expensive on this host and otherwise land in the first measured
+    // shuffle-heavy query.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     val warmQueries = Seq(
       "q_agg_pricing", "q_j1_full_outer", "q_w1_dup_window", "q_d2_distinct",
       "q_dedup_jaccard", "q_sim_cosine_topk", "q_dedup_embedding",
