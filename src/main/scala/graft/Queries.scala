@@ -280,6 +280,32 @@ object Queries {
         col("missing_rows").getItem("target").as("target_missing_rows"),
         col("test_status"))),
 
+    // EP1 multi-dataset consolidation: two engine runs (orders + embeddings
+    // scenarios) positionally unioned, overall report flattened
+    "q_compare_multi" -> ((s, d) => {
+      val e = embs(s, d)
+      val k = col("vec_id")
+      val esrc = e.filter(k % 19 =!= 0)
+      val etgt = e.filter(k % 13 =!= 0).select(
+        k,
+        when(k % 7 === 0, reverse(col("embedding"))).otherwise(col("embedding")).as("embedding"),
+        col("label"))
+      val r2 = Comparison.compareDataFrames(
+        s, esrc, etgt,
+        DatasetParams("emb_cmp", Seq("vec_id"), TestParams(canonicalizeNestedTypes = true)))
+      graft.jobs.ComparisonJob.consolidate(Seq(compareResult(s, d), r2))
+        .overallTestReport.select(
+          col("dataset_name"),
+          col("count").getItem("source").as("source_count"),
+          col("count").getItem("target").as("target_count"),
+          col("matched_count"),
+          col("duplicate_count").getItem("source").as("source_duplicate_count"),
+          col("duplicate_count").getItem("target").as("target_duplicate_count"),
+          col("missing_rows").getItem("source").as("source_missing_rows"),
+          col("missing_rows").getItem("target").as("target_missing_rows"),
+          col("test_status"))
+    }),
+
     // ---- LLM-pipeline extensions ----------------------------------------
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d), "text")
@@ -454,6 +480,43 @@ object Queries {
           |  CASE WHEN (SELECT COUNT(*) FROM src) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
           |        AND (SELECT COUNT(*) FROM tgt) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
           |       THEN 'PASSED' ELSE 'FAILED' END AS test_status""".stripMargin),
+
+    "q_compare_multi" ->
+      (cmpCte +
+        """, esrc AS (SELECT * FROM embeddings WHERE vec_id % 19 != 0),
+          |etgt AS (SELECT vec_id,
+          |    CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding) ELSE embedding END AS embedding,
+          |    label FROM embeddings WHERE vec_id % 13 != 0),
+          |erow AS (SELECT COALESCE(s.vec_id, t.vec_id) AS vec_id,
+          |  CASE WHEN s.vec_id IS NULL THEN 'MISSING_AT_SOURCE'
+          |       WHEN t.vec_id IS NULL THEN 'MISSTING_AT_TARGET'
+          |       ELSE 'PRESENT_IN_BOTH' END AS status,
+          |  COALESCE(s.vec_id IS NOT NULL AND t.vec_id IS NOT NULL
+          |    AND s.embedding IS NOT DISTINCT FROM t.embedding
+          |    AND s.label IS NOT DISTINCT FROM t.label, FALSE) AS matched
+          |  FROM esrc s FULL OUTER JOIN etgt t ON s.vec_id = t.vec_id)
+          |SELECT 'orders_cmp' AS dataset_name,
+          |  (SELECT COUNT(*) FROM src) AS source_count,
+          |  (SELECT COUNT(*) FROM tgt) AS target_count,
+          |  (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched) AS matched_count,
+          |  (SELECT COUNT(*) FROM s WHERE cs > 1) AS source_duplicate_count,
+          |  (SELECT COUNT(*) FROM t WHERE ct > 1) AS target_duplicate_count,
+          |  (SELECT COUNT(*) FROM row_lvl WHERE missing_row_status = 'MISSING_AT_SOURCE') AS source_missing_rows,
+          |  (SELECT COUNT(*) FROM row_lvl WHERE missing_row_status = 'MISSTING_AT_TARGET') AS target_missing_rows,
+          |  CASE WHEN (SELECT COUNT(*) FROM src) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
+          |        AND (SELECT COUNT(*) FROM tgt) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
+          |       THEN 'PASSED' ELSE 'FAILED' END AS test_status
+          |UNION ALL
+          |SELECT 'emb_cmp' AS dataset_name,
+          |  (SELECT COUNT(*) FROM esrc),
+          |  (SELECT COUNT(*) FROM etgt),
+          |  (SELECT COUNT(*) FROM erow WHERE matched),
+          |  CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          |  (SELECT COUNT(*) FROM erow WHERE status = 'MISSING_AT_SOURCE'),
+          |  (SELECT COUNT(*) FROM erow WHERE status = 'MISSTING_AT_TARGET'),
+          |  CASE WHEN (SELECT COUNT(*) FROM esrc) = (SELECT COUNT(*) FROM erow WHERE matched)
+          |        AND (SELECT COUNT(*) FROM etgt) = (SELECT COUNT(*) FROM erow WHERE matched)
+          |       THEN 'PASSED' ELSE 'FAILED' END""".stripMargin),
 
     "q_compare_arrays" ->
       """WITH src AS (SELECT * FROM embeddings WHERE vec_id % 19 != 0),
