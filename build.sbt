@@ -28,11 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// Pin + pre-touch the heap for `run` (Bench/Verify): this host's page-fault
-// path is pathologically slow, so a lazily-grown heap turns GC commit/uncommit
-// into minutes of kernel time mid-benchmark (observed 5-10x query inflation).
-// Pre-touching pays that cost once, before anything is measured.
-run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
-)
+// Pin the heap for `run` (Bench/Verify): this host's page-fault path is
+// pathologically slow, so GC commit/UNcommit churn on a lazily-sized heap
+// costs minutes of kernel time mid-benchmark (observed 5-10x query
+// inflation). -Xms=-Xmx prevents the shrink/regrow churn; the one-time
+// first-touch fault cost is paid by Bench's own parallel pre-touch (bench
+// only — Verify at sf0.01 doesn't need it and must start fast for the
+// driver's timeout).
+run / javaOptions += s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+// Forked `run` output must reach stdout VERBATIM: the driver parses the
+// bench/verify JSON line from stdout, and sbt's default logger prefixes
+// every forked line with "[info] ", which broke the round-1 parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -15,8 +15,41 @@ import org.apache.spark.sql.SparkSession
   * sorted name order for run-to-run comparability.
   */
 object Bench {
+  /** Fault in most of the pinned heap before anything is measured. This
+    * host's page-fault path is pathologically slow (~10 CPU-min/GiB), so
+    * first-touch faults landing inside a measured query inflate it 3-20x.
+    * Done here (not via -XX:+AlwaysPreTouch in build.sbt) so only Bench
+    * pays the cost — Verify must start fast for the driver's timeout.
+    */
+  private def preTouchHeap(): Unit = {
+    val budget = (Runtime.getRuntime.maxMemory() * 0.6).toLong
+    val chunk = 64 << 20
+    val n = (budget / chunk).toInt
+    if (n <= 0) return
+    val t0 = System.nanoTime()
+    val hold = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val threads = (0 until math.min(32, Runtime.getRuntime.availableProcessors()))
+      .map { tid =>
+        val t = new Thread(() => {
+          var i = tid
+          while (i < n) {
+            val a = new Array[Byte](chunk)
+            var p = 0
+            while (p < chunk) { a(p) = 1; p += 4096 }
+            hold.add(a)
+            i += math.min(32, Runtime.getRuntime.availableProcessors())
+          }
+        })
+        t.start(); t
+      }
+    threads.foreach(_.join())
+    hold.clear()
+    System.err.println(f"[bench] pre-touched ${n.toLong * chunk / (1L << 30)}%d GiB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0") preTouchHeap()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -53,7 +86,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Mirror to a deterministic file (round-1 parse of stdout failed on
+    // sbt's "[info] " prefix; belt + suspenders), then print the bare JSON
+    // as the LAST stdout line after Spark is fully stopped.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LATEST.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

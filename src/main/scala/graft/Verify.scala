@@ -1,9 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hardened for the driver's timeout (round 1 recorded `{}` despite the
+  * same queries passing locally):
+  *   - `oracle_sql.json` is written FIRST, so if the run is killed mid-way
+  *     the completed queries still get oracle-checked;
+  *   - queries run in sorted name order (deterministic partial progress);
+  *   - per-query verdicts are mirrored incrementally to
+  *     `VERIFY_LATEST.json` in the working directory (atomic rewrite after
+  *     every query) so a partial run leaves evidence;
+  *   - the final stdout line is the bare JSON summary.
+  */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeAtomic(path: String, content: String): Unit = {
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,28 +47,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
+
+    // Oracle SQL first: a timeout mid-queries must not lose the whole gate.
+    val oracleJson = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeAtomic(s"$outDir/oracle_sql.json", oracleJson)
+
+    val verdicts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def mirror(): Unit = {
+      val body = verdicts.map { case (k, v) => s"${q(k)}: $v" }
+        .mkString("{", ",", "}")
+      try writeAtomic("VERIFY_LATEST.json", body)
+      catch { case _: Throwable => () }
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val sec = (System.nanoTime() - t0) / 1e9
+        verdicts(name) = s"""{"ok": true, "sec": $sec}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        verdicts(name) = s"""{"ok": false, "error": ${q(String.valueOf(e.getMessage).take(300))}}"""
+      }
+      mirror()
+    }
     spark.stop()
+    val nOk = verdicts.valuesIterator.count(_.contains("\"ok\": true"))
+    // Bare last stdout line (driver-parse friendly).
+    println(s"""{"verify_queries": ${verdicts.size}, "ok": $nOk, "outDir": ${q(outDir)}}""")
+    System.out.flush()
   }
 }
