@@ -58,18 +58,42 @@ object Queries {
     (src, tgt)
   }
 
-  // One comparison run yields all four reports; the three report queries
-  // share it (memoized per session+dir) exactly as a real caller would.
+  // One comparison run yields all four reports; the report queries share it
+  // (memoized per session+dir+scenario) exactly as a real caller would.
+  // EVERY ComparisonResult a query builds must go through this cache so
+  // clearComparisonCache() can release its persisted frames — an un-cached
+  // result leaks MEMORY_AND_DISK storage across repeated invocations.
   private val cmpCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), graft.core.ComparisonResult]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), graft.core.ComparisonResult]
+
+  private def memoizedCompare(s: SparkSession, d: String, scenario: String)(
+      build: => graft.core.ComparisonResult): graft.core.ComparisonResult =
+    cmpCache.getOrElseUpdate((System.identityHashCode(s), d, scenario), build)
 
   private def compareResult(s: SparkSession, d: String) =
-    cmpCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    memoizedCompare(s, d, "orders") {
       val (src, tgt) = compareScenario(s, d)
       Comparison.compareDataFrames(
         s, src, tgt,
         DatasetParams("orders_cmp", Seq("o_orderkey"), TestParams(differenceTolerance = 0.01)))
-    })
+    }
+
+  // embeddings vs a copy with dropped keys and reversed vectors — the
+  // ARRAY-column (nested-type canonicalization) engine scenario, shared by
+  // q_compare_arrays and q_compare_multi.
+  private def compareArraysResult(s: SparkSession, d: String) =
+    memoizedCompare(s, d, "embeddings") {
+      val e = embs(s, d)
+      val k = col("vec_id")
+      val src = e.filter(k % 19 =!= 0)
+      val tgt = e.filter(k % 13 =!= 0).select(
+        k,
+        when(k % 7 === 0, reverse(col("embedding"))).otherwise(col("embedding")).as("embedding"),
+        col("label"))
+      Comparison.compareDataFrames(
+        s, src, tgt,
+        DatasetParams("emb_cmp", Seq("vec_id"), TestParams(canonicalizeNestedTypes = true)))
+    }
 
   /** Release every memoized comparison run's persisted frames (benchmarks
     * call this between warmup and measurement).
@@ -252,21 +276,8 @@ object Queries {
 
     "q_compare_col_lvl" -> ((s, d) => compareResult(s, d).colLvlTestReport),
 
-    // engine end-to-end over ARRAY columns (nested-type canonicalization):
-    // embeddings vs a copy with dropped keys and reversed vectors
-    "q_compare_arrays" -> ((s, d) => {
-      val e = embs(s, d)
-      val k = col("vec_id")
-      val src = e.filter(k % 19 =!= 0)
-      val tgt = e.filter(k % 13 =!= 0).select(
-        k,
-        when(k % 7 === 0, reverse(col("embedding"))).otherwise(col("embedding")).as("embedding"),
-        col("label"))
-      Comparison.compareDataFrames(
-        s, src, tgt,
-        DatasetParams("emb_cmp", Seq("vec_id"),
-          TestParams(canonicalizeNestedTypes = true))).rowLvlTestReport
-    }),
+    // engine end-to-end over ARRAY columns (nested-type canonicalization)
+    "q_compare_arrays" -> ((s, d) => compareArraysResult(s, d).rowLvlTestReport),
 
     "q_compare_overall" -> ((s, d) =>
       compareResult(s, d).overallTestReport.select(
@@ -283,16 +294,7 @@ object Queries {
     // EP1 multi-dataset consolidation: two engine runs (orders + embeddings
     // scenarios) positionally unioned, overall report flattened
     "q_compare_multi" -> ((s, d) => {
-      val e = embs(s, d)
-      val k = col("vec_id")
-      val esrc = e.filter(k % 19 =!= 0)
-      val etgt = e.filter(k % 13 =!= 0).select(
-        k,
-        when(k % 7 === 0, reverse(col("embedding"))).otherwise(col("embedding")).as("embedding"),
-        col("label"))
-      val r2 = Comparison.compareDataFrames(
-        s, esrc, etgt,
-        DatasetParams("emb_cmp", Seq("vec_id"), TestParams(canonicalizeNestedTypes = true)))
+      val r2 = compareArraysResult(s, d)
       graft.jobs.ComparisonJob.consolidate(Seq(compareResult(s, d), r2))
         .overallTestReport.select(
           col("dataset_name"),

@@ -61,11 +61,13 @@ object Comparison {
   /** Reference numeric set (`comparison_job.py:14-17`): membership by
     * instance equality, so `DecimalType()` means exactly DecimalType(10, 0).
     */
+  private def refNumeric(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d == DecimalType(10, 0)
+    case _ => dt.isInstanceOf[NumericType]
+  }
+
   private def isNumeric(dt: DataType, params: TestParams): Boolean =
-    if (params.legacyDecimalComparison) dt match {
-      case d: DecimalType => d == DecimalType(10, 0)
-      case _ => dt.isInstanceOf[NumericType]
-    }
+    if (params.legacyDecimalComparison) refNumeric(dt)
     else dt.isInstanceOf[NumericType]
 
   private def isNested(dt: DataType): Boolean = dt match {
@@ -80,8 +82,18 @@ object Comparison {
   private def matchedPredicate(field: StructField, params: TestParams): Column = {
     val s = col(srcCol(field.name))
     val t = col(tgtCol(field.name))
-    if (isNumeric(field.dataType, params))
-      abs(s - t) <= lit(params.differenceTolerance)
+    if (isNumeric(field.dataType, params)) {
+      val withinTol = abs(s - t) <= lit(params.differenceTolerance)
+      // Reference-numeric types keep the reference's exact semantics,
+      // NULL-poisoning included. Decimals the reference does NOT treat as
+      // numeric (any precision/scale other than (10,0)) get tolerance as a
+      // graft extension — made null-safe so that at tolerance=0 the
+      // predicate is exactly the reference's eqNullSafe, and at
+      // tolerance>0 only the tolerance semantics differ, never NULL
+      // handling (a NULL≡NULL decimal pair must not flip PASSED→FAILED).
+      if (refNumeric(field.dataType)) withinTol
+      else (s <=> t) || withinTol
+    }
     else if (params.canonicalizeNestedTypes && isNested(field.dataType))
       to_json(s) <=> to_json(t)
     else s <=> t

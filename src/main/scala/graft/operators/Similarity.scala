@@ -115,8 +115,12 @@ object Similarity {
       queryPred: Column,
       k: Int,
       numPlanes: Int = 6): DataFrame = {
+    // Alias the buckets frame's id before joining: a bare .drop("id") would
+    // also drop the caller's id column whenever idCol is literally "id".
     val buckets = lshBuckets(df, idCol, embCol, numPlanes)
-    val withBucket = df.join(buckets, df(idCol) === buckets("id")).drop("id")
+      .withColumnRenamed("id", "__bucket_id")
+    val withBucket = df.join(buckets, df(idCol) === col("__bucket_id"))
+      .drop("__bucket_id")
     val q = withBucket.filter(queryPred)
       .select(col(idCol).as("query_id"), col("bucket"), col(embCol).as("qe"))
     val c = withBucket.filter(!queryPred)

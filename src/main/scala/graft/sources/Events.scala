@@ -25,7 +25,10 @@ object Events {
     */
   def decorate(df: DataFrame): DataFrame =
     df.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      // Integer `div`, not `/`: Spark's `/` is double division, and epoch
+      // nanos (~1.7e18) exceed double's 53-bit mantissa — the truncation
+      // must stay exact or window/watermark boundaries drift by ~1µs.
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 
   def load(spark: SparkSession, sfDir: String): DataFrame =
     decorate(spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet"))

@@ -25,6 +25,19 @@ class StreamingSpec extends SparkSpec {
         .parquet(tmp))
   }
 
+  test("Events.decorate ns→µs truncation is exact at 2026-era timestamps") {
+    // Epoch nanos ~1.7e18 exceed double's 53-bit mantissa, so a double
+    // division would round the microsecond value by ~1µs; `div` must not.
+    val ns = Seq(
+      1770000000000000999L,  // truncates down across a µs boundary
+      1770000000000001000L,  // exact µs
+      1799999999999999999L)  // worst-case all-nines tail
+    val got = Events.decorate(ns.map(n => (1L, n)).toDF("event_id", "ts"))
+      .select(unix_micros(col("ts")))
+      .as[Long].collect().toSeq
+    assert(got == ns.map(_ / 1000L))
+  }
+
   test("streaming windowed stats equal the batch computation") {
     val tmp = Files.createTempDirectory("graft-stream").toString
     val stream = StreamingOps.windowedStats(streamedEvents(tmp), "1 hour", "10 minutes")
