@@ -335,17 +335,34 @@ object Queries {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", "lang", threshold = 0.8)),
 
+    // 48 hashes / 16 bands (3 rows per band): P[candidate | j=0.8] ≈ 0.99999,
+    // and the exact-Jaccard verify step removes all false positives — so the
+    // output equals the full brute-force pair set (the oracle) at any recall
+    // the banding actually achieves; banding only risks MISSING pairs, which
+    // the oracle comparison would catch.
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashNearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.8)),
+      Dedup.minhashNearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.8,
+        numHashes = 48, bands = 16)),
 
+    // sha-derived token hash (cross-engine reproducible) + 4-segment
+    // multi-probe: recall is EXACT for hamming ≤ 3, so the DuckDB oracle
+    // replicates the full algorithm closed-form (bit votes → segment
+    // blocks → hamming join).
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDuplicates(docs(s, d), "doc_id", "text")),
+      Dedup.simhashNearDuplicates(docs(s, d), "doc_id", "text",
+        tokenHash = TextAnalysis.shaHash64)),
 
     "q_sim_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3)),
 
+    // sha-derived plane weights make the bucket assignment reproducible in
+    // DuckDB, so the oracle replicates the WHOLE ANN pipeline (projections →
+    // buckets → candidate join → exact quantized scoring → top-k) rather
+    // than settling for a rows-only check. Production callers keep the
+    // xxhash64 default weights (faster, same structure).
     "q_sim_lsh_topk" -> ((s, d) =>
-      Similarity.lshBucketedTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3)),
+      Similarity.lshBucketedTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3,
+        numPlanes = 8, numTables = 4, weight = Similarity.shaPlaneWeight)),
 
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDuplicates(embs(s, d), "vec_id", "embedding", "label", threshold = 0.35)),
@@ -375,7 +392,122 @@ object Queries {
 
   // ---- oracles ----------------------------------------------------------
 
+  /** DuckDB replica of the sha-token-hash simhash pipeline: per token,
+    * hi/lo = first/second 8 hex chars of sha256 as unsigned 32-bit ints
+    * (exactly [[TextAnalysis.shaHash64]]'s packing); 64 bit-vote sums;
+    * 4 16-bit segments; pairs equal on any segment; hamming ≤ 3.
+    * Generated by loop so the 64 vote terms stay in lockstep with the
+    * operator's bit numbering (bit i = bit i−32 of hi for i ≥ 32).
+    */
+  private val simhashOracleSql: String = {
+    val votes = (0 until 64).map { i =>
+      val (src, sh) = if (i < 32) ("lo", i) else ("hi", i - 32)
+      s"SUM(CASE WHEN ($src // ${1L << sh}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val segs = (0 until 4).map { k =>
+      (0 until 16).map(j => s"(CASE WHEN b${16 * k + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString("(", " + ", s") AS seg$k")
+    }.mkString(",\n    ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(sha256(tok), 1, 8)) AS BIGINT) AS hi,
+       |    CAST(concat('0x', substr(sha256(tok), 9, 8)) AS BIGINT) AS lo
+       |  FROM toks),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM th GROUP BY doc_id),
+       |segs AS (SELECT doc_id,
+       |    $segs
+       |  FROM votes)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.seg0, b.seg0)) + bit_count(xor(a.seg1, b.seg1))
+       |       + bit_count(xor(a.seg2, b.seg2)) + bit_count(xor(a.seg3, b.seg3)) AS INTEGER) AS hamming
+       |  FROM segs a JOIN segs b ON a.doc_id < b.doc_id
+       |   AND (a.seg0 = b.seg0 OR a.seg1 = b.seg1 OR a.seg2 = b.seg2 OR a.seg3 = b.seg3))
+       |WHERE hamming <= 3""".stripMargin
+  }
+
+  /** DuckDB replica of the sha-plane-weight multi-table LSH ANN pipeline
+    * (4 tables × 8 planes, matching q_sim_lsh_topk's parameters): exact
+    * integer projections → per-table sign buckets → candidate join →
+    * fixed-point cosine → top-3. Weight parity for global plane g at
+    * position pos = first hex digit of sha256("g:pos") mod 2, exactly
+    * [[Similarity.shaPlaneWeight]].
+    */
+  private val lshTopKOracleSql: String = {
+    val numPlanes = 8
+    val numTables = 4
+    val projCols = (0 until numTables * numPlanes).map { g =>
+      s"SUM(qv * CASE WHEN CAST(concat('0x', substr(sha256(concat('$g:', CAST(pos AS VARCHAR))), 1, 1)) AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END) AS p$g"
+    }.mkString(",\n    ")
+    val tableSelects = (0 until numTables).map { t =>
+      val bucket = (0 until numPlanes)
+        .map(p => s"(CASE WHEN p${t * numPlanes + p} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, ($bucket) AS bucket FROM proj"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |proj AS (SELECT vec_id,
+       |    $projCols
+       |  FROM e GROUP BY vec_id),
+       |b AS ($tableSelects),
+       |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+       |d AS (SELECT query_id, cand_id, CAST(SUM(eq.qv * ec.qv) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN e eq ON eq.vec_id = query_id
+       |  JOIN e ec ON ec.vec_id = cand_id AND eq.pos = ec.pos
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT query_id, cand_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+       |  FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = cand_id)
+       |SELECT query_id, cand_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+       |  FROM sc) WHERE rn <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // minhash+LSH verified pairs ⊆ brute-force pairs by construction (the
+    // verify step recomputes exact Jaccard); equality with the brute-force
+    // set additionally asserts full recall at the configured banding.
+    "q_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |  FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+
+    "q_dedup_simhash" -> simhashOracleSql,
+
+    "q_sim_lsh_topk" -> lshTopKOracleSql,
+
+    "q_multimodal_decode" ->
+      """WITH h AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN nb = 0 THEN 0 ELSE hv % 1920 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN nb = 0 THEN 0 ELSE (hv // 1920) % 1080 + 1 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN nb = 0 THEN 0 ELSE 3 END AS INTEGER) AS channels,
+        |  nb AS n_bytes
+        |FROM h""".stripMargin,
     "q_s1_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'""".stripMargin,

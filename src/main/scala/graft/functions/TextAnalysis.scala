@@ -43,6 +43,21 @@ object TextAnalysis {
             sequence(lit(0), size(w) - n),
             i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
 
+  /** 64-bit hash from the first 16 hex chars of sha256(value): hi 32 bits
+    * from chars 1-8, lo 32 bits from chars 9-16 (big-endian, the natural
+    * hex reading). Reproducible in ANY engine with a sha256 function —
+    * DuckDB: `CAST(concat('0x', substr(sha256(v),1,8)) AS BIGINT)` etc. —
+    * which makes hash-dependent operators (simhash, LSH) cross-engine
+    * oracle-checkable. xxhash64 stays the fast default inside operators;
+    * this is the interoperable alternative.
+    */
+  def shaHash64(c: Column): Column = {
+    val sha = sha2(c.cast("string"), 256)
+    val hi = conv(substring(sha, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(sha, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** Whitespace token count; 0 for empty/blank text. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -91,6 +91,20 @@ object Dedup {
   /** @param tokenizer maps the materialized WORDS ARRAY column to the
     *        similarity set — default 3-gram shingles; `array_distinct(_)`
     *        gives word-set Jaccard.
+    * @param maxDf document-frequency cap on join tokens (prefix filtering):
+    *        a token appearing in more than `maxDf` documents of a block is
+    *        dropped from CANDIDATE GENERATION only. Without it one hot
+    *        shingle (license boilerplate, repeated headers) materializes its
+    *        full posting list in a single row and emits k² pairs — the
+    *        classic set-similarity-join blowup at corpus scale. The verify
+    *        step recomputes EXACT Jaccard over the full token sets, so found
+    *        pairs are never mis-scored; only pairs whose EVERY common token
+    *        is hot are missed (standard recall trade — near-dup pairs share
+    *        rare shingles at any sane cap).
+    * @param dropObservation optional [[Observation]] reporting
+    *        `dropped_tokens` = #(block, token) posting lists the cap
+    *        discarded, so operators can alert on corpora where the cap
+    *        bites (get after the returned frame is materialized).
     */
   def jaccardPairs(
       df: DataFrame,
@@ -98,39 +112,47 @@ object Dedup {
       textCol: String,
       blockCol: String,
       threshold: Double,
-      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
-    // Single tokenize pass: gather each token's (sorted) posting list and
-    // emit the pair combinations in-row — no self-join, so the tokenize
-    // subtree is evaluated once and the only shuffles are the group-bys.
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_),
+      maxDf: Int = 10000,
+      dropObservation: Option[Observation] = None): DataFrame = {
+    // Generate-then-verify over ONE tokenize pass: gather each token's
+    // (sorted, df-capped) posting list, emit candidate pairs in-row — no
+    // token self-join — then recompute exact Jaccard from the full token
+    // sets on the (small) candidate pair set. Verifying from the full sets
+    // keeps scores exact under the df cap: candidate generation may skip
+    // hot tokens, the similarity itself never does.
     // IMPORTANT: the explode projection must NOT also compute size(__set) —
     // Generate inlines the set expression, so a sibling size() re-evaluates
     // the whole shingle construction per exploded row (measured ~20× at
-    // sf0.1). Set sizes come from a cheap per-doc count of the exploded
-    // (distinct) tokens instead, joined onto the (small) pair set.
-    // Posting lists are bounded by token document-frequency (shingles are
-    // rare by construction); add prefix-filtering (a df cap) upstream for
-    // corpora with pathological hot shingles.
-    val toks = tokenSets(df, idCol, textCol, Seq(blockCol -> "blk"), tokenizer)
-      .select(col("doc"), col("blk"), explode(col("__set")).as("tok"))
-    val sizes = toks.groupBy("doc").agg(count(lit(1)).as("n"))
-    val postings = toks
+    // sf0.1). The tokenSets localCheckpoint makes the set column a cheap
+    // re-read for the verify joins.
+    val tokenized = tokenSets(df, idCol, textCol, Seq(blockCol -> "blk"), tokenizer)
+    val toks = tokenized.select(col("doc"), col("blk"), explode(col("__set")).as("tok"))
+    val counted = toks
       .groupBy("blk", "tok")
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
-      .where(size(col("ds")) >= 2)
-    postings
+    val observed = dropObservation match {
+      case Some(obs) => counted.observe(
+        obs, sum(when(size(col("ds")) > maxDf, 1L).otherwise(0L)).as("dropped_tokens"))
+      case None => counted
+    }
+    val cands = observed
+      .where(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
       .select(explode(
         flatten(transform(col("ds"), (x, i) =>
           transform(
             slice(col("ds"), i + lit(2), size(col("ds"))),
             y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val sets = tokenized.select(col("doc"), col("__set").as("toks"))
+    cands
+      .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
+      .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
       .withColumn(
         "jaccard",
-        col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -240,13 +262,22 @@ object Dedup {
     * sum +1/−1 votes of each token hash's bit, take the sign. Computed as
     * 64 conditional-sum aggregates (single hash-aggregation pass,
     * codegen'd, one shuffle on the doc id).
+    *
+    * @param tokenHash 64-bit token hash column; default xxhash64 (codegen'd,
+    *        the fast path). Pass [[graft.functions.TextAnalysis.shaHash64]]
+    *        when the hash must be reproducible outside Spark (e.g. for an
+    *        external oracle) — same semantics, slower per token.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__words"))
       .repartition(col("doc"))
       .select(col("doc"), explode(col("__words")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     toks.groupBy("doc")
@@ -259,18 +290,44 @@ object Dedup {
           .as("simhash"))
   }
 
-  /** Hamming-distance near-dup pairs over SimHash, blocked by the top
-    * `prefixBits` bits (documents differing in the prefix can still be
-    * near — standard multi-probe/rotation extensions apply; this is the
-    * single-table variant).
+  /** Hamming-distance near-dup pairs over SimHash, multi-probe blocked:
+    * the 64-bit simhash is split into `numSegments` equal bit segments and
+    * candidates are generated per segment (pairs equal on ANY segment),
+    * the standard Manku/Jain/Sarma multi-table scheme.
+    *
+    * Recall is EXACT whenever `maxHamming < numSegments`: a pair differing
+    * in ≤ numSegments−1 bits cannot differ in every segment (pigeonhole),
+    * so it collides in at least one probe table. The round-1 single-prefix
+    * variant both missed prefix-differing near-dups and funneled the whole
+    * corpus through 2^16 blocks; segments multiply table count by
+    * `numSegments` (cheap narrow explode, no extra scan) while each
+    * segment's blocks stay hash-uniform.
     */
-  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
-      .withColumn("block", shiftrightunsigned(col("simhash"), 64 - prefixBits))
-    sh.as("a")
-      .join(sh.as("b"), col("a.block") === col("b.block") && col("a.doc") < col("b.doc"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+  def simhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      numSegments: Int = 4,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(numSegments >= 2 && 64 % numSegments == 0,
+      s"numSegments must be ≥2 and divide 64, got $numSegments")
+    val segBits = 64 / numSegments
+    val segMask = (1L << segBits) - 1
+    val sh = simhash(df, idCol, textCol, tokenHash)
+    val segs = sh.select(
+      col("doc"), col("simhash"),
+      posexplode(array((0 until numSegments).map(k =>
+        shiftrightunsigned(col("simhash"), k * segBits).bitwiseAND(lit(segMask))): _*)))
+      .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
+    segs.as("a")
+      .join(segs.as("b"),
+        col("a.seg_idx") === col("b.seg_idx") && col("a.seg") === col("b.seg") &&
+          col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
+      .distinct()
   }
 }

@@ -46,12 +46,19 @@ object Multimodal {
     * stable; none of it is a real image decode.
     */
   object FakeCodec {
-    /** Fake "decode": derive (width, height, channels) from payload bytes. */
+    /** Fake "decode": derive (width, height, channels) from the payload's
+      * sha256. The hash → dims formula is closed-form SQL in any engine
+      * with sha256 (h = first 8 hex chars as an unsigned int), so the
+      * decode output is externally oracle-checkable:
+      * `h % 1920 + 1, (h // 1920) % 1080 + 1, 3`.
+      */
     def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
       if (payload == null || payload.isEmpty) (0, 0, 0)
       else {
-        val h = java.util.Arrays.hashCode(payload)
-        (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, 3)
+        val d = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        ((h % 1920 + 1).toInt, ((h / 1920) % 1080 + 1).toInt, 3)
       }
     }
     /** Fake per-frame feature vector (what a real extractor would emit). */

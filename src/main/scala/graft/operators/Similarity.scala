@@ -77,36 +77,73 @@ object Similarity {
       .select("query_id", "cand_id", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, pos):
-    * a fixed integer hash mapped to ±1-ish weights — no RNG, identical
-    * plan on every executor.
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane, pos):
+    * xxhash64 parity — no RNG, identical plan on every executor; the fast
+    * default. Long-valued so projections over quantized components stay
+    * EXACT integer sums (bit-identical bucket signs everywhere).
     */
-  private def planeWeight(plane: Int, pos: Column): Column = {
-    val h = xxhash64(lit(plane), pos)
-    when(h % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-  }
+  def xxPlaneWeight(plane: Int, pos: Column): Column =
+    when(xxhash64(lit(plane), pos) % 2 === 0, lit(1L)).otherwise(lit(-1L))
 
-  /** Random-hyperplane LSH bucket id: the sign bits of `numPlanes` random
-    * projections packed into a long. Narrow projection — no shuffle.
+  /** Cross-engine-reproducible ±1 plane weight: parity of the first hex
+    * digit of sha256("&lt;plane&gt;:&lt;pos&gt;"). Any engine with sha256 can
+    * replicate the bucket assignment (DuckDB:
+    * `CAST(concat('0x', substr(sha256(p || ':' || pos), 1, 1)) AS INT) % 2`),
+    * which makes the whole LSH pipeline oracle-checkable. Slower than
+    * [[xxPlaneWeight]] — use for validation, not the 100 TB hot path.
     */
-  def lshBuckets(df: DataFrame, idCol: String, embCol: String, numPlanes: Int = 6): DataFrame = {
+  def shaPlaneWeight(plane: Int, pos: Column): Column =
+    when(
+      conv(substring(sha2(concat(lit(s"$plane:"), pos.cast("string")), 256), 1, 1), 16, 10)
+        .cast("int") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+
+  /** Multi-table random-hyperplane LSH: `numTables` independent tables of
+    * `numPlanes` sign bits each → one (id, table, bucket) row per table.
+    * All numTables·numPlanes projections come out of ONE aggregation pass
+    * (a single shuffle on id); the per-table explode is narrow.
+    *
+    * Scale sizing: candidate cost per query ≈ numTables · E[bucket size]
+    * = numTables · N / 2^numPlanes. The round-1 default (one table, 6
+    * planes = 64 buckets total) went quadratic at any real N; 16 planes
+    * gives 65 536 buckets per table and `numTables` independent probes
+    * recover the recall a single sharper table loses.
+    */
+  def lshBuckets(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      numPlanes: Int = 16,
+      numTables: Int = 8,
+      weight: (Int, Column) => Column = xxPlaneWeight): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes out of range: $numPlanes")
     val e = exploded(df, idCol, embCol)
-    val projections = (0 until numPlanes).map(p =>
-      sum(col("qv").cast("double") * planeWeight(p, col("pos"))).as(s"p$p"))
+    // qv is a quantized long and weight is ±1L, so every projection is an
+    // exact integer sum — bucket signs are bit-deterministic regardless of
+    // partitioning or summation order.
+    val projections = (0 until numTables).flatMap(t =>
+      (0 until numPlanes).map { p =>
+        val g = t * numPlanes + p // global plane index
+        sum(col("qv") * weight(g, col("pos"))).as(s"p$g")
+      })
+    val bucketOfTable = (t: Int) =>
+      (0 until numPlanes)
+        .map(p => when(col(s"p${t * numPlanes + p}") >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
     e.groupBy("id")
       .agg(projections.head, projections.tail: _*)
       .select(
         col("id"),
-        (0 until numPlanes)
-          .map(p => when(col(s"p$p") >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b))
-          .as("bucket"))
+        posexplode(array((0 until numTables).map(bucketOfTable): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 
-  /** LSH-bucketed ANN top-k: score only candidates sharing the query's
-    * bucket. Same scoring math as [[bruteForceTopK]]; the bucket equi-join
-    * replaces the all-pairs position join, so the shuffle volume is
-    * Σ bucket² instead of |Q|×|C|.
+  /** LSH-bucketed ANN top-k: score only candidates sharing any of the
+    * query's `numTables` buckets. Scoring uses the same fixed-point-exact
+    * math as [[bruteForceTopK]] but in-row (zip_with over the pre-quantized
+    * arrays — no position explode, no extra shuffle); the (table, bucket)
+    * equi-join replaces the all-pairs join, so shuffle volume is
+    * Σ buckets² per table instead of |Q|×|C|.
     */
   def lshBucketedTopK(
       df: DataFrame,
@@ -114,21 +151,34 @@ object Similarity {
       embCol: String,
       queryPred: Column,
       k: Int,
-      numPlanes: Int = 6): DataFrame = {
+      numPlanes: Int = 16,
+      numTables: Int = 8,
+      weight: (Int, Column) => Column = xxPlaneWeight): DataFrame = {
+    // Quantized array + norm ride per row (narrow projections).
+    val base = df
+      .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
+      .withColumn("__n2", aggregate(col("__qa"), lit(0L), (acc, x) => acc + x * x))
     // Alias the buckets frame's id before joining: a bare .drop("id") would
     // also drop the caller's id column whenever idCol is literally "id".
-    val buckets = lshBuckets(df, idCol, embCol, numPlanes)
+    val buckets = lshBuckets(df, idCol, embCol, numPlanes, numTables, weight)
       .withColumnRenamed("id", "__bucket_id")
-    val withBucket = df.join(buckets, df(idCol) === col("__bucket_id"))
+    val withBucket = base.join(buckets, col(idCol) === col("__bucket_id"))
       .drop("__bucket_id")
     val q = withBucket.filter(queryPred)
-      .select(col(idCol).as("query_id"), col("bucket"), col(embCol).as("qe"))
+      .select(col(idCol).as("query_id"), col("table"), col("bucket"),
+        col("__qa").as("qa"), col("__n2").as("qn"))
     val c = withBucket.filter(!queryPred)
-      .select(col(idCol).as("cand_id"), col("bucket"), col(embCol).as("ce"))
-    val pairs = q.join(c, "bucket")
-    val scored = pairs.withColumn(
-      "cosine",
-      cosineExpr(col("qe"), col("ce")))
+      .select(col(idCol).as("cand_id"), col("table"), col("bucket"),
+        col("__qa").as("ca"), col("__n2").as("cn"))
+    val pairs = q.join(c, Seq("table", "bucket"))
+      // a pair colliding in several tables must score once
+      .dropDuplicates("query_id", "cand_id")
+    val scored = pairs
+      .withColumn("__dot", aggregate(zip_with(col("qa"), col("ca"), (x, y) => x * y), lit(0L), _ + _))
+      .withColumn(
+        "cosine",
+        col("__dot").cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
     scored
       .withColumn(
         "rn",

@@ -75,6 +75,59 @@ class OperatorsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) < java.lang.Long.bitCount(sh(1L) ^ sh(4L)))
   }
 
+  test("jaccard df-cap bounds posting lists on a hot-token corpus and reports the drops") {
+    // every doc shares one boilerplate sentence (a hot shingle set); each
+    // near-dup pair also shares rare shingles of its own
+    val boiler = "this content is licensed under the apache license version two"
+    val hot = (1L to 40L).map { i =>
+      val grp = (i + 1) / 2 // docs 2k-1, 2k are near-dups of each other
+      (i, s"$boiler document group $grp body text variant ${if (i % 2 == 0) "x" else "x"}", "en")
+    }.toDF("doc_id", "text", "lang")
+    val obs = org.apache.spark.sql.Observation()
+    val pairs = Dedup.jaccardPairs(hot, "doc_id", "text", "lang", threshold = 0.9,
+      maxDf = 10, dropObservation = Some(obs))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // the hot boilerplate shingles (df=40 > 10) are dropped from candidate
+    // generation, yet the within-group duplicate pairs survive via their
+    // rare group shingles
+    assert((1L to 40L by 2).forall(i => pairs.contains((i, i + 1))))
+    val dropped = obs.get("dropped_tokens").asInstanceOf[Long]
+    assert(dropped > 0, s"expected hot shingles to be dropped, observed $dropped")
+  }
+
+  test("simhash multi-probe blocking finds every pair within maxHamming (exact recall)") {
+    // corpus where near-dup pairs can differ anywhere in the 64-bit hash —
+    // multi-probe must find exactly the pairs a brute-force join finds
+    val corpus = (1L to 30L).map { i =>
+      val base = s"shared prefix words for group ${(i + 2) / 3} with more body text here"
+      (i, if (i % 3 == 0) base + " tail" else base, "en")
+    }.toDF("doc_id", "text", "lang")
+    val blocked = Dedup.simhashNearDuplicates(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val sh = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    assert(blocked == brute, s"multi-probe missed ${brute -- blocked}")
+    assert(brute.nonEmpty) // the fixture must actually exercise the path
+  }
+
+  test("multi-table LSH bounds bucket sizes and boosts candidate recall on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val buckets = Similarity.lshBuckets(embs, "vec_id", "embedding") // 16 planes × 8 tables
+    val sizes = buckets.groupBy("table", "bucket").count()
+      .agg(max("count"), count(lit(1))).head()
+    val (maxBucket, nBuckets) = (sizes.getLong(0), sizes.getLong(1))
+    // 16 sign bits shatter 500 rows far below the quadratic-join danger zone
+    assert(maxBucket <= 50, s"hot bucket of $maxBucket rows")
+    assert(nBuckets >= 100L)
+    // every id appears in exactly numTables probe tables
+    val perId = buckets.groupBy("id").count().select("count").distinct().as[Long].collect()
+    assert(perId.toSeq == Seq(8L))
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
