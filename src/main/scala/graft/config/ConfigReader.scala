@@ -63,6 +63,12 @@ object ConfigReader {
     case other => throw new IllegalArgumentException(s"expected an int, got: $other")
   }
 
+  private def bool(v: Any): Boolean = v match {
+    case b: java.lang.Boolean => b.booleanValue()
+    case s: String => s.toBoolean
+    case other => throw new IllegalArgumentException(s"expected a boolean, got: $other")
+  }
+
   private def sub(v: Any): Map[String, Any] = v match {
     case m: Map[_, _] => m.map { case (k, x) => k.toString -> (x: Any) }
     case other => throw new IllegalArgumentException(s"expected a nested object, got: $other")
@@ -71,8 +77,12 @@ object ConfigReader {
   // ---- decoders (one per config.py dataclass) ---------------------------
 
   def decodeTestParams(m: Map[String, Any]): TestParams =
-    TestParams(differenceTolerance =
-      m.get("difference_tolerance").map(double).getOrElse(0.0))
+    TestParams(
+      differenceTolerance = m.get("difference_tolerance").map(double).getOrElse(0.0),
+      legacyDecimalComparison =
+        m.get("legacy_decimal_comparison").map(bool).getOrElse(false),
+      canonicalizeNestedTypes =
+        m.get("canonicalize_nested_types").map(bool).getOrElse(false))
 
   def decodeDatasetParams(m: Map[String, Any]): DatasetParams =
     DatasetParams(

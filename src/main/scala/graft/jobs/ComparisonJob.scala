@@ -56,6 +56,23 @@ object ComparisonJob {
     result
   }
 
+  /** EP2 with plain-map configs, mirroring the reference's dict hydration
+    * (`comparison_job.py:258-262`): `params` and `outputConfig` use the same
+    * snake_case keys as the JSON surface (`dataset_name`, `primary_keys`,
+    * `test_params`, `output_dir`, …).
+    */
+  def runComparisonJobFromDfs(
+      spark: SparkSession,
+      jobName: String,
+      sourceDf: DataFrame,
+      targetDf: DataFrame,
+      params: Map[String, Any],
+      outputConfig: Map[String, Any]): ComparisonResult =
+    runComparisonJobFromDfs(
+      spark, jobName, sourceDf, targetDf,
+      ConfigReader.decodeDatasetParams(params),
+      ConfigReader.decodeOutputConfig(outputConfig))
+
   /** Positional union of per-dataset reports (`comparison_job.py:277-291`). */
   def consolidate(results: Seq[ComparisonResult]): ComparisonResult =
     results.reduce { (acc, r) =>

@@ -118,6 +118,14 @@ class ComparisonSpec extends SparkSpec {
     val out = OutputConfig(outputDir = s"$tmp/out", noOfPartitions = 1)
     ComparisonJob.runComparisonJobFromDfs(
       spark, "job_dfs", source, target, params, out)
+    // EP2 dict-params overload (comparison_job.py:258-262 parity)
+    ComparisonJob.runComparisonJobFromDfs(
+      spark, "job_dfs_map", source, target,
+      Map(
+        "dataset_name" -> "test_dataset",
+        "primary_keys" -> Seq("id"),
+        "test_params" -> Map("difference_tolerance" -> 0.1)),
+      Map("output_dir" -> s"$tmp/out", "no_of_partitions" -> 1))
     ComparisonJob.runComparisonJob(spark, Map(
       "job_name" -> "job_cfg",
       "dataset_configs" -> Seq(Map(
@@ -132,7 +140,9 @@ class ComparisonSpec extends SparkSpec {
         "col_lvl_test_report", "unmatched_rows/test_dataset/value")) {
       val a = spark.read.parquet(s"$tmp/out/job_dfs/$report").collect().toSet
       val b = spark.read.parquet(s"$tmp/out/job_cfg/$report").collect().toSet
+      val c = spark.read.parquet(s"$tmp/out/job_dfs_map/$report").collect().toSet
       assert(a == b, s"report $report differs between entry points")
+      assert(a == c, s"report $report differs for the dict-params entry point")
     }
   }
 

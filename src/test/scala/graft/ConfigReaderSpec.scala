@@ -51,4 +51,22 @@ class ConfigReaderSpec extends AnyFunSuite {
       ConfigReader.parseComparisonJobConfig(Map("job_name" -> "x"))
     }
   }
+
+  test("extension flags decode from snake_case keys (map and JSON)") {
+    val tp = ConfigReader.decodeTestParams(Map(
+      "difference_tolerance" -> 0.25,
+      "legacy_decimal_comparison" -> true,
+      "canonicalize_nested_types" -> "true"))
+    assert(tp == TestParams(0.25, legacyDecimalComparison = true, canonicalizeNestedTypes = true))
+
+    val cfg = ConfigReader.parseComparisonJobConfigJson(
+      """{"job_name": "j", "dataset_configs": [{"params": {"dataset_name":
+        |"d", "primary_keys": ["a"], "test_params":
+        |{"canonicalize_nested_types": true}}, "source_config": {"path": "s"},
+        |"target_config": {"path": "t"}}], "output_config":
+        |{"output_dir": "o"}}""".stripMargin)
+    val decoded = cfg.datasetConfigs.head.params.testParams
+    assert(decoded.canonicalizeNestedTypes && !decoded.legacyDecimalComparison)
+    assert(decoded.differenceTolerance == 0.0)
+  }
 }
