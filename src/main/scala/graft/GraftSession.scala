@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
   *
   * AQE is the load-bearing setting: runtime partition coalescing keeps the
   * post-join stage count proportional to data size, and skew-join splitting
-  * handles hot primary keys in the full-outer join without manual salting.
+  * handles hot keys in every splittable join (inner / semi / left- and
+  * right-outer — pinned by PlanSpec). Note Spark cannot skew-split a
+  * FULL-outer sort-merge join (neither side may be replicated without
+  * breaking its semantics); see [[graft.core.Comparison]] for why the
+  * engine's alignment join is structurally protected from skew anyway.
   */
 object GraftSession {
   def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =

@@ -240,16 +240,24 @@ object Queries {
         .join(cust(s, d), col("o_custkey") === col("c_custkey"), "left")
         .select(col("o_orderkey"), coalesce(col("c_name"), lit("UNKNOWN")).as("cust_name"))),
 
-    // Headline grouped aggregation (decimal-exact measures)
+    // Headline grouped aggregation. Exact AND order-independent without
+    // decimal arithmetic: quantize each 2-decimal measure to integer cents
+    // (round(v*100) as long) and sum longs — plain codegen'd integer adds,
+    // ~an order of magnitude cheaper per row than Decimal sums, identical
+    // results in any summation order, and bit-reproducible in DuckDB (the
+    // same round/multiply/divide on the same doubles). Range headroom:
+    // disc_price terms are ≤1e9 (1e7 cents × 1e2), so ~1e9 rows per group
+    // fit in a long; beyond that, widen to decimal at the FINAL aggregate
+    // only.
     "q_agg_pricing" -> ((s, d) =>
       li(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")
-            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("sum_disc_price"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
     // O1: total-order top-k with full tie-break
@@ -364,6 +372,15 @@ object Queries {
       Similarity.lshBucketedTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3,
         numPlanes = 8, numTables = 4, weight = Similarity.shaPlaneWeight)),
 
+    // IVF cluster-pruning configuration (iters = 0, sha pivot hash): pivot
+    // selection, cell assignment, probing and scoring are all exact integer
+    // math on the quantized arrays, so DuckDB replicates the whole pipeline
+    // (pivot sample → argmax cell → nprobe probes → candidate join → exact
+    // cosine top-k). Production callers use the Lloyd-refined default.
+    "q_sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3,
+        nlist = 16, nprobe = 4, iters = 0, pivotHash = Similarity.shaPivotHash)),
+
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDuplicates(embs(s, d), "vec_id", "embedding", "label", threshold = 0.35)),
 
@@ -473,6 +490,45 @@ object Queries {
        |  FROM sc) WHERE rn <= 3""".stripMargin
   }
 
+  /** DuckDB replica of the iters=0 IVF cluster-pruning ANN pipeline
+    * (matching q_sim_ivf_topk's parameters: 16 sha-sampled pivots, 4
+    * probes, top-3): pivot sample → exact integer assignment scores →
+    * argmax corpus cell / top-4 query probes → per-cell candidate join →
+    * fixed-point cosine top-3. Pivot hash = first 15 hex chars of
+    * sha256(id), exactly [[graft.operators.Similarity.shaPivotHash]].
+    */
+  private val ivfTopKOracleSql: String =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+      |piv AS (SELECT vec_id AS cell FROM embeddings WHERE vec_id >= 5
+      |  ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+      |  LIMIT 16),
+      |dots AS (SELECT a.vec_id AS rid, b.vec_id AS cell, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+      |  FROM e a JOIN e b ON a.pos = b.pos JOIN piv ON piv.cell = b.vec_id
+      |  GROUP BY 1, 2),
+      |sc0 AS (SELECT rid, cell,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cs
+      |  FROM dots JOIN n na ON na.vec_id = rid JOIN n nb ON nb.vec_id = cell),
+      |ass AS (SELECT rid, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY rid ORDER BY cs DESC, cell) AS rn
+      |  FROM sc0),
+      |cass AS (SELECT rid AS cand_id, cell FROM ass WHERE rid >= 5 AND rn = 1),
+      |qass AS (SELECT rid AS query_id, cell FROM ass WHERE rid < 5 AND rn <= 4),
+      |cand AS (SELECT DISTINCT query_id, cand_id FROM qass JOIN cass USING (cell)),
+      |d AS (SELECT query_id, cand_id, CAST(SUM(eq.qv * ec.qv) AS BIGINT) AS dot
+      |  FROM cand
+      |  JOIN e eq ON eq.vec_id = query_id
+      |  JOIN e ec ON ec.vec_id = cand_id AND eq.pos = ec.pos
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT query_id, cand_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      |  FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = cand_id)
+      |SELECT query_id, cand_id, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      |  FROM sc) WHERE rn <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // minhash+LSH verified pairs ⊆ brute-force pairs by construction (the
     // verify step recomputes exact Jaccard); equality with the brute-force
@@ -497,6 +553,8 @@ object Queries {
     "q_dedup_simhash" -> simhashOracleSql,
 
     "q_sim_lsh_topk" -> lshTopKOracleSql,
+
+    "q_sim_ivf_topk" -> ivfTopKOracleSql,
 
     "q_multimodal_decode" ->
       """WITH h AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
@@ -568,10 +626,10 @@ object Queries {
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 

@@ -41,10 +41,14 @@ final case class ComparisonResult(
   *    order (deterministic; fixes the reference's latent crash when
   *    select/drop removes a column, `comparison_job.py:187` vs SURVEY
   *    §2.10.1 — observable behavior is unchanged on the default path);
-  *  - the overall report's four per-side count actions
-  *    (`comparison_job.py:67-84`) collapse into ONE side-tagged
-  *    aggregation job — at 100 TB that is one shuffle over the key columns
-  *    instead of four full-table jobs;
+  *  - engine construction runs exactly TWO eager jobs: one key-wise
+  *    aggregate over the joined frame (missing/matched key counts, fills
+  *    every persist), then one unioned job computing the reference's four
+  *    per-side count actions (`comparison_job.py:67-84`) AND the
+  *    column-level sums (`comparison_job.py:101-118`) over cached inputs.
+  *    The overall and column-level reports are then built driver-side and
+  *    the row-level report stays lazy — at 100 TB that is two passes
+  *    instead of the reference's seven-plus full-table jobs;
   *  - persisted frames use MEMORY_AND_DISK and are surfaced for explicit
   *    release.
   *
@@ -52,9 +56,19 @@ final case class ComparisonResult(
   * shuffle-partitions both sides by the primary keys, and every downstream
   * key-wise operator (tolerance re-join, window duplicate count, distinct)
   * reuses that hash partitioning, so the whole pipeline pays exactly one
-  * wide exchange per side plus the per-report small aggregations. Skewed
-  * hot keys are handled by AQE skew-join splitting (enabled in
-  * [[graft.GraftSession]]).
+  * wide exchange per side plus the per-report small aggregations.
+  *
+  * Skew: AQE skew-join splitting (enabled in [[graft.GraftSession]],
+  * demonstrated in PlanSpec) engages on the splittable joins — notably the
+  * tolerance fold-back LEFT join, whose big (left) side Spark can split.
+  * Spark can NOT skew-split a full-outer sort-merge join (replicating
+  * either side would fabricate unmatched rows), but the alignment join is
+  * structurally protected: its keys are the PRIMARY keys, so a hot key can
+  * only come from duplicated PKs — a data-quality defect this engine
+  * exists to surface (duplicate counts in the overall/row-level reports),
+  * with the same M·N cross-product cost the reference pays by definition.
+  * Partition-level imbalance from hash collisions of distinct keys is
+  * negligible at any corpus size.
   */
 object Comparison {
 
@@ -174,109 +188,116 @@ object Comparison {
           :+ col(DuplicateCountCol) :+ col(MissingRowStatusCol) :+ col(AllRowsMatchedCol): _*)
   }
 
-  /** Column-level report (`comparison_job.py:101-118`): count surviving
-    * mismatches per column in ONE aggregation row, then unpivot to
-    * (column_name, unmatched_rows_count); NULL sums from an empty mismatch
-    * set default to 0.
-    */
-  private def columnLevelReport(
-      datasetName: String,
-      unmatchedRecords: DataFrame,
-      nonKeyCols: Seq[String]): DataFrame = {
-    val sums = nonKeyCols.map(c =>
-      sum(when(!col(matchedCol(c)), 1).otherwise(0)).as(c))
-    unmatchedRecords
-      .agg(sums.head, sums.tail: _*)
-      .unpivot(Array.empty[Column], nonKeyCols.map(col).toArray, ColNameCol, UnmatchedRowsCountCol)
-      .withColumn(
-        UnmatchedRowsCountCol,
-        coalesce(col(UnmatchedRowsCountCol), lit(0).cast(IntegerType)))
-      .withColumn(DatasetNameCol, lit(datasetName))
-      .select(DatasetNameCol, ColNameCol, UnmatchedRowsCountCol)
-  }
-
-  /** Per-column unmatched-record extracts (`comparison_job.py:120-132`):
-    * the collect() pulls only column NAMES (bounded by schema width) to the
-    * driver — never data rows.
+  /** Per-column unmatched-record extracts (`comparison_job.py:120-132`),
+    * built lazily for the offending columns only (names already known from
+    * the collected per-column sums — no extra action).
     */
   private def unmatchedExtracts(
       datasetName: String,
       unmatchedRecords: DataFrame,
-      colLvlReport: DataFrame,
-      keyCols: Seq[String]): Map[String, DataFrame] = {
-    val offending = colLvlReport
-      .where(col(UnmatchedRowsCountCol) > 0)
-      .select(ColNameCol)
-      .collect()
-      .map(_.getString(0))
+      offending: Seq[String],
+      keyCols: Seq[String]): Map[String, DataFrame] =
     offending.map { c =>
       s"$datasetName/$c" -> unmatchedRecords
         .where(!col(matchedCol(c)))
         .select((keyCols :+ srcCol(c) :+ tgtCol(c)).map(col): _*)
         .distinct()
     }.toMap
+
+  /** Missing-key and matched-key counts in ONE aggregation over the joined
+    * frame — the construction's first (and heaviest) action: it fills every
+    * upstream persist (src, tgt, joinedRaw, joined) as a side effect.
+    *
+    * Value-identical with the reference's separate passes
+    * (`comparison_job.py:67, 91-97, 236`): a key counts as
+    * missing/matched in the distinct row-level report iff it has a
+    * null-checksum/matched row in the join, so counting DISTINCT keys here
+    * gives the same numbers without materializing the row-level report's
+    * window + distinct during construction.
+    */
+  private def matchKeyStats(joined: DataFrame, keyCols: Seq[String]): (Long, Long, Long) = {
+    val key = struct(keyCols.map(col): _*)
+    val r = joined
+      .agg(
+        count_distinct(when(col(srcCol(ChkSumCol)).isNull, key)),
+        count_distinct(when(col(tgtCol(ChkSumCol)).isNull, key)),
+        count_distinct(when(col(AllRowsMatchedCol), key)))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  /** Per-side (row count, duplicate-key count) in ONE Spark job.
+  /** Side totals/duplicate-key counts AND per-column mismatch sums in ONE
+    * Spark job (the construction's second, cheap action — all inputs are
+    * cached by [[matchKeyStats]]).
     *
-    * The reference runs four separate actions — two full counts and two
-    * groupBy-count-filter-count jobs (`comparison_job.py:67-84`). Tagging
-    * each side and aggregating per (side, key) computes all four numbers in
-    * a single pass with a single shuffle, which is the difference between
-    * one and four full scans at 100 TB. Values are identical by
-    * construction: total = Σ per-key counts, dups = #keys with count > 1.
+    * The reference runs four separate side-count actions — two full counts
+    * and two groupBy-count-filter-count jobs (`comparison_job.py:67-84`) —
+    * plus the column-level aggregation (`comparison_job.py:101-118`).
+    * Tagging each side and aggregating per (side, key) computes all four
+    * side numbers in a single pass with a single shuffle (total = Σ per-key
+    * counts, dups = #keys with count > 1 — identical by construction), and
+    * the per-column mismatch sums ride along as a unioned one-row aggregate
+    * so the whole thing is one job instead of five.
     */
-  private def sideStats(src: DataFrame, tgt: DataFrame, keyCols: Seq[String]): (Long, Long, Long, Long) = {
+  private def sideAndColumnStats(
+      src: DataFrame,
+      tgt: DataFrame,
+      keyCols: Seq[String],
+      unmatchedRecords: DataFrame,
+      nonKeyCols: Seq[String]): ((Long, Long, Long, Long), Map[String, Long]) = {
     val side = "_side"
     val keyColumns = keyCols.map(col)
     val tagged = src
       .select(keyColumns: _*)
       .withColumn(side, lit(SourceCol))
       .union(tgt.select(keyColumns: _*).withColumn(side, lit(TargetCol)))
-    val rows = tagged
+    val sideRow = tagged
       .groupBy(col(side) +: keyColumns: _*)
       .count()
-      .groupBy(side)
       .agg(
-        sum(CountCol).as("total"),
-        sum(when(col(CountCol) > 1, 1L).otherwise(0L)).as("dups"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        coalesce(sum(when(col(side) === SourceCol, col(CountCol))), lit(0L)).as("src_total"),
+        coalesce(sum(when(col(side) === SourceCol && col(CountCol) > 1, 1L)), lit(0L)).as("src_dups"),
+        coalesce(sum(when(col(side) === TargetCol, col(CountCol))), lit(0L)).as("tgt_total"),
+        coalesce(sum(when(col(side) === TargetCol && col(CountCol) > 1, 1L)), lit(0L)).as("tgt_dups"))
+      .select(
+        lit("side").as("k"),
+        map(
+          lit("src_total"), col("src_total"), lit("src_dups"), col("src_dups"),
+          lit("tgt_total"), col("tgt_total"), lit("tgt_dups"), col("tgt_dups")).as("m"))
+    val stats =
+      if (nonKeyCols.isEmpty) sideRow
+      else {
+        val sums = nonKeyCols.map(c =>
+          coalesce(sum(when(!col(matchedCol(c)), 1L).otherwise(0L)), lit(0L)).as(c))
+        val colRow = unmatchedRecords
+          .agg(sums.head, sums.tail: _*)
+          .select(
+            lit("cols").as("k"),
+            map(nonKeyCols.flatMap(c => Seq(lit(c), col(c))): _*).as("m"))
+        sideRow.unionByName(colRow)
+      }
+    val byK = stats.collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1))
       .toMap
-    val (srcTotal, srcDups) = rows.getOrElse(SourceCol, (0L, 0L))
-    val (tgtTotal, tgtDups) = rows.getOrElse(TargetCol, (0L, 0L))
-    (srcTotal, srcDups, tgtTotal, tgtDups)
+    val s = byK("side")
+    ((s("src_total"), s("src_dups"), s("tgt_total"), s("tgt_dups")),
+      byK.get("cols").map(m => nonKeyCols.map(c => c -> m(c)).toMap).getOrElse(Map.empty))
   }
 
   /** Overall report (`comparison_job.py:66-99`): one row of per-side
     * count/duplicate/missing maps plus PASSED ⇔ `source_count ==
-    * matched_count == target_count`.
+    * matched_count == target_count`. Built driver-side from the collected
+    * stats — no further Spark jobs.
     */
   private def overallReport(
       spark: SparkSession,
       datasetName: String,
-      keyCols: Seq[String],
-      src: DataFrame,
-      tgt: DataFrame,
-      rowLvlReport: DataFrame): DataFrame = {
+      sideTotals: (Long, Long, Long, Long),
+      missSrc: Long,
+      missTgt: Long,
+      matchedCount: Long): DataFrame = {
     import spark.implicits._
-    val (srcTotal, srcDups, tgtTotal, tgtDups) = sideStats(src, tgt, keyCols)
-    // Missing-row counts AND the matched-key count come from ONE pass over
-    // the (cached, small) row-level report. matched_count ≡ the reference's
-    // joined.filter(matched).dropDuplicates(keys).count()
-    // (comparison_job.py:67, 236): a key appears matched in the distinct
-    // report iff it has a matched row in the join, so counting distinct
-    // matched keys here is value-identical with one fewer full pass over
-    // the joined frame.
-    val statsRow = rowLvlReport
-      .agg(
-        coalesce(sum(when(col(MissingRowStatusCol) === MissingAtSourceStatus, 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col(MissingRowStatusCol) === MissingAtTargetStatus, 1L).otherwise(0L)), lit(0L)),
-        count_distinct(
-          when(col(AllRowsMatchedCol), struct(keyCols.map(col): _*))))
-      .head()
-    val (missSrc, missTgt, matchedCount) =
-      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
+    val (srcTotal, srcDups, tgtTotal, tgtDups) = sideTotals
     Seq((
       datasetName,
       Map(SourceCol -> srcTotal, TargetCol -> tgtTotal),
@@ -287,6 +308,20 @@ object Comparison {
       else FailedStatus))
       .toDF(DatasetNameCol, CountCol, MatchedCountCol, DuplicateCountCol,
         MissingRowsCol, TestStatusCol)
+  }
+
+  /** Column-level report (`comparison_job.py:101-118`) built driver-side
+    * from the sums [[sideAndColumnStats]] already collected — one row per
+    * non-key column, in schema order, zero Spark jobs.
+    */
+  private def columnLevelReport(
+      spark: SparkSession,
+      datasetName: String,
+      nonKeyCols: Seq[String],
+      colSums: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    nonKeyCols.map(c => (datasetName, c, colSums(c)))
+      .toDF(DatasetNameCol, ColNameCol, UnmatchedRowsCountCol)
   }
 
   /** The core pipeline (`compare_dataframes`, `comparison_job.py:186-256`). */
@@ -341,19 +376,28 @@ object Comparison {
 
     val unmatchedRecords = afterTolerance.filter(!col(AllRowsMatchedAfterTolCol))
 
-    val colLvl = columnLevelReport(params.datasetName, unmatchedRecords, nonKeyCols)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Exactly TWO eager actions build every report number. Action 1 fills
+    // the persisted chain; action 2 reads only cached inputs. The row-level
+    // report stays lazy — its window + distinct run only when a caller
+    // materializes it.
+    val (missSrc, missTgt, matchedCount) = matchKeyStats(joined, keyCols)
+    val (sideTotals, colSums) =
+      sideAndColumnStats(src, tgt, keyCols, unmatchedRecords, nonKeyCols)
+
+    val colLvl = columnLevelReport(spark, params.datasetName, nonKeyCols, colSums)
     val rowLvl = rowLevelReport(params.datasetName, joined, keyCols)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val offending = nonKeyCols.filter(c => colSums(c) > 0)
     val extracts =
-      unmatchedExtracts(params.datasetName, unmatchedRecords, colLvl, keyCols)
-    val overall = overallReport(spark, params.datasetName, keyCols, src, tgt, rowLvl)
+      unmatchedExtracts(params.datasetName, unmatchedRecords, offending, keyCols)
+    val overall =
+      overallReport(spark, params.datasetName, sideTotals, missSrc, missTgt, matchedCount)
 
     ComparisonResult(
       overallTestReport = overall,
       rowLvlTestReport = rowLvl,
       colLvlTestReport = colLvl,
       unmatchedRecords = extracts,
-      cachedFrames = Seq(src, tgt, joinedRaw, joined, colLvl, rowLvl))
+      cachedFrames = Seq(src, tgt, joinedRaw, joined, rowLvl))
   }
 }

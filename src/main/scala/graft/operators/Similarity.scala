@@ -173,19 +173,151 @@ object Similarity {
     val pairs = q.join(c, Seq("table", "bucket"))
       // a pair colliding in several tables must score once
       .dropDuplicates("query_id", "cand_id")
-    val scored = pairs
+    exactPairTopK(pairs, k)
+  }
+
+  /** Exact fixed-point cosine + top-k over candidate pairs carrying
+    * (query_id, qa, qn) × (cand_id, ca, cn) — the shared verify tail of
+    * every ANN variant. In-row zip_with dot: no position explode, no
+    * shuffle beyond the top-k window.
+    */
+  private def exactPairTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .withColumn("__dot", aggregate(zip_with(col("qa"), col("ca"), (x, y) => x * y), lit(0L), _ + _))
       .withColumn(
         "cosine",
         col("__dot").cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
-    scored
       .withColumn(
         "rn",
         row_number().over(
           Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
       .filter(col("rn") <= k)
       .select("query_id", "cand_id", "cosine")
+
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  /** Deterministic pivot hash for IVF cell seeding: 60 bits from the first
+    * 15 hex chars of sha256(id) — positive, overflow-free, and replicable
+    * in any engine with sha256 (DuckDB:
+    * `CAST(concat('0x', substr(sha256(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)`).
+    */
+  def shaPivotHash(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
+
+  /** Lloyd refinement of IVF centroids in quantized-component space:
+    * assignment is a broadcast cross join (nlist is small by construction)
+    * + one hash aggregation per iteration; per-dimension means come from a
+    * position explode. Centroids are `(cell, cvec array<double>)`.
+    */
+  private def lloydCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      nlist: Int,
+      iters: Int,
+      pivotHash: Column => Column): DataFrame = {
+    val pivots0 = corpus
+      .orderBy(pivotHash(col(idCol)), col(idCol))
+      .limit(nlist)
+      .select(
+        col(idCol).cast("long").as("cell"),
+        transform(col("__qa"), x => x.cast("double")).as("cvec"))
+    (0 until iters).foldLeft(pivots0) { (c, _) =>
+      val cos =
+        aggregate(zip_with(col("__qa"), col("cvec"), (x, y) => x.cast("double") * y), lit(0.0), _ + _) /
+          (sqrt(col("__n2").cast("double")) *
+            sqrt(aggregate(col("cvec"), lit(0.0), (acc, y) => acc + y * y)))
+      corpus
+        .crossJoin(broadcast(c))
+        .withColumn("__cs", cos)
+        // argmax centroid per vector without a window: struct max orders by
+        // (score, -cell), so ties break toward the LOWEST cell id
+        .groupBy(col(idCol))
+        .agg(max(struct(col("__cs").as("s"), (-col("cell")).as("nc"), col("__qa").as("qa"))).as("b"))
+        .select((-col("b.nc")).as("cell"), posexplode(col("b.qa")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), s => s.getField("m")).as("cvec"))
+    }
+  }
+
+  /** IVF-style ANN top-k: partition the corpus into `nlist` cells around
+    * learned coarse centroids, assign every corpus vector to its nearest
+    * cell, and score each query only against its `nprobe` nearest cells'
+    * members (exact fixed-point cosine, [[exactPairTopK]]).
+    *
+    * Unlike LSH's data-oblivious hyperplanes, cells adapt to the embedding
+    * distribution — clustered corpora get balanced cells where fixed signs
+    * would hash everything into a few buckets. Candidate cost per query ≈
+    * nprobe · N / nlist; size `nlist ≈ √N` at corpus scale. All assignment
+    * joins broadcast the (small) centroid table — the corpus is never
+    * shuffled until the final per-cell candidate join.
+    *
+    *  - `iters = 0`: cells are the pivot vectors themselves (a
+    *    deterministic sha/hash sample — "cluster pruning"). With
+    *    `pivotHash = shaPivotHash` every step is exact integer math on the
+    *    quantized arrays, so the WHOLE pipeline is replicable in external
+    *    SQL (the catalog oracle).
+    *  - `iters > 0` (default): Lloyd-refined centroids, double-precision
+    *    assignment scores — the production path.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      nlist: Int = 1024,
+      nprobe: Int = 8,
+      iters: Int = 2,
+      pivotHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist, s"bad nlist/nprobe: $nlist/$nprobe")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val base = df
+      .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
+      .withColumn("__n2", aggregate(col("__qa"), lit(0L), (acc, x) => acc + x * x))
+    val corpus = base.filter(!queryPred)
+    val queries = base.filter(queryPred)
+
+    // (centroid table, per-row assignment score against it)
+    val (cents, score) =
+      if (iters == 0) {
+        val c = corpus
+          .orderBy(pivotHash(col(idCol)), col(idCol))
+          .limit(nlist)
+          .select(col(idCol).cast("long").as("cell"), col("__qa").as("__cq"), col("__n2").as("__cn2"))
+        // exact: integer dot of quantized arrays, like the verify tail
+        (c,
+          aggregate(zip_with(col("__qa"), col("__cq"), (x, y) => x * y), lit(0L), _ + _).cast("double") /
+            (sqrt(col("__n2").cast("double")) * sqrt(col("__cn2").cast("double"))))
+      } else {
+        val c = lloydCentroids(corpus, idCol, nlist, iters, pivotHash)
+        (c,
+          aggregate(zip_with(col("__qa"), col("cvec"), (x, y) => x.cast("double") * y), lit(0.0), _ + _) /
+            (sqrt(col("__n2").cast("double")) *
+              sqrt(aggregate(col("cvec"), lit(0.0), (acc, y) => acc + y * y))))
+      }
+
+    def probe(rows: DataFrame, n: Int): DataFrame =
+      rows
+        .crossJoin(broadcast(cents))
+        .withColumn("__cs", score)
+        .withColumn(
+          "__rn",
+          row_number().over(
+            Window.partitionBy(col(idCol)).orderBy(col("__cs").desc, col("cell").asc)))
+        .filter(col("__rn") <= n)
+        .select(col(idCol), col("cell"), col("__qa"), col("__n2"))
+
+    val q = probe(queries, nprobe)
+      .select(col(idCol).as("query_id"), col("cell"), col("__qa").as("qa"), col("__n2").as("qn"))
+    val c = probe(corpus, 1)
+      .select(col(idCol).as("cand_id"), col("cell"), col("__qa").as("ca"), col("__n2").as("cn"))
+    val pairs = q.join(c, Seq("cell"))
+      .dropDuplicates("query_id", "cand_id")
+    exactPairTopK(pairs, k)
   }
 
   /** Embedding-cosine near-duplicate pairs within blocks: all pairs of rows

@@ -128,6 +128,23 @@ class OperatorsSpec extends SparkSpec {
     assert(perId.toSeq == Seq(8L))
   }
 
+  test("IVF top-k recalls brute-force neighbors; iters=0 equals the sha-pivot oracle path") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 5
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(embs, "vec_id", "embedding", pred, k = 3))
+    // production path: Lloyd-refined cells, deterministic pivots
+    val ivf = pairs(Similarity.ivfTopK(embs, "vec_id", "embedding", pred, k = 3,
+      nlist = 16, nprobe = 4, iters = 2))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (ivf=$ivf, brute=$brute)")
+    // deterministic across runs (hash pivots, tie-broken argmax)
+    val ivf2 = pairs(Similarity.ivfTopK(embs, "vec_id", "embedding", pred, k = 3,
+      nlist = 16, nprobe = 4, iters = 2))
+    assert(ivf == ivf2)
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
