@@ -118,19 +118,26 @@ object Similarity {
       weight: (Int, Column) => Column = xxPlaneWeight): DataFrame = {
     require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes out of range: $numPlanes")
     val e = exploded(df, idCol, embCol)
+    // Weights depend on (plane, pos) only — evaluating the hash per DATA
+    // row costs rows×dims×planes hash calls (measured 2-10 s at sf0.1 with
+    // the sha weight). Materialize the numTables·numPlanes weights for the
+    // (tiny) distinct position set once and broadcast-join them in; per
+    // data row that leaves one map probe and integer multiplies.
+    val nw = numTables * numPlanes
+    val weights = broadcast(
+      e.select(col("pos")).distinct()
+        .select(col("pos"), array((0 until nw).map(g => weight(g, col("pos"))): _*).as("__w")))
     // qv is a quantized long and weight is ±1L, so every projection is an
     // exact integer sum — bucket signs are bit-deterministic regardless of
     // partitioning or summation order.
-    val projections = (0 until numTables).flatMap(t =>
-      (0 until numPlanes).map { p =>
-        val g = t * numPlanes + p // global plane index
-        sum(col("qv") * weight(g, col("pos"))).as(s"p$g")
-      })
+    val projections = (0 until nw).map(g =>
+      sum(col("qv") * element_at(col("__w"), g + 1)).as(s"p$g"))
     val bucketOfTable = (t: Int) =>
       (0 until numPlanes)
         .map(p => when(col(s"p${t * numPlanes + p}") >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b))
-    e.groupBy("id")
+    e.join(weights, "pos")
+      .groupBy("id")
       .agg(projections.head, projections.tail: _*)
       .select(
         col("id"),

@@ -67,6 +67,30 @@ object JaccardDiag {
       .filter(col("jaccard") >= 0.8)
     t("FULL operator w/ localCheckpoint")(pairsLc.queryExecution.toRdd.count())
     t("FULL again (warm)")(pairsLc.queryExecution.toRdd.count())
+
+    // new generate-then-verify flow, stage by stage
+    val tokenized = sets.localCheckpoint(false)
+    val toksN = tokenized.select(col("doc"), col("blk"), explode(col("__set")).as("tok"))
+    val cands = toksN.groupBy("blk", "tok")
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .where(size(col("ds")) >= 2 && size(col("ds")) <= 10000)
+      .select(explode(
+        flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    t("NEW cands")(cands.queryExecution.toRdd.count())
+    val setsV = tokenized.select(col("doc"), col("__set").as("toks"))
+    val verified = cands
+      .join(setsV.withColumnRenamed("doc", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
+      .join(setsV.withColumnRenamed("doc", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+    t("NEW full verify")(verified.queryExecution.toRdd.count())
+    t("NEW full verify (warm)")(verified.queryExecution.toRdd.count())
     spark.stop()
   }
 }
