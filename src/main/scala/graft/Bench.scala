@@ -65,17 +65,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup at a mid scale factor: a representative subset covering
-    // the scan / SMJ / BHJ / window / explode / HOF / codegen paths the
-    // measured queries hit. sf0.01 (not the smallest) so shuffle/network
-    // buffers reach realistic sizes — their first-touch page faults are
-    // expensive on this host and otherwise land in the first measured
-    // shuffle-heavy query.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    // untimed warmup AT THE TARGET scale factor: a representative subset
+    // covering the scan / SMJ / BHJ / window / explode / HOF / codegen
+    // paths the measured queries hit. Warming on the same files also
+    // pre-faults the OS page cache and shuffle/network buffers at real
+    // sizes — on this host those first-touch costs otherwise land in
+    // whichever measured query runs first (observed 10x inflation of the
+    // first heavyweight after a small-SF warmup).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     val warmQueries = Seq(
       "q_agg_pricing", "q_j1_full_outer", "q_w1_dup_window", "q_d2_distinct",
       "q_dedup_jaccard", "q_sim_cosine_topk", "q_dedup_embedding",
-      "q_compare_row_lvl", "q_events_window", "q_text_stats")
+      "q_compare_row_lvl", "q_compare_arrays", "q_events_window", "q_text_stats",
+      "q_sim_lsh_topk", "q_sim_ivf_topk", "q_dedup_minhash", "q_dedup_simhash")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }

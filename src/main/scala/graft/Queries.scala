@@ -405,7 +405,20 @@ object Queries {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))),
+
+    // Batch twin of the streaming session-window operator (8 h gap):
+    // the oracle rebuilds the same sessions with a lag/cumsum gap split,
+    // which doubles as a semantic pin of session_window's strict-< merge
+    // rule. Fixed-point value sums keep it order-independent.
+    "q_events_sessions" -> ((s, d) =>
+      graft.streaming.StreamingOps
+        .sessionWindows(graft.sources.Events.load(s, d), "8 hours")
+        .select(
+          col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"), col("total_value"))))
 
   // ---- oracles ----------------------------------------------------------
 
@@ -840,6 +853,26 @@ object Queries {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // 8 h gap = 28800000000 µs; a session closes gap after its last event.
+    // Spark merges an event into the open session iff it starts STRICTLY
+    // before session_end, so the split condition is diff >= gap.
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |    CAST(ROUND(value * 1000000) AS BIGINT) AS qv FROM events),
+        |m AS (SELECT user_id, us, qv,
+        |    CASE WHEN us - LAG(us) OVER w >= 28800000000
+        |         OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us, qv,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(us) AS session_start_us,
+        |  MAX(us) + 28800000000 AS session_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(qv) AS BIGINT) / 1000000.0 AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin)
 }
 

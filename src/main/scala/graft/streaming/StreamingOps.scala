@@ -36,6 +36,98 @@ object StreamingOps {
   def dedupEvents(events: DataFrame, lateness: String): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-user session windows via Spark's native `session_window`: events
+    * of one user merge into a session while each arrives within `gap` of
+    * the session's end; the window closes `gap` after the last event.
+    * Pass `lateness` when the input is a stream — the watermark lets the
+    * state store evict closed sessions and append-mode emit them.
+    *
+    * `total_value` is summed in fixed-point micros (exact, order-
+    * independent — see q_agg_pricing) so the result is deterministic under
+    * any partitioning and replicable in external SQL (the q_events_sessions
+    * oracle rebuilds the same sessions with a lag/cumsum gap split).
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String,
+      lateness: Option[String] = None): DataFrame = {
+    val base = lateness.map(l => events.withWatermark("ts", l)).getOrElse(events)
+    base
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1e6).cast("long")) / 1e6).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** One closed session per output row. */
+  final case class Session(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, total_value: Double)
+  /** Internal sessionization accumulator (public only for the state
+    * encoder's generated code, which can't reach a private constructor).
+    */
+  final case class SessAcc(startUs: Long, lastUs: Long, n: Long, qv: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState: the streaming
+    * twin of [[sessionWindows]] for semantics `session_window` can't
+    * express (here: emit CLOSED sessions only, exactly once, with an
+    * event-time timeout so idle users' sessions flush when the watermark
+    * passes their gap horizon). State is one small accumulator per user —
+    * sharded by the grouping key across executors.
+    */
+  def sessionizeEvents(
+      spark: SparkSession,
+      events: DataFrame,
+      gapUs: Long,
+      lateness: String): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", lateness)
+      // the watermarked `ts` attribute must reach the stateful operator for
+      // EventTimeTimeout to resolve — keep it alongside the derived fields
+      .select(
+        col("user_id").as[Long],
+        col("ts").as[java.sql.Timestamp],
+        unix_micros(col("ts")).as[Long],
+        round(col("value") * 1e6).cast("long").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessAcc, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)], state: GroupState[SessAcc]) =>
+          var closed = List.empty[Session]
+          if (state.hasTimedOut) {
+            val a = state.get
+            closed ::= Session(user, a.startUs, a.lastUs + gapUs, a.n, a.qv / 1e6)
+            state.remove()
+            closed.iterator
+          } else {
+            var acc = state.getOption
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, us, qv) =>
+              acc match {
+                case Some(a) if us - a.lastUs < gapUs =>
+                  acc = Some(SessAcc(a.startUs, us, a.n + 1, a.qv + qv))
+                case Some(a) =>
+                  closed ::= Session(user, a.startUs, a.lastUs + gapUs, a.n, a.qv / 1e6)
+                  acc = Some(SessAcc(us, us, 1L, qv))
+                case None =>
+                  acc = Some(SessAcc(us, us, 1L, qv))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              // flush once the watermark is `gap` past the last event
+              state.setTimeoutTimestamp((a.lastUs + gapUs) / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Per-user running session stats held in custom state. */
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
   private final case class Acc(n: Long, total: Double)

@@ -73,6 +73,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 50)
   }
 
+  test("session windows: streaming append and flatMapGroupsWithState agree with batch") {
+    // batch truth: (user, session_start_us, n_events)
+    val batchSessions = StreamingOps.sessionWindows(batchEvents, "8 hours")
+      .select(col("user_id"), unix_micros(col("session_start")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // native session_window over the stream (append = watermark-closed only)
+    val tmp = Files.createTempDirectory("graft-stream-sess").toString
+    val q = StreamingOps.sessionWindows(streamedEvents(tmp), "8 hours", Some("1 minute"))
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_out")
+      .select(col("user_id"), unix_micros(col("session_start")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchSessions),
+      s"stream emitted sessions unknown to batch: ${streamed -- batchSessions}")
+
+    // custom-state twin: every closed session it emits must be a batch
+    // session (the per-user trailing session stays open — single batch, no
+    // later watermark advance to time it out)
+    val tmp2 = Files.createTempDirectory("graft-stream-fmgs").toString
+    val q2 = StreamingOps.sessionizeEvents(
+        spark, streamedEvents(tmp2), gapUs = 28800000000L, lateness = "1 minute")
+      .toDF()
+      .writeStream.format("memory").queryName("fmgs_out").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val closed = spark.table("fmgs_out")
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(closed.nonEmpty)
+    assert(closed.subsetOf(batchSessions),
+      s"flatMapGroupsWithState closed sessions differ: ${closed -- batchSessions}")
+  }
+
   test("mapGroupsWithState running stats (batch-mode execution)") {
     val stats = StreamingOps.userRunningStats(spark, batchEvents.limit(200))
       .collect().map(s => s.user_id -> s.n_events).toMap
