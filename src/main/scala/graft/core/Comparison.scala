@@ -41,14 +41,14 @@ final case class ComparisonResult(
   *    order (deterministic; fixes the reference's latent crash when
   *    select/drop removes a column, `comparison_job.py:187` vs SURVEY
   *    §2.10.1 — observable behavior is unchanged on the default path);
-  *  - engine construction runs exactly TWO eager jobs: one key-wise
-  *    aggregate over the joined frame (missing/matched key counts, fills
-  *    every persist), then one unioned job computing the reference's four
-  *    per-side count actions (`comparison_job.py:67-84`) AND the
-  *    column-level sums (`comparison_job.py:101-118`) over cached inputs.
-  *    The overall and column-level reports are then built driver-side and
-  *    the row-level report stays lazy — at 100 TB that is two passes
-  *    instead of the reference's seven-plus full-table jobs;
+  *  - engine construction runs exactly ONE eager job: a union of the
+  *    missing/matched key aggregate (reusing the join's hash partitioning,
+  *    no extra exchange), the reference's four per-side count actions
+  *    (`comparison_job.py:67-84`) fused into one (side, key) aggregation,
+  *    and the column-level sums (`comparison_job.py:101-118`). The overall
+  *    and column-level reports are built driver-side from the collected
+  *    values and the row-level report stays lazy — one pass instead of the
+  *    reference's seven-plus full-table jobs;
   *  - persisted frames use MEMORY_AND_DISK and are surfaced for explicit
   *    release.
   *
@@ -204,54 +204,58 @@ object Comparison {
         .distinct()
     }.toMap
 
-  /** Missing-key and matched-key counts in ONE aggregation over the joined
-    * frame — the construction's first (and heaviest) action: it fills every
-    * upstream persist (src, tgt, joinedRaw, joined) as a side effect.
+  /** Every report number in ONE Spark job: missing/matched key counts,
+    * per-side totals and duplicate-key counts, and per-column mismatch
+    * sums, unioned as tagged (k, map) rows and collected once.
     *
-    * Value-identical with the reference's separate passes
-    * (`comparison_job.py:67, 91-97, 236`): a key counts as
-    * missing/matched in the distinct row-level report iff it has a
-    * null-checksum/matched row in the join, so counting DISTINCT keys here
-    * gives the same numbers without materializing the row-level report's
-    * window + distinct during construction.
-    */
-  private def matchKeyStats(joined: DataFrame, keyCols: Seq[String]): (Long, Long, Long) = {
-    val key = struct(keyCols.map(col): _*)
-    val r = joined
-      .agg(
-        count_distinct(when(col(srcCol(ChkSumCol)).isNull, key)),
-        count_distinct(when(col(tgtCol(ChkSumCol)).isNull, key)),
-        count_distinct(when(col(AllRowsMatchedCol), key)))
-      .head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
-  }
-
-  /** Side totals/duplicate-key counts AND per-column mismatch sums in ONE
-    * Spark job (the construction's second, cheap action — all inputs are
-    * cached by [[matchKeyStats]]).
+    *  - missing/matched keys aggregate per key FIRST — `joined` is already
+    *    hash-partitioned by the primary keys coming out of the sort-merge
+    *    join, so that aggregation reuses the join's partitioning with NO
+    *    exchange (a `count_distinct` formulation would EXPAND and reshuffle
+    *    the full joined frame three times). Value-identical with the
+    *    reference's separate passes (`comparison_job.py:67, 91-97, 236`): a
+    *    key is missing/matched in the distinct row-level report iff it has
+    *    a null-checksum/matched row in the join.
+    *  - the reference's four side-count actions (`comparison_job.py:67-84`)
+    *    become one (side, key) aggregation: total = Σ per-key counts,
+    *    dups = #keys with count > 1 — identical by construction.
+    *  - per-column sums (`comparison_job.py:101-118`) ride along as one
+    *    more aggregate over the tolerance mismatch rows.
     *
-    * The reference runs four separate side-count actions — two full counts
-    * and two groupBy-count-filter-count jobs (`comparison_job.py:67-84`) —
-    * plus the column-level aggregation (`comparison_job.py:101-118`).
-    * Tagging each side and aggregating per (side, key) computes all four
-    * side numbers in a single pass with a single shuffle (total = Σ per-key
-    * counts, dups = #keys with count > 1 — identical by construction), and
-    * the per-column mismatch sums ride along as a unioned one-row aggregate
-    * so the whole thing is one job instead of five.
+    * The subtrees share the persisted src/tgt/joinedRaw frames; partitions
+    * raced by concurrent stages merely compute the cheap checksum
+    * projection twice before the cache settles. One job replaces the
+    * reference's seven-plus full-table actions — the dominant win at
+    * 100 TB is that nothing here shuffles the joined frame again.
     */
-  private def sideAndColumnStats(
+  private def collectStats(
       src: DataFrame,
       tgt: DataFrame,
+      joined: DataFrame,
       keyCols: Seq[String],
       unmatchedRecords: DataFrame,
-      nonKeyCols: Seq[String]): ((Long, Long, Long, Long), Map[String, Long]) = {
-    val side = "_side"
+      nonKeyCols: Seq[String]): ((Long, Long, Long), (Long, Long, Long, Long), Map[String, Long]) = {
     val keyColumns = keyCols.map(col)
-    val tagged = src
+    val matchRow = joined
+      .groupBy(keyColumns: _*)
+      .agg(
+        max(when(col(srcCol(ChkSumCol)).isNull, 1L).otherwise(0L)).as("ms"),
+        max(when(col(tgtCol(ChkSumCol)).isNull, 1L).otherwise(0L)).as("mt"),
+        max(when(col(AllRowsMatchedCol), 1L).otherwise(0L)).as("mm"))
+      .agg(
+        coalesce(sum("ms"), lit(0L)).as("miss_src"),
+        coalesce(sum("mt"), lit(0L)).as("miss_tgt"),
+        coalesce(sum("mm"), lit(0L)).as("matched"))
+      .select(
+        lit("match").as("k"),
+        map(
+          lit("miss_src"), col("miss_src"), lit("miss_tgt"), col("miss_tgt"),
+          lit("matched"), col("matched")).as("m"))
+    val side = "_side"
+    val sideRow = src
       .select(keyColumns: _*)
       .withColumn(side, lit(SourceCol))
       .union(tgt.select(keyColumns: _*).withColumn(side, lit(TargetCol)))
-    val sideRow = tagged
       .groupBy(col(side) +: keyColumns: _*)
       .count()
       .agg(
@@ -264,8 +268,8 @@ object Comparison {
         map(
           lit("src_total"), col("src_total"), lit("src_dups"), col("src_dups"),
           lit("tgt_total"), col("tgt_total"), lit("tgt_dups"), col("tgt_dups")).as("m"))
-    val stats =
-      if (nonKeyCols.isEmpty) sideRow
+    val withCols =
+      if (nonKeyCols.isEmpty) matchRow.unionByName(sideRow)
       else {
         val sums = nonKeyCols.map(c =>
           coalesce(sum(when(!col(matchedCol(c)), 1L).otherwise(0L)), lit(0L)).as(c))
@@ -274,13 +278,15 @@ object Comparison {
           .select(
             lit("cols").as("k"),
             map(nonKeyCols.flatMap(c => Seq(lit(c), col(c))): _*).as("m"))
-        sideRow.unionByName(colRow)
+        matchRow.unionByName(sideRow).unionByName(colRow)
       }
-    val byK = stats.collect()
+    val byK = withCols.collect()
       .map(r => r.getString(0) -> r.getMap[String, Long](1))
       .toMap
+    val mk = byK("match")
     val s = byK("side")
-    ((s("src_total"), s("src_dups"), s("tgt_total"), s("tgt_dups")),
+    ((mk("miss_src"), mk("miss_tgt"), mk("matched")),
+      (s("src_total"), s("src_dups"), s("tgt_total"), s("tgt_dups")),
       byK.get("cols").map(m => nonKeyCols.map(c => c -> m(c)).toMap).getOrElse(Map.empty))
   }
 
@@ -376,13 +382,11 @@ object Comparison {
 
     val unmatchedRecords = afterTolerance.filter(!col(AllRowsMatchedAfterTolCol))
 
-    // Exactly TWO eager actions build every report number. Action 1 fills
-    // the persisted chain; action 2 reads only cached inputs. The row-level
-    // report stays lazy — its window + distinct run only when a caller
-    // materializes it.
-    val (missSrc, missTgt, matchedCount) = matchKeyStats(joined, keyCols)
-    val (sideTotals, colSums) =
-      sideAndColumnStats(src, tgt, keyCols, unmatchedRecords, nonKeyCols)
+    // ONE eager action builds every report number (and fills the persisted
+    // chain as a side effect). The row-level report stays lazy — its
+    // window + distinct run only when a caller materializes it.
+    val ((missSrc, missTgt, matchedCount), sideTotals, colSums) =
+      collectStats(src, tgt, joined, keyCols, unmatchedRecords, nonKeyCols)
 
     val colLvl = columnLevelReport(spark, params.datasetName, nonKeyCols, colSums)
     val rowLvl = rowLevelReport(params.datasetName, joined, keyCols)
