@@ -320,7 +320,7 @@ object Queries {
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d), "text")
         .select("doc_id", "n_chars", "n_tokens", "mean_token_len",
-          "punct_ratio", "digit_ratio", "upper_ratio")),
+          "punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio")),
 
     "q_text_fingerprint" -> ((s, d) =>
       docs(s, d).select(
@@ -753,7 +753,12 @@ object Queries {
         |  CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS digit_ratio,
         |  CASE WHEN length(text) = 0 THEN 0.0
-        |       ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS upper_ratio
+        |       ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS upper_ratio,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(
+        |              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |              x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS DOUBLE)
+        |            / CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS DOUBLE) END AS stopword_ratio
         |FROM documents""".stripMargin,
 
     "q_text_fingerprint" ->

@@ -84,8 +84,9 @@ object TextAnalysis {
 
   /** Quality-scoring feature columns over `textCol`:
     * character count, token count, mean token length, punctuation ratio,
-    * digit ratio, uppercase ratio — the standard cheap signals used to
-    * filter low-quality web text before training.
+    * digit ratio, uppercase ratio, stopword ratio — the standard cheap
+    * signals used to filter low-quality web text before training (very low
+    * OR very high stopword density both indicate non-prose).
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -93,6 +94,7 @@ object TextAnalysis {
     def classRatio(pattern: String): Column =
       when(length(t) === 0, lit(0.0))
         .otherwise(length(regexp_replace(t, pattern, "")).cast("double") / chars)
+    val stopwords = array(langMarkers("en").map(lit): _*)
     df.withColumn("n_chars", length(t))
       .withColumn("n_tokens", tokenCount(t))
       .withColumn(
@@ -102,6 +104,12 @@ object TextAnalysis {
       .withColumn("punct_ratio", classRatio("[^.,!?;:]"))
       .withColumn("digit_ratio", classRatio("[^0-9]"))
       .withColumn("upper_ratio", classRatio("[^A-Z]"))
+      .withColumn(
+        "stopword_ratio",
+        when(tokenCount(t) === 0, lit(0.0))
+          .otherwise(
+            size(filter(tokens(lower(t)), w => array_contains(stopwords, w))).cast("double")
+              / tokenCount(t).cast("double")))
   }
 
   /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
