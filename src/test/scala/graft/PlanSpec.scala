@@ -63,6 +63,19 @@ class PlanSpec extends SparkSpec {
       "checksum scan should prune to key + checksummed columns")
   }
 
+  test("ANN plans: LSH weights broadcast-join; IVF assignment broadcasts the centroid table") {
+    // LSH: the per-position weights table must come in via broadcast — the
+    // corpus is never shuffled to meet it
+    val lsh = plan("q_sim_lsh_topk")
+    assert(lsh.contains("BroadcastHashJoin"), s"expected broadcast weights join:\n$lsh")
+    // IVF: cell assignment is a broadcast cross join against the (tiny)
+    // pivot table — the corpus side stays un-shuffled until the per-cell
+    // candidate join
+    val ivf = plan("q_sim_ivf_topk")
+    assert(ivf.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast centroid assignment:\n$ivf")
+  }
+
   test("AQE splits a skewed left-outer join; full-outer is unsplittable by design") {
     import org.apache.spark.sql.functions._
     // Thresholds low enough that a single hot key trips skew detection at
