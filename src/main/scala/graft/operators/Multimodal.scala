@@ -66,6 +66,12 @@ object Multimodal {
       if (payload == null) Array.fill(dim)(0f)
       else (0 until dim).map(i => ((payload.length * (i + 1)) % 251).toFloat / 251f).toArray
     }
+    /** Fake resample: area-proportional byte truncation standing in for a
+      * real scaler (deterministic; a real impl re-encodes at the new dims).
+      */
+    def resample(payload: Array[Byte], scale: Double): Array[Byte] =
+      if (payload == null || payload.isEmpty || scale >= 1.0) payload
+      else payload.take(math.max(1, (payload.length * scale * scale).toInt))
   }
 
   /** Decoded-metadata record emitted by [[decodeFeatures]]. */
@@ -97,6 +103,32 @@ object Multimodal {
             FakeCodec.features(payload, featureDim))
         }
       }
+  }
+
+  /** Aspect-preserving resize: plans the (width, height) that fits `maxEdge`
+    * (pure metadata math — real), then emits a resized payload via the
+    * stub resampler (a production impl calls the codec's scaler in the
+    * same partition-local spot). Never upscales. Output shape matches a
+    * production resize stage: (media_id, width, height, payload).
+    */
+  def resizePayloads(spark: SparkSession, media: DataFrame, maxEdge: Int): DataFrame = {
+    import spark.implicits._
+    require(maxEdge >= 1, s"maxEdge must be >= 1, got $maxEdge")
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, _) = FakeCodec.decodeDims(payload)
+          val edge = math.max(w, h)
+          if (edge == 0) (id, 0, 0, payload) // undecodable/empty: pass through
+          else {
+            val scale = if (edge <= maxEdge) 1.0 else maxEdge.toDouble / edge
+            (id,
+              math.max(1, math.round(w * scale).toInt),
+              math.max(1, math.round(h * scale).toInt),
+              FakeCodec.resample(payload, scale))
+          }
+        }
+      }.toDF("media_id", "width", "height", "payload")
   }
 
   /** Deterministic frame sampling: pick every `stride`-th frame index from
