@@ -40,3 +40,7 @@ run / javaOptions += s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
 // bench/verify JSON line from stdout, and sbt's default logger prefixes
 // every forked line with "[info] ", which broke the round-1 parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// A bare `sbt run` must never open sbt's interactive main-class chooser
+// (it blocks forever under a non-interactive driver). graft.Main
+// dispatches: 2+ args -> Verify, none -> Bench.
+Compile / run / mainClass := Some("graft.Main")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Skew}
 
 /** Unit specs for the dedup / similarity / text extension operators. */
 class OperatorsSpec extends SparkSpec {
@@ -126,6 +126,28 @@ class OperatorsSpec extends SparkSpec {
     // every id appears in exactly numTables probe tables
     val perId = buckets.groupBy("id").count().select("count").distinct().as[Long].collect()
     assert(perId.toSeq == Seq(8L))
+  }
+
+  test("salted join equals the plain join and spreads a hot key across salts") {
+    val big = spark.range(100000)
+      .select((col("id") % 1000).as("k"), col("id").as("payload"))
+      .union(spark.range(50000).select(lit(7L).as("k"), (col("id") + 1000000).as("payload")))
+    val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    val plain = big.join(dim, Seq("k")).agg(count(lit(1)), sum("v"), sum("payload")).head()
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), saltFactor = 8)
+      .agg(count(lit(1)), sum("v"), sum("payload")).head()
+    assert(plain == salted)
+    // the hot key's rows really do carry >1 distinct salt value
+    val salts = big.withColumn("s", org.apache.spark.sql.functions.pmod(
+        xxhash64(big.columns.map(col): _*), lit(8)))
+      .filter(col("k") === 7L).select("s").distinct().count()
+    assert(salts >= 4, s"hot key only spread over $salts salts")
+
+    val plainSum = big.groupBy("k").agg(sum("payload").as("sum_payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltedSum = Skew.saltedSum(big, Seq("k"), "payload", saltFactor = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plainSum == saltedSum)
   }
 
   test("IVF top-k recalls brute-force neighbors; iters=0 equals the sha-pivot oracle path") {
