@@ -146,6 +146,29 @@ class ComparisonSpec extends SparkSpec {
     }
   }
 
+  test("sources round-trip csv and json with options (S1/S3 across formats)") {
+    import graft.sources.IoUtils
+    import graft.config.{DataframeConfig, OutputConfig}
+    val tmp = Files.createTempDirectory("graft-fmt").toString
+    val df = source.dropDuplicates("id").select("id", "value", "value4")
+    for ((fmt, wOpts, rOpts) <- Seq(
+        ("csv", Map("header" -> "true"), Map("header" -> "true", "inferSchema" -> "true")),
+        ("json", Map.empty[String, String], Map.empty[String, String]))) {
+      IoUtils.writeResult(df, s"$tmp/$fmt",
+        OutputConfig(outputDir = tmp, outputFileFormat = fmt, sparkOptions = wOpts, noOfPartitions = 1))
+      val back = IoUtils.readDataframe(spark,
+        DataframeConfig(path = s"$tmp/$fmt", fileFormat = fmt, sparkOptions = rOpts))
+      val a = df.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+      // inferSchema may narrow id to int — normalize before comparing
+      import org.apache.spark.sql.functions.col
+      val b = back.select(
+          col("id").cast("long"), col("value").cast("string"), col("value4").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+      assert(a == b, s"$fmt round-trip lost data")
+    }
+  }
+
   test("nested-type canonicalization makes array and struct columns comparable") {
     import org.apache.spark.sql.functions.{col, struct}
     // arrays: concat_ws coerces them even without the flag (Spark 4);

@@ -63,6 +63,35 @@ class PlanSpec extends SparkSpec {
       "checksum scan should prune to key + checksummed columns")
   }
 
+  test("bucketed tables join co-located: zero exchanges in the plan") {
+    import graft.sources.IoUtils
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '/tmp/graft-bucket-wh'")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      IoUtils.writeBucketed(
+        spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_totalprice"),
+        "graft_buckets.b_orders", Seq("o_orderkey"), numBuckets = 8)
+      IoUtils.writeBucketed(
+        spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity"),
+        "graft_buckets.b_lineitem", Seq("l_orderkey"), numBuckets = 8)
+      val j = spark.table("graft_buckets.b_orders")
+        .join(
+          spark.table("graft_buckets.b_lineitem"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$p")
+      assert(!p.contains("Exchange ("),
+        s"bucketed join must not shuffle — the write already co-located it:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"expected bucketed scan:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_buckets.b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_buckets.b_lineitem")
+    }
+  }
+
   test("ANN plans: LSH weights broadcast-join; IVF assignment broadcasts the centroid table") {
     // LSH: the per-position weights table must come in via broadcast — the
     // corpus is never shuffled to meet it
