@@ -329,11 +329,13 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs within blocks: all pairs of rows
     * sharing `blockCol` (a cluster id, LSH bucket, shard key …) whose cosine
-    * similarity meets `threshold`. Norms ride along each exploded component
-    * as per-row expressions — computing Σqv² with an in-row `aggregate`
-    * over the materialized quantized array costs NO shuffle, so the whole
-    * operator is one equi-join on (position, block) plus one aggregation.
-    * For an unblocked corpus, feed `lshBuckets` output as the block column.
+    * similarity meets `threshold`. The quantized array and its norm ride
+    * each row, the self-join keys on the block ALONE, and the dot product
+    * is an in-row zip_with — the shuffle carries one array per row instead
+    * of dims exploded rows, and no post-join aggregation is needed (a
+    * position-exploded variant shuffled 64× the volume and paid a
+    * pair-level groupBy). For an unblocked corpus, feed `lshBuckets`
+    * output as the block column.
     */
   def embeddingNearDuplicates(
       df: DataFrame,
@@ -346,20 +348,14 @@ object Similarity {
         col(idCol).as("id"), col(blockCol).as("blk"),
         transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")).as("qa"))
       .withColumn("n2", aggregate(col("qa"), lit(0L), (acc, x) => acc + x * x))
-      .select(col("id"), col("blk"), col("n2"), posexplode(col("qa")))
-      .withColumnRenamed("col", "qv")
     e.as("a")
-      .join(e.as("b"),
-        col("a.pos") === col("b.pos") && col("a.blk") === col("b.blk") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(
-        sum(col("a.qv") * col("b.qv")).as("dot"),
-        min(col("a.n2")).as("na"), min(col("b.n2")).as("nb"))
-      .withColumn(
-        "cosine",
-        col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        aggregate(zip_with(col("a.qa"), col("b.qa"), (x, y) => x * y), lit(0L), _ + _)
+          .cast("double")
+          ./(sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
