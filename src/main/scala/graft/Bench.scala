@@ -63,6 +63,15 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Survive long driver stalls: in local mode driver + executor share
+      // one JVM, so a driver-side stall (GC, this host's slow page-fault
+      // path) starves the executor heartbeat thread too — round-2's bench
+      // died mid-queries with ExecutorExitCode.HEARTBEAT_FAILURE (56) and
+      // every cached block gone. Space heartbeats out, tolerate many
+      // misses, and raise the network timeout they're judged against.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
+      .config("spark.executor.heartbeat.maxFailures", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup AT THE TARGET scale factor: a representative subset
@@ -83,20 +92,33 @@ object Bench {
       catch { case _: Throwable => () }
     }
     Queries.clearComparisonCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def render(): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Mirror partial timings after EVERY query (atomic rewrite): round 2's
+    // JVM died mid-measurement and, because the mirror was written only at
+    // the end, the round recorded NO bench number at all. A crash now
+    // costs only the in-flight query.
+    def mirror(): Unit = try {
+      val tmp = java.nio.file.Paths.get("BENCH_LATEST.json.tmp")
+      java.nio.file.Files.writeString(tmp, render() + "\n")
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LATEST.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      results += name -> (System.nanoTime() - t0) / 1e9
+      mirror()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Mirror to a deterministic file (round-1 parse of stdout failed on
-    // sbt's "[info] " prefix; belt + suspenders), then print the bare JSON
-    // as the LAST stdout line after Spark is fully stopped.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LATEST.json"), json + "\n")
-    catch { case _: Throwable => () }
+    val json = render()
+    // The mirror file (already current) guards against stdout-parse
+    // failures (round-1's parse broke on sbt's "[info] " prefix); the
+    // bare JSON line is printed LAST, after Spark is fully stopped.
     spark.stop()
     println(json)
     System.out.flush()

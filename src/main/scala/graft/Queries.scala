@@ -384,6 +384,15 @@ object Queries {
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDuplicates(embs(s, d), "vec_id", "embedding", "label", threshold = 0.35)),
 
+    // The 100 TB usage of embedding near-dup: no caller-chosen block —
+    // multi-table LSH buckets (4 planes × 8 tables) generate candidates,
+    // so candidate cost is Σ bucket² per table instead of N²/L within
+    // coarse label blocks. sha weights keep the whole pipeline replicable
+    // in the DuckDB oracle; production callers use the xxhash64 default.
+    "q_dedup_embedding_lsh" -> ((s, d) =>
+      Similarity.lshNearDuplicates(embs(s, d), "vec_id", "embedding", threshold = 0.35,
+        numPlanes = 4, numTables = 8, weight = Similarity.shaPlaneWeight)),
+
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.attachPayload(docs(s, d), "doc_id", "text")
         .select(
@@ -467,9 +476,13 @@ object Queries {
     * position pos = first hex digit of sha256("g:pos") mod 2, exactly
     * [[Similarity.shaPlaneWeight]].
     */
-  private val lshTopKOracleSql: String = {
-    val numPlanes = 8
-    val numTables = 4
+  /** Shared CTE block of the sha-plane-weight LSH oracle replicas for a
+    * given (planes, tables) configuration: quantized position explode `e`,
+    * exact integer projections `proj` (one per global plane g, weight =
+    * parity of sha256("g:pos")'s first hex digit), per-table sign buckets
+    * `b`, and squared norms `n`.
+    */
+  private def lshOracleCtes(numPlanes: Int, numTables: Int): String = {
     val projCols = (0 until numTables * numPlanes).map { g =>
       s"SUM(qv * CASE WHEN CAST(concat('0x', substr(sha256(concat('$g:', CAST(pos AS VARCHAR))), 1, 1)) AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END) AS p$g"
     }.mkString(",\n    ")
@@ -479,14 +492,18 @@ object Queries {
         .mkString(" + ")
       s"SELECT vec_id, $t AS tbl, ($bucket) AS bucket FROM proj"
     }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+    s"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
        |  FROM embeddings),
        |proj AS (SELECT vec_id,
        |    $projCols
        |  FROM e GROUP BY vec_id),
        |b AS ($tableSelects),
-       |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+       |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id)""".stripMargin
+  }
+
+  private val lshTopKOracleSql: String = {
+    s"""WITH ${lshOracleCtes(numPlanes = 8, numTables = 4)},
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
        |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
@@ -502,6 +519,25 @@ object Queries {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
        |  FROM sc) WHERE rn <= 3""".stripMargin
   }
+
+  /** DuckDB replica of the LSH-blocked embedding near-dup pipeline
+    * (matching q_dedup_embedding_lsh: 4 planes × 8 tables, sha weights,
+    * threshold 0.35): sign buckets → same-(table, bucket) candidate pairs
+    * (cross-table distinct) → exact fixed-point cosine → threshold filter.
+    */
+  private val embeddingLshOracleSql: String =
+    s"""WITH ${lshOracleCtes(numPlanes = 4, numTables = 8)},
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |d AS (SELECT id_a, id_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = id_a
+       |  JOIN e eb ON eb.vec_id = id_b AND ea.pos = eb.pos
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.35""".stripMargin
 
   /** DuckDB replica of the iters=0 IVF cluster-pruning ANN pipeline
     * (matching q_sim_ivf_topk's parameters: 16 sha-sampled pivots, 4
@@ -566,6 +602,8 @@ object Queries {
     "q_dedup_simhash" -> simhashOracleSql,
 
     "q_sim_lsh_topk" -> lshTopKOracleSql,
+
+    "q_dedup_embedding_lsh" -> embeddingLshOracleSql,
 
     "q_sim_ivf_topk" -> ivfTopKOracleSql,
 

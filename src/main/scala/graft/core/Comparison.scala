@@ -205,52 +205,87 @@ object Comparison {
     }.toMap
 
   /** Every report number in ONE Spark job: missing/matched key counts,
-    * per-side totals and duplicate-key counts, and per-column mismatch
-    * sums, unioned as tagged (k, map) rows and collected once.
+    * per-column mismatch sums, and per-side totals / duplicate-key counts,
+    * unioned as tagged (k, map) rows and collected once.
     *
-    *  - missing/matched keys aggregate per key FIRST — `joined` is already
-    *    hash-partitioned by the primary keys coming out of the sort-merge
-    *    join, so that aggregation reuses the join's partitioning with NO
-    *    exchange (a `count_distinct` formulation would EXPAND and reshuffle
-    *    the full joined frame three times). Value-identical with the
-    *    reference's separate passes (`comparison_job.py:67, 91-97, 236`): a
-    *    key is missing/matched in the distinct row-level report iff it has
-    *    a null-checksum/matched row in the join.
+    *  - missing/matched keys and the column sums come out of ONE
+    *    aggregation over `joinedRaw` with the tolerance predicates inlined
+    *    (guarded by the both-present-and-checksum-mismatch condition, so
+    *    they evaluate exactly where the fold-back pipeline evaluates
+    *    them). The frame is already hash-partitioned by the primary keys
+    *    coming out of the sort-merge join, so the per-key step reuses the
+    *    join's partitioning with NO exchange. Value-identical with
+    *    aggregating the folded-back frame: the fold-back join only ever
+    *    multiplies rows WITHIN a key (and per-key `max` ignores
+    *    multiplicity), a row is effectively matched iff its checksums
+    *    match or every tolerance predicate holds (`<=> true`, matching the
+    *    fold-back's null-dropping filter), and the per-column sums count
+    *    exactly the after-tolerance-unmatched rows failing that column
+    *    (`comparison_job.py:101-118`; a NULL-poisoned predicate counts 0,
+    *    like the reference). Keeping the fold-back join OUT of the stats
+    *    path saves a second pass over the joined frame — at 100 TB the
+    *    eager job is one aggregation over the join output, nothing more.
     *  - the reference's four side-count actions (`comparison_job.py:67-84`)
     *    become one (side, key) aggregation: total = Σ per-key counts,
     *    dups = #keys with count > 1 — identical by construction.
-    *  - per-column sums (`comparison_job.py:101-118`) ride along as one
-    *    more aggregate over the tolerance mismatch rows.
     *
     * The subtrees share the persisted src/tgt/joinedRaw frames; partitions
     * raced by concurrent stages merely compute the cheap checksum
     * projection twice before the cache settles. One job replaces the
     * reference's seven-plus full-table actions — the dominant win at
-    * 100 TB is that nothing here shuffles the joined frame again.
+    * 100 TB is that nothing here shuffles or re-joins the joined frame.
     */
   private def collectStats(
       src: DataFrame,
       tgt: DataFrame,
-      joined: DataFrame,
+      joinedRaw: DataFrame,
       keyCols: Seq[String],
-      unmatchedRecords: DataFrame,
-      nonKeyCols: Seq[String]): ((Long, Long, Long), (Long, Long, Long, Long), Map[String, Long]) = {
+      nonKeyFields: Seq[StructField],
+      params: TestParams): ((Long, Long, Long), (Long, Long, Long, Long), Map[String, Long]) = {
     val keyColumns = keyCols.map(col)
-    val matchRow = joined
-      .groupBy(keyColumns: _*)
-      .agg(
+    val nonKeyCols = nonKeyFields.map(_.name)
+    val bothPresent =
+      col(srcCol(ChkSumCol)).isNotNull && col(tgtCol(ChkSumCol)).isNotNull
+    val rowTolMatched = nonKeyFields
+      .map(f => matchedPredicate(f, params))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val effMatched =
+      col(AllRowsMatchedCol) || (bothPresent && (rowTolMatched <=> lit(true)))
+    // row ends up in unmatched_records: present on both sides, checksum
+    // mismatch, and not rescued by tolerance
+    val isUnmatched =
+      bothPresent && !col(AllRowsMatchedCol) && !(rowTolMatched <=> lit(true))
+    // "col:" prefix namespaces the per-column entries away from the fixed
+    // stat keys (a dataset column could be literally named "matched")
+    val perKey =
+      Seq(
         max(when(col(srcCol(ChkSumCol)).isNull, 1L).otherwise(0L)).as("ms"),
         max(when(col(tgtCol(ChkSumCol)).isNull, 1L).otherwise(0L)).as("mt"),
-        max(when(col(AllRowsMatchedCol), 1L).otherwise(0L)).as("mm"))
-      .agg(
+        max(when(effMatched, 1L).otherwise(0L)).as("mm")) ++
+        nonKeyFields.zipWithIndex.map { case (f, i) =>
+          sum(when(isUnmatched && when(!matchedPredicate(f, params), true).otherwise(false), 1L)
+            .otherwise(0L)).as(s"cs$i")
+        }
+    val total =
+      Seq(
         coalesce(sum("ms"), lit(0L)).as("miss_src"),
         coalesce(sum("mt"), lit(0L)).as("miss_tgt"),
-        coalesce(sum("mm"), lit(0L)).as("matched"))
+        coalesce(sum("mm"), lit(0L)).as("matched")) ++
+        nonKeyCols.indices.map(i => coalesce(sum(s"cs$i"), lit(0L)).as(s"cs$i"))
+    val matchRow = joinedRaw
+      .groupBy(keyColumns: _*)
+      .agg(perKey.head, perKey.tail: _*)
+      .agg(total.head, total.tail: _*)
       .select(
         lit("match").as("k"),
         map(
-          lit("miss_src"), col("miss_src"), lit("miss_tgt"), col("miss_tgt"),
-          lit("matched"), col("matched")).as("m"))
+          Seq(
+            lit("miss_src"), col("miss_src"), lit("miss_tgt"), col("miss_tgt"),
+            lit("matched"), col("matched")) ++
+            nonKeyCols.zipWithIndex.flatMap { case (c, i) =>
+              Seq(lit(s"col:$c"), col(s"cs$i"))
+            }: _*).as("m"))
     val side = "_side"
     val sideRow = src
       .select(keyColumns: _*)
@@ -268,26 +303,14 @@ object Comparison {
         map(
           lit("src_total"), col("src_total"), lit("src_dups"), col("src_dups"),
           lit("tgt_total"), col("tgt_total"), lit("tgt_dups"), col("tgt_dups")).as("m"))
-    val withCols =
-      if (nonKeyCols.isEmpty) matchRow.unionByName(sideRow)
-      else {
-        val sums = nonKeyCols.map(c =>
-          coalesce(sum(when(!col(matchedCol(c)), 1L).otherwise(0L)), lit(0L)).as(c))
-        val colRow = unmatchedRecords
-          .agg(sums.head, sums.tail: _*)
-          .select(
-            lit("cols").as("k"),
-            map(nonKeyCols.flatMap(c => Seq(lit(c), col(c))): _*).as("m"))
-        matchRow.unionByName(sideRow).unionByName(colRow)
-      }
-    val byK = withCols.collect()
+    val byK = matchRow.unionByName(sideRow).collect()
       .map(r => r.getString(0) -> r.getMap[String, Long](1))
       .toMap
     val mk = byK("match")
     val s = byK("side")
     ((mk("miss_src"), mk("miss_tgt"), mk("matched")),
       (s("src_total"), s("src_dups"), s("tgt_total"), s("tgt_dups")),
-      byK.get("cols").map(m => nonKeyCols.map(c => c -> m(c)).toMap).getOrElse(Map.empty))
+      nonKeyCols.map(c => c -> mk(s"col:$c")).toMap)
   }
 
   /** Overall report (`comparison_job.py:66-99`): one row of per-side
@@ -382,11 +405,12 @@ object Comparison {
 
     val unmatchedRecords = afterTolerance.filter(!col(AllRowsMatchedAfterTolCol))
 
-    // ONE eager action builds every report number (and fills the persisted
-    // chain as a side effect). The row-level report stays lazy — its
-    // window + distinct run only when a caller materializes it.
+    // ONE eager action over the RAW join builds every report number (and
+    // fills the persisted src/tgt/joinedRaw chain as a side effect). The
+    // fold-back join and the row-level report stay lazy — their join +
+    // window + distinct run only when a caller materializes them.
     val ((missSrc, missTgt, matchedCount), sideTotals, colSums) =
-      collectStats(src, tgt, joined, keyCols, unmatchedRecords, nonKeyCols)
+      collectStats(src, tgt, joinedRaw, keyCols, nonKeyFields, params.testParams)
 
     val colLvl = columnLevelReport(spark, params.datasetName, nonKeyCols, colSums)
     val rowLvl = rowLevelReport(params.datasetName, joined, keyCols)

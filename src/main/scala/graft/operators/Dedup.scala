@@ -104,6 +104,12 @@ object Dedup {
     *        hot tokens are not reported; documents whose every token is hot
     *        drop out. At the default cap no test-scale corpus has a hot
     *        token, so the full-space brute-force oracle matches bit-for-bit.
+    *        The cap also bounds the in-row pair emission: a posting row
+    *        expands to at most maxDf·(maxDf−1)/2 pair structs before the
+    *        per-pair count aggregation, so the default (1000) keeps the
+    *        worst single row under ~5×10⁵ structs — executor-safe. (The
+    *        previous 10000 default allowed ~5×10⁷ structs in ONE row, an
+    *        OOM risk the cap exists to prevent.)
     * @param dropObservation optional [[Observation]] reporting
     *        `dropped_tokens` = #(block, token) posting lists the cap
     *        discarded, so operators can alert on corpora where the cap
@@ -116,7 +122,7 @@ object Dedup {
       blockCol: String,
       threshold: Double,
       tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_),
-      maxDf: Int = 10000,
+      maxDf: Int = 1000,
       dropObservation: Option[Observation] = None): DataFrame = {
     // Single tokenize pass: gather each token's (sorted, df-capped) posting
     // list and emit the pair combinations in-row — no self-join, so the
@@ -256,14 +262,28 @@ object Dedup {
       .agg(perHash.head, perHash.tail: _*)
       .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
     val cands = minhashCandidatePairs(sigs, bands, numHashes / bands)
-    val sets = tokenized.withColumnRenamed("__set", "toks")
+    // Count-based exact verify, no arrays through joins: ship each
+    // candidate pair's A-side tokens once, probe the B side on (doc, tok),
+    // and count the matches — |∩| as a codegen'd count, |∪| = nA + nB − |∩|
+    // from per-doc set sizes (__set is array_distinct'd, so the exploded
+    // (doc, tok) rows are exactly the set). The previous shape joined the
+    // FULL shingle arrays to every candidate and paid a per-pair
+    // array_intersect/array_union hash build — measured 5-7× slower at
+    // sf0.1, and at corpus scale it shipped two whole token arrays per
+    // candidate through two joins. Pairs with an empty intersection drop
+    // out of the inner count-join; they cannot meet a positive threshold.
+    val sizes = tokenized.select(col("doc"), size(col("__set")).as("n"))
     cands
-      .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
-      .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+      .join(toks.select(col("doc").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn(
         "jaccard",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double"))
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -307,6 +307,8 @@ object Similarity {
               sqrt(aggregate(col("cvec"), lit(0.0), (acc, y) => acc + y * y))))
       }
 
+    // nprobe nearest cells per QUERY row: a row_number window is fine here
+    // — the frame is |Q|·nlist and the query set is small by construction.
     def probe(rows: DataFrame, n: Int): DataFrame =
       rows
         .crossJoin(broadcast(cents))
@@ -318,9 +320,23 @@ object Similarity {
         .filter(col("__rn") <= n)
         .select(col(idCol), col("cell"), col("__qa"), col("__n2"))
 
+    // Nearest cell per CORPUS row: a window here would shuffle AND sort the
+    // full N·nlist cross-join (an nlist× data explosion of a 100 TB table).
+    // The max(struct) argmax instead partial-aggregates map-side inside the
+    // cross-join's stage, so the only shuffle carries one row per corpus
+    // vector. Tie semantics match the window's (score desc, cell asc):
+    // max on (s, -cell) breaks score ties toward the LOWEST cell id.
+    val assigned = corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", score)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cs").as("s"), (-col("cell")).as("nc"),
+        col("__qa").as("qa"), col("__n2").as("n2"))).as("b"))
+      .select(col(idCol), (-col("b.nc")).as("cell"), col("b.qa").as("__qa"), col("b.n2").as("__n2"))
+
     val q = probe(queries, nprobe)
       .select(col(idCol).as("query_id"), col("cell"), col("__qa").as("qa"), col("__n2").as("qn"))
-    val c = probe(corpus, 1)
+    val c = assigned
       .select(col(idCol).as("cand_id"), col("cell"), col("__qa").as("ca"), col("__n2").as("cn"))
     val pairs = q.join(c, Seq("cell"))
       .dropDuplicates("query_id", "cand_id")
@@ -358,6 +374,48 @@ object Similarity {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs over an UNBLOCKED corpus: multi-table
+    * LSH buckets are the blocking key, so no caller-chosen block is needed
+    * and candidate cost is Σ bucket-size² per table instead of N²/L within
+    * coarse blocks — this is the 100 TB shape of
+    * [[embeddingNearDuplicates]]. Pairs are scored in-row (exact
+    * fixed-point dot) BEFORE the cross-table dedup, so the distinct's
+    * shuffle carries three scalar columns, not the quantized arrays.
+    * Recall is governed by planes/tables exactly as in [[lshBucketedTopK]]:
+    * fewer planes = bigger buckets = higher recall; at a near-dup
+    * threshold t the per-plane collision probability is 1 − acos(t)/π.
+    */
+  def lshNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      numPlanes: Int = 16,
+      numTables: Int = 8,
+      weight: (Int, Column) => Column = xxPlaneWeight): DataFrame = {
+    val base = df
+      .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
+      .withColumn("__n2", aggregate(col("__qa"), lit(0L), (acc, x) => acc + x * x))
+    val buckets = lshBuckets(df, idCol, embCol, numPlanes, numTables, weight)
+      .withColumnRenamed("id", "__bucket_id")
+    val e = base.join(buckets, col(idCol) === col("__bucket_id"))
+      .select(col(idCol).as("id"), col("table"), col("bucket"),
+        col("__qa").as("qa"), col("__n2").as("n2"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.qa"), col("b.qa"), (x, y) => x * y), lit(0L), _ + _)
+          .cast("double") /
+          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // a pair colliding in several tables scores identically each time
+      // (exact integer dot), so the dedup is safe after scoring
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** In-row cosine via higher-order array functions (zip_with + aggregate).

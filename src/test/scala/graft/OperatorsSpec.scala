@@ -95,6 +95,21 @@ class OperatorsSpec extends SparkSpec {
     assert(dropped > 0, s"expected hot shingles to be dropped, observed $dropped")
   }
 
+  test("jaccard maxDf is a hard per-token emission bound (boundary-exact)") {
+    // 6 docs share exactly one token ("zzz", df = 6); everything else is
+    // unique. At cap = df the posting row is emitted (6·5/2 = 15 pairs,
+    // each with |∩| = 1); at cap = df − 1 the row — and with it every
+    // pair — is dropped, pinning that maxDf caps the in-row pair
+    // expansion at maxDf·(maxDf−1)/2 structs.
+    val corpus = (1L to 6L).map(i => (i, s"zzz u$i v$i w$i x$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    def pairsAt(cap: Int): Long =
+      Dedup.jaccardPairs(corpus, "doc_id", "text", "lang", threshold = 0.0001,
+        tokenizer = array_distinct(_), maxDf = cap).count()
+    assert(pairsAt(6) == 15L)
+    assert(pairsAt(5) == 0L)
+  }
+
   test("simhash multi-probe blocking finds every pair within maxHamming (exact recall)") {
     // corpus where near-dup pairs can differ anywhere in the 64-bit hash —
     // multi-probe must find exactly the pairs a brute-force join finds
@@ -165,6 +180,47 @@ class OperatorsSpec extends SparkSpec {
     val ivf2 = pairs(Similarity.ivfTopK(embs, "vec_id", "embedding", pred, k = 3,
       nlist = 16, nprobe = 4, iters = 2))
     assert(ivf == ivf2)
+  }
+
+  test("IVF recall sweep (Lloyd path, sf0.01): monotone in nprobe, exact at nprobe = nlist") {
+    // Documents the recall/nprobe trade for the PRODUCTION configuration
+    // (Lloyd iters = 2, xxhash64 pivots — the path q_sim_ivf_topk's
+    // iters=0 oracle does NOT cover). Probing more cells only ever adds
+    // candidates, and the verify stage is exact, so recall is monotone;
+    // at nprobe = nlist every corpus cell is probed and the result IS the
+    // brute-force top-k.
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val pred = col("vec_id") < 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(embs, "vec_id", "embedding", pred, k = 5))
+    val recalls = Seq(1, 4, 16).map { np =>
+      val r = pairs(Similarity.ivfTopK(embs, "vec_id", "embedding", pred, k = 5,
+        nlist = 16, nprobe = np, iters = 2))
+      np -> (brute & r).size.toDouble / brute.size
+    }
+    assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => a <= b },
+      s"recall not monotone in nprobe: $recalls")
+    // measured on this synthetic corpus: ~0.2 @ nprobe=1, ~0.6 @ 4, 1.0 @ 16
+    // — near-uniform random embeddings are ANN's worst case, so the
+    // documented trade is the sweep itself, not a high floor
+    assert(recalls.head._2 > 0.0, s"nprobe=1 recall collapsed: $recalls")
+    assert(recalls.last._2 == 1.0, s"nprobe=nlist must equal brute force: $recalls")
+  }
+
+  test("LSH-blocked embedding near-duplicates find cross-block pairs without a label") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),
+      (4L, Array(0.95f, 0.05f), 1) // near 1 and 2, but in a different label block
+    ).toDF("vec_id", "embedding", "label")
+    // label-blocked misses (1,4)/(2,4); the LSH-blocked variant needs no
+    // block column and finds all three high-cosine pairs
+    val pairs = Similarity.lshNearDuplicates(emb, "vec_id", "embedding", threshold = 0.9,
+        numPlanes = 4, numTables = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $pairs")
   }
 
   private lazy val vecs = Seq(

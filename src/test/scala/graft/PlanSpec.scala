@@ -103,6 +103,13 @@ class PlanSpec extends SparkSpec {
     val ivf = plan("q_sim_ivf_topk")
     assert(ivf.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast centroid assignment:\n$ivf")
+    // Corpus-side cell assignment must NOT be a window over the
+    // corpus×centroid cross-join — that shape shuffles AND sorts an
+    // nlist×-exploded copy of the corpus. The argmax is a hash aggregate
+    // (partial agg inside the cross-join's stage); the only windows left
+    // are the small query-side probe and the final per-query top-k.
+    val windows = ivf.linesIterator.count(_.contains("Window ("))
+    assert(windows <= 2, s"corpus assignment reintroduced a window ($windows found):\n$ivf")
   }
 
   test("AQE splits a skewed left-outer join; full-outer is unsplittable by design") {
