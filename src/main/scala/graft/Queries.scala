@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.config.{DatasetParams, TestParams}
 import graft.core.Comparison
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, Temporal}
 
 /** The operator catalog behind [[SparkEntry]]: one query per operator class
   * in SURVEY.md §2 plus the LLM-pipeline extension operators, each paired
@@ -427,7 +427,23 @@ object Queries {
           col("user_id"),
           unix_micros(col("session_start")).as("session_start_us"),
           unix_micros(col("session_end")).as("session_end_us"),
-          col("n_events"), col("total_value"))))
+          col("n_events"), col("total_value"))),
+
+    // As-of join: every purchase gets the user's latest view value at or
+    // before it (views pre-aggregated to unique (user, µs), the operator's
+    // determinism requirement). Oracle = DuckDB's native ASOF LEFT JOIN.
+    "q_events_asof" -> ((s, d) => {
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("us"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max(col("value")).as("view_value"))
+      Temporal.asOfJoin(purchases, views, Seq("user_id"), "us", "us", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("view_value_asof").as("view_value"), col("us_asof").as("view_us"))
+    }))
 
   // ---- oracles ----------------------------------------------------------
 
@@ -897,6 +913,15 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |    event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, us, MAX(value) AS view_value
+        |  FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.us, v.view_value, v.us AS view_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
 
     // 8 h gap = 28800000000 µs; a session closes gap after its last event.
     // Spark merges an event into the open session iff it starts STRICTLY
