@@ -93,17 +93,23 @@ object Bench {
     }
     Queries.clearComparisonCache()
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def render(): String = {
+    val expected = SparkEntry.queries.size
+    // "complete" distinguishes a finished run from a crash-truncated mirror:
+    // a partial mirror sums FEWER queries, which reads as a dramatically
+    // faster benchmark to any consumer that falls back to it after the
+    // process dies (round 2 hit exactly this). expected_queries gives the
+    // same signal to consumers that only compare counts.
+    def render(complete: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir","complete":$complete,"expected_queries":$expected}"""
     }
     // Mirror partial timings after EVERY query (atomic rewrite): round 2's
     // JVM died mid-measurement and, because the mirror was written only at
     // the end, the round recorded NO bench number at all. A crash now
     // costs only the in-flight query.
-    def mirror(): Unit = try {
+    def mirror(complete: Boolean): Unit = try {
       val tmp = java.nio.file.Paths.get("BENCH_LATEST.json.tmp")
-      java.nio.file.Files.writeString(tmp, render() + "\n")
+      java.nio.file.Files.writeString(tmp, render(complete) + "\n")
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LATEST.json"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -113,9 +119,10 @@ object Bench {
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       results += name -> (System.nanoTime() - t0) / 1e9
-      mirror()
+      mirror(complete = false)
     }
-    val json = render()
+    mirror(complete = true)
+    val json = render(complete = true)
     // The mirror file (already current) guards against stdout-parse
     // failures (round-1's parse broke on sbt's "[info] " prefix); the
     // bare JSON line is printed LAST, after Spark is fully stopped.

@@ -381,17 +381,26 @@ object Queries {
       Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3,
         nlist = 16, nprobe = 4, iters = 0, pivotHash = Similarity.shaPivotHash)),
 
+    // targetChunkSize 25 exercises the triangle sub-chunking at test scale
+    // (sf0.1's 200-row label blocks split into 8 chunks → 36 pair-tasks per
+    // block instead of ONE task per label); the output is identical at any
+    // chunk size, so the oracle is chunking-agnostic.
     "q_dedup_embedding" -> ((s, d) =>
-      Similarity.embeddingNearDuplicates(embs(s, d), "vec_id", "embedding", "label", threshold = 0.35)),
+      Similarity.embeddingNearDuplicates(embs(s, d), "vec_id", "embedding", "label",
+        threshold = 0.35, targetChunkSize = 25)),
 
     // The 100 TB usage of embedding near-dup: no caller-chosen block —
-    // multi-table LSH buckets (4 planes × 8 tables) generate candidates,
+    // multi-table LSH buckets (8 planes × 4 tables) generate candidates,
     // so candidate cost is Σ bucket² per table instead of N²/L within
-    // coarse label blocks. sha weights keep the whole pipeline replicable
-    // in the DuckDB oracle; production callers use the xxhash64 default.
+    // coarse label blocks. 8 planes = 256 buckets/table keeps expected
+    // bucket size O(N/256); the earlier 4-plane demo had a CONSTANT 16
+    // buckets per table, i.e. O(N²/16) candidates — nearly all-pairs.
+    // sha weights keep the whole pipeline replicable in the DuckDB oracle
+    // (which recomputes the same buckets at any plane count); production
+    // callers use the xxhash64 default (16 planes × 8 tables).
     "q_dedup_embedding_lsh" -> ((s, d) =>
       Similarity.lshNearDuplicates(embs(s, d), "vec_id", "embedding", threshold = 0.35,
-        numPlanes = 4, numTables = 8, weight = Similarity.shaPlaneWeight)),
+        numPlanes = 8, numTables = 4, weight = Similarity.shaPlaneWeight)),
 
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.attachPayload(docs(s, d), "doc_id", "text")
@@ -537,12 +546,12 @@ object Queries {
   }
 
   /** DuckDB replica of the LSH-blocked embedding near-dup pipeline
-    * (matching q_dedup_embedding_lsh: 4 planes × 8 tables, sha weights,
+    * (matching q_dedup_embedding_lsh: 8 planes × 4 tables, sha weights,
     * threshold 0.35): sign buckets → same-(table, bucket) candidate pairs
     * (cross-table distinct) → exact fixed-point cosine → threshold filter.
     */
   private val embeddingLshOracleSql: String =
-    s"""WITH ${lshOracleCtes(numPlanes = 4, numTables = 8)},
+    s"""WITH ${lshOracleCtes(numPlanes = 8, numTables = 4)},
        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |d AS (SELECT id_a, id_b, CAST(SUM(ea.qv * eb.qv) AS BIGINT) AS dot

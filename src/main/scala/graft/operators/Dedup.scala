@@ -84,7 +84,12 @@ object Dedup {
           extraCols.map { case (c, a) => col(c).as(a) } :+
           TextAnalysis.tokens(col(textCol)).as("__words"): _*)
       .repartition(col("doc"))
-      .withColumn("__set", tokenizer(col("__words")))
+      // Defensive distinct: every consumer treats __set as a SET — sizes
+      // come from size(__set) and intersections from count-joins over the
+      // exploded rows, both of which silently overcount (Σ mult_a·mult_b)
+      // if a caller-supplied tokenizer returns a multiset. array_distinct
+      // is a no-op for the built-in tokenizers, which already dedupe.
+      .withColumn("__set", array_distinct(tokenizer(col("__words"))))
       .drop("__words")
       .localCheckpoint(false)
 
@@ -240,6 +245,13 @@ object Dedup {
     * exact Jaccard on the candidate set only (the standard
     * generate-then-verify shape; false positives are filtered, recall is
     * governed by the band/row choice).
+    *
+    * Requires `threshold > 0`: candidate pairs with an EMPTY intersection
+    * drop out of the verify count-join before the threshold filter (they
+    * cannot meet a positive threshold, and banding never emits them anyway
+    * — docs sharing no token share no signature minimum except by hash
+    * coincidence). A threshold of 0 would semantically admit every
+    * candidate pair; this operator is not that query.
     */
   def minhashNearDuplicates(
       df: DataFrame,

@@ -346,28 +346,66 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs within blocks: all pairs of rows
     * sharing `blockCol` (a cluster id, LSH bucket, shard key …) whose cosine
     * similarity meets `threshold`. The quantized array and its norm ride
-    * each row, the self-join keys on the block ALONE, and the dot product
-    * is an in-row zip_with — the shuffle carries one array per row instead
-    * of dims exploded rows, and no post-join aggregation is needed (a
-    * position-exploded variant shuffled 64× the volume and paid a
-    * pair-level groupBy). For an unblocked corpus, feed `lshBuckets`
-    * output as the block column.
+    * each row and the dot product is an in-row zip_with — the shuffle
+    * carries one array per row instead of dims exploded rows, and no
+    * post-join aggregation is needed (a position-exploded variant shuffled
+    * 64× the volume and paid a pair-level groupBy).
+    *
+    * Parallelism does NOT depend on block cardinality: each block is split
+    * into ⌈size/targetChunkSize⌉ hash sub-chunks and the self-join keys on
+    * (block, chunk_a, chunk_b) — a "triangle" partitioning of the per-block
+    * pair matrix. A naive join on the block alone caps parallelism at the
+    * number of distinct blocks (10 coarse labels = 10 tasks on any cluster)
+    * and puts a whole block's quadratic pair work in ONE task; chunking
+    * yields nch·(nch+1)/2 tasks per block of ≤ targetChunkSize² pairs each.
+    * The cost is shuffle replication: each row ships to ~nch chunk-pair
+    * keys, i.e. ~size²/targetChunkSize rows per block — negligible next to
+    * the size²/2 pair evaluations that are inherent to the semantics.
+    * Blocks at or below `targetChunkSize` keep a single chunk (no
+    * replication, exactly the naive plan). Output is identical for any
+    * `targetChunkSize`: every within-block pair is covered exactly once
+    * (same-chunk pairs by the id order, cross-chunk pairs by the chunk
+    * order) and the fixed-point cosine is bit-deterministic.
+    *
+    * For an unblocked corpus, use [[lshNearDuplicates]] (LSH buckets are
+    * the block), which bounds the quadratic term itself.
     */
   def embeddingNearDuplicates(
       df: DataFrame,
       idCol: String,
       embCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      targetChunkSize: Int = 4096): DataFrame = {
+    require(targetChunkSize >= 1, s"targetChunkSize must be >= 1, got $targetChunkSize")
     val e = df
       .select(
         col(idCol).as("id"), col(blockCol).as("blk"),
         transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")).as("qa"))
       .withColumn("n2", aggregate(col("qa"), lit(0L), (acc, x) => acc + x * x))
-    e.as("a")
-      .join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    // Per-block chunk count from one scalar-only aggregation; the join back
+    // reuses the aggregation's hash partitioning on blk.
+    val chunks = e.groupBy("blk").agg(
+      ceil(count(lit(1)).cast("double") / lit(targetChunkSize)).cast("int").as("__nch"))
+    val ec = e.join(chunks, "blk")
+      .withColumn("__c", pmod(xxhash64(col("id")), col("__nch")).cast("int"))
+    // Triangle enumeration: a row in chunk c serves as the LEFT element of
+    // chunk pairs (c, j) for j ∈ [c, nch) and as the RIGHT element of
+    // (i, c) for i ∈ [0, c]. Every unordered row pair meets exactly once:
+    // cross-chunk pairs at their unique (min, max) chunk key, same-chunk
+    // pairs under the id-order predicate.
+    val a = ec.select(col("blk"), col("id"), col("qa"), col("n2"),
+      col("__c").as("__ci"), explode(sequence(col("__c"), col("__nch") - 1)).as("__cj"))
+    val b = ec.select(col("blk"), col("id"), col("qa"), col("n2"),
+      explode(sequence(lit(0), col("__c"))).as("__ci"), col("__c").as("__cj"))
+    a.as("a")
+      .join(b.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.__ci") === col("b.__ci") && col("a.__cj") === col("b.__cj") &&
+          (col("a.__ci") =!= col("a.__cj") || col("a.id") < col("b.id")))
       .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         aggregate(zip_with(col("a.qa"), col("b.qa"), (x, y) => x * y), lit(0L), _ + _)
           .cast("double")
           ./(sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))

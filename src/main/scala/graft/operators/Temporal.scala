@@ -25,10 +25,13 @@ object Temporal {
     *
     * Requirements: the sides share key column names; right rows are unique
     * per (keys, rightTs) — pre-aggregate otherwise, or results depend on
-    * sort ties; NULLs in right `valueCols` are treated as no-observation
-    * (the previous non-null value carries). With `tolerance` the ts
-    * columns must be numeric: matches older than `leftTs − tolerance`
-    * (exclusive) are nulled out, rows kept.
+    * sort ties. The matched right row is carried WHOLESALE as one struct
+    * through a single `last(ignoreNulls)` window, so every output value
+    * and the matched timestamp always come from the SAME right row — a
+    * NULL in a matched row's value column attaches as NULL (exactly
+    * DuckDB/pandas ASOF), never a stale (older-row value, newer-row ts)
+    * mix. With `tolerance` the ts columns must be numeric: matches older
+    * than `leftTs − tolerance` (exclusive) are nulled out, rows kept.
     */
   def asOfJoin(
       left: DataFrame,
@@ -56,16 +59,23 @@ object Temporal {
       payload.map(c => lit(null).cast(lTypes(c)).as(c)) ++
       valueCols.map(c => col(c).as(s"$c$suffix"))
     val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
-    // one window spec for every carried column → a single Window operator
+    // one window spec and ONE carried expression → a single Window operator
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The whole right row rides as one struct (non-null exactly on right
+    // rows), so last(ignoreNulls) picks the latest qualifying right row
+    // WHOLESALE — per-column windows would pair an older non-null value
+    // with a newer row's timestamp whenever the matched row has a NULL.
+    val rightStruct = when(
+      col("__side") === 0,
+      struct(col("__ts").as("__rts") +: valueCols.map(c => col(s"$c$suffix")): _*))
     val carried = u
+      .withColumn("__asof", last(rightStruct, ignoreNulls = true).over(w))
       .withColumns(valueCols.map(c =>
-        s"$c$suffix" -> last(col(s"$c$suffix"), ignoreNulls = true).over(w)).toMap)
-      .withColumn(tsOut,
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+        s"$c$suffix" -> col(s"__asof.$c$suffix")).toMap)
+      .withColumn(tsOut, col("__asof.__rts"))
     val leftRows = carried.filter(col("__side") === 1)
     val bounded = tolerance match {
       case Some(tol) =>

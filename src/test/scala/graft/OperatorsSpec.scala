@@ -250,6 +250,28 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("embedding near-dup sub-chunking never changes the output") {
+    // 60 vectors in ONE block around the unit circle: at chunk size 7 the
+    // block splits into 9 hash chunks (45 chunk-pair keys vs 1 block key);
+    // the pair set and exact fixed-point cosines must be identical to the
+    // single-chunk (naive) plan — chunking is pure parallelism.
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Array(math.cos(i * 0.15).toFloat, math.sin(i * 0.15).toFloat), 0)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def run(chunk: Int): Set[(Long, Long, Double)] =
+      Similarity.embeddingNearDuplicates(emb, "vec_id", "embedding", "label", 0.95, chunk)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+        .toSet
+    val naive = run(Int.MaxValue)
+    val chunked = run(7)
+    assert(naive.nonEmpty, "degenerate test: no near-dup pairs at all")
+    // cos distance 0.15 rad ≈ 0.9888 ≥ 0.95: adjacent pairs must be found
+    assert(naive.exists { case (a, b, _) => b == a + 1 })
+    assert(chunked == naive, s"chunked minus naive: ${chunked -- naive}; missing: ${naive -- chunked}")
+  }
+
   test("cosineExpr matches hand-computed cosine") {
     val c = vecs.filter(col("vec_id") === 0L)
       .select(Similarity.cosineExpr(col("embedding"), col("embedding")).as("c"))

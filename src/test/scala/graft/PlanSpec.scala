@@ -112,6 +112,21 @@ class PlanSpec extends SparkSpec {
     assert(windows <= 2, s"corpus assignment reintroduced a window ($windows found):\n$ivf")
   }
 
+  test("embedding near-dup pair join keys on (block, chunk, chunk) — parallelism not bound by block cardinality") {
+    // The self-join must hash-partition by the sub-chunk keys, not the block
+    // alone: with only the block in the join keys, parallelism collapses to
+    // the number of distinct blocks (10 labels = 10 tasks on any cluster).
+    val p = plan("q_dedup_embedding")
+    // formatted explain prints equi-join keys as "Left/Right keys [..]"
+    // lines. blk-only joins also exist (the chunk-count join-back, a
+    // 1-row-per-block lookup); the PAIR join is the one carrying all three
+    // keys — its presence pins that pair work partitions by sub-chunk.
+    val keyLines = p.linesIterator.filter(l => l.contains("keys") && l.contains("blk")).toSeq
+    assert(keyLines.nonEmpty, s"no equi-join on blk found — plan shape changed:\n$p")
+    assert(keyLines.exists(l => l.contains("__ci") && l.contains("__cj")),
+      s"no join keyed on (blk, __ci, __cj) — pair parallelism is back to block cardinality: $keyLines")
+  }
+
   test("AQE splits a skewed left-outer join; full-outer is unsplittable by design") {
     import org.apache.spark.sql.functions._
     // Thresholds low enough that a single hot key trips skew detection at
