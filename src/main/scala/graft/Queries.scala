@@ -333,6 +333,11 @@ object Queries {
         col("lang"),
         TextAnalysis.langId(col("text")).as("predicted_lang"))),
 
+    "q_text_bpe" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
     "q_dedup_exact" -> ((s, d) => {
       val dd = docs(s, d)
       Dedup.exactDuplicateGroups(
@@ -855,6 +860,17 @@ object Queries {
         |SELECT d.doc_id, d.lang,
         |  CASE WHEN b.h > 0 THEN b.lang ELSE 'und' END AS predicted_lang
         |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin,
+
+    // replicates TextAnalysis.approxBpeTokenCount: per word,
+    // max(1, ceil(len/4)) sub-word tokens, summed; 0 for blank text
+    "q_text_bpe" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE list_sum(list_transform(
+        |              string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
+        |       END AS INTEGER) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH u AS (SELECT * FROM documents

@@ -261,6 +261,10 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
+    require(threshold > 0,
+      s"minhashNearDuplicates requires threshold > 0 (got $threshold): " +
+        "empty-intersection candidate pairs drop out of the verify count-join, " +
+        "so a non-positive threshold would silently under-report pairs")
     // One materialized tokenization feeds both the signature pipeline and
     // the exact-verify join.
     val tokenized = tokenSets(df, idCol, textCol, Seq.empty, tokenizer)

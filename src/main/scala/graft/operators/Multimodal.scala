@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * over the binary batches.
   *
   * The Spark side — schema, partition-preserving batch iteration, output
-  * shapes — is real and tested. The actual codec calls are STUBBED with a
-  * deterministic fake (this container has no image/audio libraries); swap
-  * [[FakeCodec]] for a JNI/javacv-backed codec in production. Decode cost
+  * shapes — is real and tested. The actual codec calls go through the
+  * pluggable [[Multimodal.MediaCodec]] trait; the default [[FakeCodec]] is a
+  * deterministic stub (this container has no image/audio libraries) and a
+  * JNI/javacv-backed implementation is a drop-in `codec = ...` argument
+  * with no operator changes. Decode cost
   * dominates at 100 TB, so the batch functions deliberately run
   * per-partition (amortized setup, no per-row interpreter crossings) and
   * keep the payload column pruned away as soon as features are extracted.
@@ -41,18 +43,39 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Pluggable codec interface: the three partition-local media operations
+    * the pipeline needs. Implementations MUST be `Serializable` (instances
+    * ride inside task closures) and SHOULD defer any native-library /
+    * JNI initialization to first use inside the task (lazy vals), so the
+    * driver never loads codec natives — the standard shape for a
+    * javacv/ffmpeg-backed production implementation. [[FakeCodec]] is the
+    * deterministic test/default implementation.
+    */
+  trait MediaCodec extends Serializable {
+    /** Decode (width, height, channels) from an encoded payload; (0,0,0)
+      * for null/empty/undecodable input.
+      */
+    def decodeDims(payload: Array[Byte]): (Int, Int, Int)
+
+    /** Extract a fixed-dimension feature vector from the payload. */
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+
+    /** Re-encode the payload scaled by `scale` (<= 1.0; never upscales). */
+    def resample(payload: Array[Byte], scale: Double): Array[Byte]
+  }
+
   /** STUB CODEC — deterministic fake standing in for a real decoder.
     * Every value is a pure function of the payload bytes, so tests are
     * stable; none of it is a real image decode.
     */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     /** Fake "decode": derive (width, height, channels) from the payload's
       * sha256. The hash → dims formula is closed-form SQL in any engine
       * with sha256 (h = first 8 hex chars as an unsigned int), so the
       * decode output is externally oracle-checkable:
       * `h % 1920 + 1, (h // 1920) % 1080 + 1, 3`.
       */
-    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+    override def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
       if (payload == null || payload.isEmpty) (0, 0, 0)
       else {
         val d = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
@@ -62,14 +85,14 @@ object Multimodal {
       }
     }
     /** Fake per-frame feature vector (what a real extractor would emit). */
-    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
       if (payload == null) Array.fill(dim)(0f)
       else (0 until dim).map(i => ((payload.length * (i + 1)) % 251).toFloat / 251f).toArray
     }
     /** Fake resample: area-proportional byte truncation standing in for a
       * real scaler (deterministic; a real impl re-encodes at the new dims).
       */
-    def resample(payload: Array[Byte], scale: Double): Array[Byte] =
+    override def resample(payload: Array[Byte], scale: Double): Array[Byte] =
       if (payload == null || payload.isEmpty || scale >= 1.0) payload
       else payload.take(math.max(1, (payload.length * scale * scale).toInt))
   }
@@ -90,17 +113,21 @@ object Multimodal {
     * load its native libs), rows stream through without materializing the
     * whole partition.
     */
-  def decodeFeatures(spark: SparkSession, media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+  def decodeFeatures(
+      spark: SparkSession,
+      media: DataFrame,
+      featureDim: Int = 8,
+      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // real codec init would happen here, once per partition
+        // codec native init (lazy in the impl) happens here, once per partition
         rows.map { case (id, modality, payload) =>
-          val (w, h, c) = FakeCodec.decodeDims(payload)
+          val (w, h, c) = codec.decodeDims(payload)
           MediaFeatures(
             id, modality, w, h, c,
             if (payload == null) 0L else payload.length.toLong,
-            FakeCodec.features(payload, featureDim))
+            codec.features(payload, featureDim))
         }
       }
   }
@@ -111,13 +138,17 @@ object Multimodal {
     * same partition-local spot). Never upscales. Output shape matches a
     * production resize stage: (media_id, width, height, payload).
     */
-  def resizePayloads(spark: SparkSession, media: DataFrame, maxEdge: Int): DataFrame = {
+  def resizePayloads(
+      spark: SparkSession,
+      media: DataFrame,
+      maxEdge: Int,
+      codec: MediaCodec = FakeCodec): DataFrame = {
     import spark.implicits._
     require(maxEdge >= 1, s"maxEdge must be >= 1, got $maxEdge")
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val (w, h, _) = FakeCodec.decodeDims(payload)
+          val (w, h, _) = codec.decodeDims(payload)
           val edge = math.max(w, h)
           if (edge == 0) (id, 0, 0, payload) // undecodable/empty: pass through
           else {
@@ -125,7 +156,7 @@ object Multimodal {
             (id,
               math.max(1, math.round(w * scale).toInt),
               math.max(1, math.round(h * scale).toInt),
-              FakeCodec.resample(payload, scale))
+              codec.resample(payload, scale))
           }
         }
       }.toDF("media_id", "width", "height", "payload")

@@ -51,6 +51,31 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.nonEmpty)
   }
 
+  test("a custom MediaCodec is a drop-in through the trait (decode + features + resample)") {
+    // minimal "real codec" stand-in: fixed 100x40 dims, constant features,
+    // resample halves the payload — distinct from FakeCodec on every method,
+    // so the assertions prove the operators call the INJECTED codec
+    object TinyCodec extends Multimodal.MediaCodec {
+      override def decodeDims(p: Array[Byte]): (Int, Int, Int) =
+        if (p == null || p.isEmpty) (0, 0, 0) else (100, 40, 3)
+      override def features(p: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(if (p == null) 0f else 0.5f)
+      override def resample(p: Array[Byte], scale: Double): Array[Byte] =
+        if (p == null || p.isEmpty || scale >= 1.0) p else p.take(math.max(1, p.length / 2))
+    }
+    val decoded = Multimodal.decodeFeatures(spark, media, featureDim = 4, codec = TinyCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(decoded(1L).width == 100 && decoded(1L).height == 40 && decoded(1L).channels == 3)
+    assert(decoded(2L).width == 0) // empty payload → undecodable
+    assert(decoded(1L).features.toSeq == Seq(0.5f, 0.5f, 0.5f, 0.5f))
+    val resized = Multimodal.resizePayloads(spark, media, maxEdge = 50, codec = TinyCodec)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Array[Byte]]("payload")))).toMap
+    // 100x40 bounded by maxEdge 50 → 50x20, payload halved by TinyCodec
+    assert(resized(1L)._1 == 50 && resized(1L)._2 == 20)
+    assert(resized(1L)._3.length == "hello world".getBytes("UTF-8").length / 2)
+  }
+
   test("sampleFrames emits stride-spaced frame numbers") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 1L), stride = 1)
       .select("frame_no").as[Int].collect().sorted.toSeq

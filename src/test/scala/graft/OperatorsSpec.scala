@@ -208,6 +208,40 @@ class OperatorsSpec extends SparkSpec {
     assert(recalls.last._2 == 1.0, s"nprobe=nlist must equal brute force: $recalls")
   }
 
+  test("LSH recall sweep (PRODUCTION xxhash64 weights, sf0.01): monotone in tables, planes set the floor") {
+    // The q_sim_lsh_topk CORRECTNESS row runs the sha-weight oracle
+    // configuration; this sweep measures the DEFAULT xxPlaneWeight path a
+    // production user actually runs. At fixed numPlanes the per-table plane
+    // groups (g = table*numPlanes + plane) are independent of numTables, so
+    // table sets are nested prefixes: more tables only ever ADDS candidate
+    // pairs, and the verify stage is exact cosine — recall is monotone in
+    // numTables. Across planes the buckets are NOT nested (different group
+    // indices), so planes are sampled, not asserted against each other.
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val pred = col("vec_id") < 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(embs, "vec_id", "embedding", pred, k = 5))
+    val sweep = for (planes <- Seq(4, 8); tables <- Seq(1, 4, 8)) yield {
+      val r = pairs(Similarity.lshBucketedTopK(
+        embs, "vec_id", "embedding", pred, k = 5, numPlanes = planes, numTables = tables))
+      (planes, tables) -> (brute & r).size.toDouble / brute.size
+    }
+    info(s"xxhash64-weight LSH recall by (planes, tables): $sweep")
+    Seq(4, 8).foreach { planes =>
+      val byTables = sweep.collect { case ((p, t), r) if p == planes => (t, r) }
+      assert(byTables.sliding(2).forall { case Seq((_, a), (_, b)) => a <= b },
+        s"recall not monotone in numTables at planes=$planes: $byTables")
+    }
+    // near-uniform random embeddings are ANN's worst case (same caveat as
+    // the IVF sweep): the documented trade is the sweep itself. Floors
+    // pinned from measurement: coarse buckets + all 8 probe tables must
+    // recover a large fraction of the true top-k even here.
+    val coarse = sweep.toMap
+    assert(coarse((4, 8)) >= 0.5, s"planes=4, tables=8 recall collapsed: $sweep")
+    assert(coarse((8, 8)) > 0.0, s"planes=8, tables=8 recall collapsed: $sweep")
+  }
+
   test("LSH-blocked embedding near-duplicates find cross-block pairs without a label") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0),
@@ -301,5 +335,31 @@ class OperatorsSpec extends SparkSpec {
     assert(preds(2L) == "de")
     assert(preds(3L) == "es")
     assert(preds(4L) == "und")
+  }
+
+  test("asOfJoin carries a matched row's NULL value (not an older non-null) — DuckDB ASOF semantics") {
+    import graft.operators.Temporal
+    // right side: non-null @10, NULL @20, non-null @30 for the same key
+    val right = Seq(
+      (Some(100L), "k", 10L), (None: Option[Long], "k", 20L), (Some(300L), "k", 30L)
+    ).toDF("v", "key", "rts").select(col("key"), col("rts"), col("v"))
+    val left = Seq(("k", 5L), ("k", 15L), ("k", 25L), ("k", 35L)).toDF("key", "lts")
+    val out = Temporal.asOfJoin(left, right, Seq("key"), "lts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(5L) == (None, None)) // before any right row: left-outer NULLs
+    assert(out(15L) == (Some(100L), Some(10L)))
+    // the matched row AT ts=20 has v = NULL: NULL must attach, and the
+    // matched ts must come from that SAME row — never (100 @ 20)
+    assert(out(25L) == (None, Some(20L)))
+    assert(out(35L) == (Some(300L), Some(30L)))
+  }
+
+  test("minhashNearDuplicates rejects non-positive threshold (documented precondition)") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.0)
+    }
+    assert(e.getMessage.contains("threshold > 0"))
   }
 }
