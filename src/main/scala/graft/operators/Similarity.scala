@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions.{doubleDot, longDot}
+
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Two paths:
@@ -147,7 +149,7 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: score only candidates sharing any of the
     * query's `numTables` buckets. Scoring uses the same fixed-point-exact
-    * math as [[bruteForceTopK]] but in-row (zip_with over the pre-quantized
+    * math as [[bruteForceTopK]] but in-row (a codegen'd dot over the pre-quantized
     * arrays — no position explode, no extra shuffle); the (table, bucket)
     * equi-join replaces the all-pairs join, so shuffle volume is
     * Σ buckets² per table instead of |Q|×|C|.
@@ -164,7 +166,7 @@ object Similarity {
     // Quantized array + norm ride per row (narrow projections).
     val base = df
       .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
-      .withColumn("__n2", aggregate(col("__qa"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("__n2", longDot(col("__qa"), col("__qa")))
     // Alias the buckets frame's id before joining: a bare .drop("id") would
     // also drop the caller's id column whenever idCol is literally "id".
     val buckets = lshBuckets(df, idCol, embCol, numPlanes, numTables, weight)
@@ -185,12 +187,12 @@ object Similarity {
 
   /** Exact fixed-point cosine + top-k over candidate pairs carrying
     * (query_id, qa, qn) × (cand_id, ca, cn) — the shared verify tail of
-    * every ANN variant. In-row zip_with dot: no position explode, no
+    * every ANN variant. In-row codegen'd dot: no position explode, no
     * shuffle beyond the top-k window.
     */
   private def exactPairTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .withColumn("__dot", aggregate(zip_with(col("qa"), col("ca"), (x, y) => x * y), lit(0L), _ + _))
+      .withColumn("__dot", longDot(col("qa"), col("ca")))
       .withColumn(
         "cosine",
         col("__dot").cast("double") /
@@ -231,9 +233,9 @@ object Similarity {
         transform(col("__qa"), x => x.cast("double")).as("cvec"))
     (0 until iters).foldLeft(pivots0) { (c, _) =>
       val cos =
-        aggregate(zip_with(col("__qa"), col("cvec"), (x, y) => x.cast("double") * y), lit(0.0), _ + _) /
+        doubleDot(col("__qa"), col("cvec")) /
           (sqrt(col("__n2").cast("double")) *
-            sqrt(aggregate(col("cvec"), lit(0.0), (acc, y) => acc + y * y)))
+            sqrt(doubleDot(col("cvec"), col("cvec"))))
       corpus
         .crossJoin(broadcast(c))
         .withColumn("__cs", cos)
@@ -284,7 +286,7 @@ object Similarity {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val base = df
       .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
-      .withColumn("__n2", aggregate(col("__qa"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("__n2", longDot(col("__qa"), col("__qa")))
     val corpus = base.filter(!queryPred)
     val queries = base.filter(queryPred)
 
@@ -297,14 +299,14 @@ object Similarity {
           .select(col(idCol).cast("long").as("cell"), col("__qa").as("__cq"), col("__n2").as("__cn2"))
         // exact: integer dot of quantized arrays, like the verify tail
         (c,
-          aggregate(zip_with(col("__qa"), col("__cq"), (x, y) => x * y), lit(0L), _ + _).cast("double") /
+          longDot(col("__qa"), col("__cq")).cast("double") /
             (sqrt(col("__n2").cast("double")) * sqrt(col("__cn2").cast("double"))))
       } else {
         val c = lloydCentroids(corpus, idCol, nlist, iters, pivotHash)
         (c,
-          aggregate(zip_with(col("__qa"), col("cvec"), (x, y) => x.cast("double") * y), lit(0.0), _ + _) /
+          doubleDot(col("__qa"), col("cvec")) /
             (sqrt(col("__n2").cast("double")) *
-              sqrt(aggregate(col("cvec"), lit(0.0), (acc, y) => acc + y * y))))
+              sqrt(doubleDot(col("cvec"), col("cvec")))))
       }
 
     // nprobe nearest cells per QUERY row: a row_number window is fine here
@@ -346,7 +348,7 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs within blocks: all pairs of rows
     * sharing `blockCol` (a cluster id, LSH bucket, shard key …) whose cosine
     * similarity meets `threshold`. The quantized array and its norm ride
-    * each row and the dot product is an in-row zip_with — the shuffle
+    * each row and the dot product is an in-row codegen'd kernel — the shuffle
     * carries one array per row instead of dims exploded rows, and no
     * post-join aggregation is needed (a position-exploded variant shuffled
     * 64× the volume and paid a pair-level groupBy).
@@ -382,7 +384,7 @@ object Similarity {
       .select(
         col(idCol).as("id"), col(blockCol).as("blk"),
         transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")).as("qa"))
-      .withColumn("n2", aggregate(col("qa"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("n2", longDot(col("qa"), col("qa")))
     // Per-block chunk count from one scalar-only aggregation; the join back
     // reuses the aggregation's hash partitioning on blk.
     val chunks = e.groupBy("blk").agg(
@@ -406,7 +408,7 @@ object Similarity {
       .select(
         least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
-        aggregate(zip_with(col("a.qa"), col("b.qa"), (x, y) => x * y), lit(0L), _ + _)
+        longDot(col("a.qa"), col("b.qa"))
           .cast("double")
           ./(sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))
           .as("cosine"))
@@ -435,7 +437,7 @@ object Similarity {
       weight: (Int, Column) => Column = xxPlaneWeight): DataFrame = {
     val base = df
       .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
-      .withColumn("__n2", aggregate(col("__qa"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("__n2", longDot(col("__qa"), col("__qa")))
     val buckets = lshBuckets(df, idCol, embCol, numPlanes, numTables, weight)
       .withColumnRenamed("id", "__bucket_id")
     val e = base.join(buckets, col(idCol) === col("__bucket_id"))
@@ -447,7 +449,7 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.qa"), col("b.qa"), (x, y) => x * y), lit(0L), _ + _)
+        (longDot(col("a.qa"), col("b.qa"))
           .cast("double") /
           (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -456,13 +458,13 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** In-row cosine via higher-order array functions (zip_with + aggregate).
-    * Float-order-deterministic because the fold is sequential within the
-    * row — no partitioning dependence. Used on pre-joined pairs.
+  /** In-row cosine via the codegen'd [[graft.functions.DoubleArrayDot]]
+    * kernel. Float-order-deterministic because the accumulation is
+    * sequential within the row — no partitioning dependence. Used on
+    * pre-joined pairs.
     */
   def cosineExpr(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")), lit(0.0), _ + _)
+    def dot(x: Column, y: Column): Column = doubleDot(x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 }
