@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.config.{DatasetParams, TestParams}
 import graft.core.Comparison
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity, Temporal}
+import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, Temporal}
 
 /** The operator catalog behind [[SparkEntry]]: one query per operator class
   * in SURVEY.md §2 plus the LLM-pipeline extension operators, each paired
@@ -337,6 +337,50 @@ object Queries {
       docs(s, d).select(
         col("doc_id"),
         TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    // text cleaning: emails/URLs are appended so the masking path is
+    // actually exercised (the synthetic corpus contains neither)
+    "q_text_scrub" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.scrub(concat(
+          col("text"),
+          lit(" Contact: user"), col("doc_id").cast("string"),
+          lit("@example.com   or https://example.org/d/"),
+          col("doc_id").cast("string"), lit(" now"))).as("clean_text"))),
+
+    // deterministic hash sampling: reproducible in ANY engine with sha256
+    "q_sample_hash" -> ((s, d) =>
+      Sampling.hashSample(
+        docs(s, d).select("doc_id", "lang"), "doc_id",
+        fraction = 0.25, salt = "demo", granularity = 1000)),
+
+    // weighted deterministic corpus mix (per-source salted rates)
+    "q_sample_mix" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text", "lang")
+      Sampling.mixCorpora(
+        Seq(
+          ("web", dd.filter(col("doc_id") % 2 === 0), 0.7),
+          ("books", dd.filter(col("doc_id") % 2 =!= 0), 0.3)),
+        "doc_id", granularity = 1000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // end-to-end curation: quality gates + fingerprint dedup + lang tag
+    // over a corpus perturbed with exact dups (survive as min-id) and
+    // junk rows (fail the quality gates)
+    "q_curate" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text", "lang")
+      val dups = dd.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      val junk = dd.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(200000L))
+        .withColumn("text", upper(substring(col("text"), 1, 15)))
+      Curation.curate(dd.unionByName(dups).unionByName(junk), "doc_id", "text")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
 
     "q_dedup_exact" -> ((s, d) => {
       val dd = docs(s, d)
@@ -871,6 +915,94 @@ object Queries {
         |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
         |       END AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // replicates TextAnalysis.scrub: mask emails, then URLs, then collapse
+    // whitespace — same regexes (RE2-safe), same order
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+        |             || '@example.com   or https://example.org/d/'
+        |             || CAST(doc_id AS VARCHAR) || ' now',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '(https?://|www\.)[^ \t\n\r]+', '<URL>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM documents""".stripMargin,
+
+    // replicates Sampling.hashBucket: 60-bit hash = first 15 hex chars of
+    // sha256("<key>:<salt>"); keep when bucket < round(p * granularity)
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':demo'), 1, 15)) AS BIGINT)
+        |        % 1000 < 250""".stripMargin,
+
+    "q_sample_mix" ->
+      """WITH mix AS (
+        |  SELECT doc_id, 'web' AS source FROM documents WHERE doc_id % 2 = 0
+        |    AND CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':web'), 1, 15)) AS BIGINT)
+        |          % 1000 < 700
+        |  UNION ALL
+        |  SELECT doc_id, 'books' AS source FROM documents WHERE doc_id % 2 != 0
+        |    AND CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':books'), 1, 15)) AS BIGINT)
+        |          % 1000 < 300)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM mix GROUP BY 1""".stripMargin,
+
+    // replicates Curation.curate over the perturbed corpus: quality gates
+    // (n_chars/n_tokens/digit_ratio/upper_ratio), fingerprint dedup with
+    // min-id survivor, then the langId argmax (same marker table and
+    // tie-break as q_text_langid)
+    "q_curate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 200000, upper(substr(text, 1, 15)) FROM documents WHERE doc_id % 7 = 0),
+        |feat AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) END AS upper_ratio
+        |  FROM corpus),
+        |kept AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM feat
+        |  WHERE n_chars >= 20 AND n_tokens >= 5 AND digit_ratio <= 0.2 AND upper_ratio <= 0.3),
+        |surv AS (
+        |  SELECT k.doc_id, k.text, k.n_tokens
+        |  FROM kept k JOIN (SELECT fp, min(doc_id) AS keep FROM kept GROUP BY 1) m
+        |    ON k.fp = m.fp AND k.doc_id = m.keep),
+        |toks AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS tok
+        |  FROM surv),
+        |m(lang, tok) AS (VALUES
+        |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+        |  ('de','nicht'),('de','ein'),('de','mit'),('de','für'),('de','auf'),
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+        |  ('en','is'),('en','that'),('en','it'),('en','for'),('en','with'),
+        |  ('es','el'),('es','la'),('es','los'),('es','y'),('es','es'),
+        |  ('es','no'),('es','una'),('es','por'),('es','con'),('es','para'),
+        |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+        |  ('fr','pas'),('fr','une'),('fr','pour'),('fr','dans'),('fr','que')),
+        |hits AS (SELECT t.doc_id, m.lang, COUNT(DISTINCT t.tok) AS h
+        |         FROM toks t JOIN m ON t.tok = m.tok GROUP BY 1, 2),
+        |alllang AS (SELECT s.doc_id, l.lang, COALESCE(h.h, 0) AS h
+        |  FROM surv s CROSS JOIN (SELECT DISTINCT lang FROM m) l
+        |  LEFT JOIN hits h ON h.doc_id = s.doc_id AND h.lang = l.lang),
+        |best AS (SELECT doc_id, lang, h,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+        |  FROM alllang),
+        |pred AS (SELECT s.doc_id, s.n_tokens,
+        |    CASE WHEN b.h > 0 THEN b.lang ELSE 'und' END AS lang_pred
+        |  FROM surv s JOIN best b ON b.doc_id = s.doc_id AND b.rn = 1)
+        |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM pred GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH u AS (SELECT * FROM documents

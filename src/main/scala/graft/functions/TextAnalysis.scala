@@ -70,6 +70,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(regexp_replace(text, "\\s+", " ")), 256)
 
+  /** Pre-training text cleaning: mask emails then URLs with stable tokens,
+    * then collapse whitespace runs and trim. A pure `regexp_replace` chain —
+    * codegen'd, shuffle-free, and the patterns are RE2-safe so any engine
+    * (DuckDB `regexp_replace(..., 'g')`) reproduces the output exactly.
+    * Masking REPLACES rather than deletes so token counts stay meaningful
+    * downstream.
+    */
+  def scrub(
+      text: Column,
+      emailToken: String = "<EMAIL>",
+      urlToken: String = "<URL>"): Column = {
+    val noEmail = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", emailToken)
+    val noUrl = regexp_replace(noEmail, "(https?://|www\\.)[^ \\t\\n\\r]+", urlToken)
+    trim(regexp_replace(noUrl, "\\s+", " "))
+  }
+
   /** A BPE-ish sub-word token count approximation: words plus extra tokens
     * for every ~4 characters of long words (cheap, deterministic stand-in
     * for a real tokenizer's token count).

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** The end-to-end corpus-curation pass a training-data pipeline runs over
+  * raw documents: quality-score → threshold filter → fingerprint dedup
+  * (deterministic min-id survivor) → language tag. Composes the existing
+  * operators; exists as a first-class function because the COMPOSITION is
+  * the product — one narrow scan-side pass (features + filter + fingerprint
+  * are all codegen'd projections over the text column), then exactly ONE
+  * shuffle (the dedup's hash aggregation on the fingerprint), then the
+  * language tag on the survivors.
+  *
+  * Scale: the quality filter runs BEFORE the dedup shuffle, so junk rows
+  * never ship; the dedup groups by a 64-char sha, which is uniform —
+  * skew-free by construction at any corpus size.
+  */
+object Curation {
+
+  /** Cheap-signal quality gates; defaults tuned to drop degenerate rows
+    * (empty, numeric tables, shouting) without modeling.
+    */
+  final case class QualityThresholds(
+      minChars: Int = 20,
+      minTokens: Int = 5,
+      maxDigitRatio: Double = 0.2,
+      maxUpperRatio: Double = 0.3)
+
+  /** Curate `df`: returns the surviving rows with quality features, a
+    * `fingerprint` column, and `lang_pred`. Survivor of a fingerprint
+    * group is the row with the minimum `idCol` (deterministic).
+    */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      th: QualityThresholds = QualityThresholds()): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(df, textCol)
+      .filter(
+        col("n_chars") >= th.minChars &&
+          col("n_tokens") >= th.minTokens &&
+          col("digit_ratio") <= th.maxDigitRatio &&
+          col("upper_ratio") <= th.maxUpperRatio)
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    // min-id survivor per fingerprint: one hash aggregation (partial
+    // map-side combine), then a semi-join back on (fingerprint, id) —
+    // both sides hash-partition on the fingerprint, no extra exchange.
+    val survivors = scored
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("__keep"))
+    scored
+      .join(survivors,
+        scored("fingerprint") === survivors("fingerprint") &&
+          col(idCol) === col("__keep"))
+      .drop("__keep").drop(survivors("fingerprint"))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / mixing for training-data curation.
+  *
+  * All decisions key off a 60-bit sha256-derived hash of (row key, salt) —
+  * never `rand()` — so a sample is: reproducible across runs, engines and
+  * partitionings (the same formula is closed-form SQL anywhere with sha256,
+  * like [[Similarity.shaPivotHash]]); stable under corpus growth (a row's
+  * keep/drop never changes when other rows arrive); and a pure FILTER — no
+  * shuffle, no state, pushes down past column pruning. Distinct `salt`
+  * values give independent samples of the same table (train/eval splits
+  * that must not correlate, per-source mixing rates).
+  *
+  * At 100 TB this is the only sampler shape that works: `rand()` samples
+  * are irreproducible under retry/speculation (a re-run task re-draws), and
+  * `df.sample` seeds per-partition, so any repartition changes the sample.
+  */
+object Sampling {
+
+  /** 60-bit positive hash of (key, salt): first 15 hex chars of
+    * sha256("&lt;key&gt;:&lt;salt&gt;"). DuckDB:
+    * `CAST(concat('0x', substr(sha256(k || ':' || salt), 1, 15)) AS BIGINT)`.
+    */
+  def hashBucket(key: Column, salt: String, granularity: Int): Column = {
+    require(granularity >= 1, s"granularity must be >= 1, got $granularity")
+    conv(substring(sha2(concat_ws(":", key.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
+      .cast("long") % granularity
+  }
+
+  /** Keep ~`fraction` of rows, deterministically by `keyCol`. The kept set
+    * at fraction p is a SUBSET of the kept set at any p' > p (nested
+    * samples — shrinking a mix rate only removes rows).
+    */
+  def hashSample(
+      df: DataFrame,
+      keyCol: String,
+      fraction: Double,
+      salt: String = "",
+      granularity: Int = 1000000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    df.filter(hashBucket(col(keyCol), salt, granularity) < math.round(fraction * granularity))
+  }
+
+  /** Deterministic disjoint-and-exhaustive split: appends `splitCol` with
+    * the name of the bucket-range each row's hash lands in. Weights are
+    * normalized; cumulative thresholds are rounded on the granularity grid
+    * (so with granularity 1000, (0.8, 0.1, 0.1) is exactly 800/100/100
+    * buckets).
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split",
+      granularity: Int = 1000000): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val thresholds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w / total * granularity)
+    }.tail
+    val b = hashBucket(col(keyCol), salt, granularity)
+    // last split takes everything remaining — rounding can't orphan a row
+    val expr = weights.init.zip(thresholds.init).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), t), rest) => when(b < t, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Weighted deterministic corpus mix: each source is hash-sampled at its
+    * rate (salted by the SOURCE NAME, so rates are independent across
+    * sources even when keys collide) and tagged. Sources must share a
+    * schema. The standard way to dial a pre-training data mixture — and
+    * because samples are nested in the rate, raising one source's rate only
+    * ADDS documents.
+    */
+  def mixCorpora(
+      sources: Seq[(String, DataFrame, Double)],
+      keyCol: String,
+      sourceCol: String = "source",
+      granularity: Int = 1000000): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    sources.map { case (name, df, rate) =>
+      hashSample(df, keyCol, rate, salt = name, granularity = granularity)
+        .withColumn(sourceCol, lit(name))
+    }.reduce(_.unionByName(_))
+  }
+}

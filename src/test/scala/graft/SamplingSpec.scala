@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Sampling}
+import graft.functions.TextAnalysis
+
+/** Deterministic sampling/splitting/mixing and the curation pipeline. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 10000).select(col("id"))
+
+  test("hashSample is deterministic, partition-independent, and ~fraction-sized") {
+    val a = Sampling.hashSample(ids, "id", 0.25, salt = "s").select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids.repartition(13), "id", 0.25, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    // sha buckets are uniform: 25% ± a generous tolerance on 10k rows
+    assert(math.abs(a.size - 2500) < 250, s"sample size ${a.size} far from 2500")
+  }
+
+  test("samples are NESTED in the fraction and independent across salts") {
+    val p25 = Sampling.hashSample(ids, "id", 0.25, salt = "s").select("id").as[Long].collect().toSet
+    val p50 = Sampling.hashSample(ids, "id", 0.50, salt = "s").select("id").as[Long].collect().toSet
+    assert(p25.subsetOf(p50), "raising the rate must only ADD rows")
+    val other = Sampling.hashSample(ids, "id", 0.25, salt = "t").select("id").as[Long].collect().toSet
+    // independent 25% samples overlap on ~6.25% of rows, not ~25%
+    val overlap = (p25 & other).size.toDouble / 10000
+    assert(overlap > 0.02 && overlap < 0.12, s"salted samples not independent: overlap $overlap")
+  }
+
+  test("hashSplit is disjoint, exhaustive, and hits the weight grid exactly") {
+    val split = Sampling.hashSplit(
+      ids, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), granularity = 10)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L, "split must be exhaustive")
+    // granularity 10 → buckets 0-7 train, 8 val, 9 test; uniform hash
+    assert(counts("train") > 7500 && counts("train") < 8500, s"train share off: $counts")
+    assert(counts("val") > 600 && counts("val") < 1400, s"val share off: $counts")
+    // a row's split never depends on other rows: re-split of a SUBSET agrees
+    val sub = Sampling.hashSplit(
+      ids.filter(col("id") < 100), "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      granularity = 10)
+    val full = split.filter(col("id") < 100)
+    assert(sub.exceptAll(full).isEmpty && full.exceptAll(sub).isEmpty)
+  }
+
+  test("mixCorpora tags sources and samples each at its own salted rate") {
+    val a = spark.range(0, 1000).select(col("id"))
+    val b = spark.range(1000, 2000).select(col("id"))
+    val mix = Sampling.mixCorpora(Seq(("a", a, 1.0), ("b", b, 0.2)), "id")
+    val counts = mix.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") == 1000L, "rate 1.0 must keep every row")
+    assert(counts("b") > 100 && counts("b") < 320, s"rate 0.2 share off: $counts")
+  }
+
+  test("scrub masks emails and URLs and normalizes whitespace") {
+    val out = Seq(
+      (1L, "write to a.user+x@mail.example.org   today"),
+      (2L, "see https://example.com/a?b=1 or www.example.org/x"),
+      (3L, "  just   text  ")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.scrub(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> today")
+    assert(out(2L) == "see <URL> or <URL>")
+    assert(out(3L) == "just text")
+  }
+
+  test("curate drops junk, keeps min-id fingerprint survivor, tags language") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+      (3L, "tiny"), // fails minChars/minTokens
+      (4L, "THE QUICK BROWN FOX SHOUTS VERY LOUDLY AT EVERYONE HERE"), // upper junk
+      (5L, "der hund ist nicht ein tier mit format und stil hier")
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(corpus, "doc_id", "text")
+      .select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 5L), s"expected survivors 1 and 5, got ${out.keySet}")
+    assert(out(1L) == "en" && out(5L) == "de")
+  }
+}
