@@ -367,6 +367,11 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // deterministic k-per-group sample: a stable 3-doc eval slice per lang
+    "q_sample_group" -> ((s, d) =>
+      Sampling.groupSample(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id", k = 3, salt = "eval")),
+
     // end-to-end curation: quality gates + fingerprint dedup + lang tag
     // over a corpus perturbed with exact dups (survive as min-id) and
     // junk rows (fail the quality gates)
@@ -490,6 +495,24 @@ object Queries {
     // As-of join: every purchase gets the user's latest view value at or
     // before it (views pre-aggregated to unique (user, µs), the operator's
     // determinism requirement). Oracle = DuckDB's native ASOF LEFT JOIN.
+    // binned range join: views landing in each purchase's 5-minute
+    // lookback window (equi-join on (user, bin), never a per-key cross
+    // product), aggregated per purchase
+    "q_events_range" -> ((s, d) => {
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("us"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("us") - lit(300000000L)).as("w_start"), col("us").as("w_end"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), col("value"))
+      Temporal.rangeJoin(views, purchases, Seq("user_id"),
+          "us", "w_start", "w_end", binWidth = 60000000L)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_views"), max(col("value")).as("max_view_value"))
+    }),
+
     "q_events_asof" -> ((s, d) => {
       val ev = graft.sources.Events.load(s, d)
         .select(col("event_id"), col("user_id"),
@@ -949,6 +972,14 @@ object Queries {
         |          % 1000 < 300)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM mix GROUP BY 1""".stripMargin,
 
+    // replicates Sampling.groupSample: lowest (hash, key) k per group
+    "q_sample_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':eval'), 1, 15)) AS BIGINT),
+        |               doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3""".stripMargin,
+
     // replicates Curation.curate over the perturbed corpus: quality gates
     // (n_chars/n_tokens/digit_ratio/upper_ratio), fingerprint dedup with
     // min-id survivor, then the langId argmax (same marker table and
@@ -1070,6 +1101,19 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // semantic replica of the binned range join: a plain BETWEEN theta-join
+    // (the binning is a pure execution-strategy change, invisible in results)
+    "q_events_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |    event_type, value FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |    us - 300000000 AS w_start, us AS w_end FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, us, value FROM e WHERE event_type = 'view')
+        |SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n_views,
+        |  max(v.value) AS max_view_value
+        |FROM v JOIN p ON v.user_id = p.user_id AND v.us BETWEEN p.w_start AND p.w_end
+        |GROUP BY 1""".stripMargin,
 
     "q_events_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,

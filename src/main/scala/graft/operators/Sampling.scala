@@ -24,10 +24,14 @@ object Sampling {
     * sha256("&lt;key&gt;:&lt;salt&gt;"). DuckDB:
     * `CAST(concat('0x', substr(sha256(k || ':' || salt), 1, 15)) AS BIGINT)`.
     */
+  def hash60(key: Column, salt: String): Column =
+    conv(substring(sha2(concat_ws(":", key.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
+      .cast("long")
+
+  /** [[hash60]] folded onto a `granularity`-bucket grid. */
   def hashBucket(key: Column, salt: String, granularity: Int): Column = {
     require(granularity >= 1, s"granularity must be >= 1, got $granularity")
-    conv(substring(sha2(concat_ws(":", key.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
-      .cast("long") % granularity
+    hash60(key, salt) % granularity
   }
 
   /** Keep ~`fraction` of rows, deterministically by `keyCol`. The kept set
@@ -68,6 +72,30 @@ object Sampling {
       case (((name, _), t), rest) => when(b < t, name).otherwise(rest)
     }
     df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic k-per-group sample: for every group, the k rows whose
+    * (hash60(key), key) sorts lowest — a stable "random" k per group with
+    * no `rand()` and no full-data sort, e.g. building a fixed eval slice
+    * per language/source. One shuffle (the window's hash partitioning on
+    * the group column); adding rows to a group only ever displaces, never
+    * reshuffles, the selection.
+    */
+  def groupSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(
+        "__rn",
+        row_number().over(
+          Window.partitionBy(col(groupCol))
+            .orderBy(hash60(col(keyCol), salt), col(keyCol))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 
   /** Weighted deterministic corpus mix: each source is hash-sampled at its

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,5 +86,67 @@ object Temporal {
       case None => leftRows
     }
     bounded.select((lCols ++ outCols).map(col): _*)
+  }
+
+  /** Binned range join: inner-join every left row (a point at `leftTs`) to
+    * the right rows sharing `keys` whose `[rightStart, rightEnd]` interval
+    * (inclusive both ends) contains it.
+    *
+    * Spark plans a bare `l.ts BETWEEN r.start AND r.end` theta-join as an
+    * equi-join on the keys with the range as a POST-JOIN filter — a per-key
+    * cross product (and with no keys at all, a broadcast nested-loop join).
+    * Binning restores a true equi-join: each interval explodes into the
+    * ⌈span/binWidth⌉+1 bins it overlaps, each point lives in exactly ONE
+    * bin, and the join key becomes (keys, bin) — shuffle volume is
+    * |L| + |R|·(avg span/binWidth), with no cross product anywhere. A
+    * point's bin is unique, so a pair cannot match twice and no post-join
+    * dedup is needed (the residual BETWEEN filter keeps semantics exact).
+    *
+    * Sizing: pick `binWidth` near the TYPICAL interval span — ~1-2 explode
+    * rows per interval; residual bin-population skew mirrors real data
+    * density, which AQE's skew-join splitting handles (the join is a plain
+    * inner equi-join, always splittable). `maxBinsPerInterval` fails fast
+    * on a mis-sized binWidth instead of silently exploding a 10⁶-bin
+    * interval. Timestamps must be integral (µs/ns longs): binning uses
+    * exact integer `div`, never double division (epoch nanos exceed
+    * double's 53-bit mantissa).
+    *
+    * Columns: all left columns plus `rightCols` (which must not collide).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightStart: String,
+      rightEnd: String,
+      binWidth: Long,
+      maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(maxBinsPerInterval >= 1, s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
+    val rightCols = right.columns.toSeq.filterNot(keys.contains)
+    val collisions = left.columns.toSeq.intersect(rightCols)
+    require(collisions.isEmpty, s"column collision between sides: ${collisions.mkString(", ")}")
+    def binOf(c: String): Column = expr(s"CAST(`$c` AS BIGINT) div $binWidth")
+    val l = left.withColumn("__bin", binOf(leftTs))
+    val r = right
+      .filter(col(rightEnd) >= col(rightStart))
+      .withColumn("__b0", binOf(rightStart))
+      // the guard lives INSIDE the sequence bound so Catalyst cannot prune
+      // it: an unreferenced guard column would be optimized away unevaluated
+      .withColumn(
+        "__b1",
+        when(
+          binOf(rightEnd) - col("__b0") >= maxBinsPerInterval,
+          raise_error(concat(
+            lit(s"rangeJoin: interval spans >= $maxBinsPerInterval bins of width $binWidth at "),
+            col(rightStart).cast("string"), lit(".."), col(rightEnd).cast("string"),
+            lit(" — raise binWidth or maxBinsPerInterval"))).cast("long"))
+          .otherwise(binOf(rightEnd)))
+      .withColumn("__bin", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__b0", "__b1")
+    l.join(r, keys :+ "__bin")
+      .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
+      .drop("__bin")
   }
 }

@@ -356,6 +356,45 @@ class OperatorsSpec extends SparkSpec {
     assert(out(35L) == (Some(300L), Some(30L)))
   }
 
+  test("rangeJoin equals the naive theta-join, inclusive both ends, across bin widths") {
+    import graft.operators.Temporal
+    val rnd = new scala.util.Random(7)
+    val points = Seq.tabulate(500)(i =>
+      (i.toLong, (i % 5).toString, rnd.nextInt(10000).toLong)).toDF("pid", "k", "ts")
+    val intervals = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(9500).toLong
+      (1000L + i, (i % 5).toString, s, s + rnd.nextInt(500))
+    }.toDF("iid", "k", "s", "e")
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 100L, 1000L, 100000L)) {
+      val binned = Temporal.rangeJoin(points, intervals, Seq("k"), "ts", "s", "e", binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"binWidth $w: missing ${naive -- binned}, extra ${binned -- naive}")
+    }
+    assert(naive.nonEmpty)
+    // inclusivity: point exactly at each end matches
+    val edge = Temporal.rangeJoin(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 9L), (4L, "a", 21L)).toDF("pid", "k", "ts"),
+      Seq((9L, "a", 10L, 20L)).toDF("iid", "k", "s", "e"),
+      Seq("k"), "ts", "s", "e", binWidth = 7)
+      .select("pid").as[Long].collect().toSet
+    assert(edge == Set(1L, 2L))
+  }
+
+  test("rangeJoin fails fast on an interval spanning too many bins") {
+    import graft.operators.Temporal
+    val e = intercept[Exception] {
+      Temporal.rangeJoin(
+        Seq((1L, "a", 5L)).toDF("pid", "k", "ts"),
+        Seq((9L, "a", 0L, 10000000L)).toDF("iid", "k", "s", "e"),
+        Seq("k"), "ts", "s", "e", binWidth = 10, maxBinsPerInterval = 100)
+        .collect()
+    }
+    assert(e.getMessage.contains("rangeJoin") || e.getCause != null)
+  }
+
   test("minhashNearDuplicates rejects non-positive threshold (documented precondition)") {
     val e = intercept[IllegalArgumentException] {
       Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.0)

@@ -57,6 +57,22 @@ class SamplingSpec extends SparkSpec {
     assert(counts("b") > 100 && counts("b") < 320, s"rate 0.2 share off: $counts")
   }
 
+  test("groupSample takes exactly k stable rows per group, independent of partitioning") {
+    val df = spark.range(0, 3000)
+      .select(col("id"), (col("id") % 7).cast("string").as("g"))
+    val a = Sampling.groupSample(df, "g", "id", k = 5, salt = "eval")
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val b = Sampling.groupSample(df.repartition(11), "g", "id", k = 5, salt = "eval")
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size == 5), "every group must contribute exactly k")
+    // selection within a group only depends on that group's members: a
+    // different group's rows never change it
+    val dropOther = Sampling.groupSample(df.filter(col("g") =!= "3"), "g", "id", k = 5, salt = "eval")
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(dropOther == a.filterNot(_._1 == "3"))
+  }
+
   test("scrub masks emails and URLs and normalizes whitespace") {
     val out = Seq(
       (1L, "write to a.user+x@mail.example.org   today"),
