@@ -86,7 +86,8 @@ object Bench {
       "q_agg_pricing", "q_j1_full_outer", "q_w1_dup_window", "q_d2_distinct",
       "q_dedup_jaccard", "q_sim_cosine_topk", "q_dedup_embedding",
       "q_compare_row_lvl", "q_compare_arrays", "q_events_window", "q_text_stats",
-      "q_sim_lsh_topk", "q_sim_ivf_topk", "q_dedup_minhash", "q_dedup_simhash")
+      "q_sim_lsh_topk", "q_sim_ivf_topk", "q_dedup_minhash", "q_dedup_simhash",
+      "q_curate", "q_events_range", "q_text_topterms")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }

@@ -338,6 +338,10 @@ object Queries {
         col("doc_id"),
         TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // per-doc salient terms (integer-exact tf-idf skeleton)
+    "q_text_topterms" -> ((s, d) =>
+      TextAnalysis.topTerms(docs(s, d), "doc_id", "text", k = 5)),
+
     // text cleaning: emails/URLs are appended so the masking path is
     // actually exercised (the synthetic corpus contains neither)
     "q_text_scrub" -> ((s, d) =>
@@ -938,6 +942,21 @@ object Queries {
         |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
         |       END AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // replicates TextAnalysis.topTerms: tf per (doc, term), df per term
+    // over distinct (doc, term), rank (tf DESC, df ASC, term ASC), top 5
+    "q_text_topterms" ->
+      """WITH toks AS (SELECT doc_id AS doc,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term != '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc, tf.term, tf.tf, dfreq.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rn
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc, term, tf, df FROM r WHERE rn <= 5""".stripMargin,
 
     // replicates TextAnalysis.scrub: mask emails, then URLs, then collapse
     // whitespace — same regexes (RE2-safe), same order

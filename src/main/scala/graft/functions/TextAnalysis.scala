@@ -128,6 +128,34 @@ object TextAnalysis {
               / tokenCount(t).cast("double")))
   }
 
+  /** Per-document salient terms: the `k` terms ranked by
+    * (tf DESC, df ASC, term ASC) — term frequency in the document first,
+    * corpus document-frequency as the rarity tie-break. This is the
+    * integer-exact skeleton of tf-idf: any monotone idf (ln(N/df), …)
+    * agrees that at equal tf the rarer term wins, and keeping the ranking
+    * integral makes results bit-identical across engines (a float idf's
+    * `ln` is libm-dependent). Output: (doc, term, tf, df).
+    *
+    * Scale: two hash aggregations + one join; the document-frequency table
+    * is |vocabulary| rows — AQE broadcasts it when small, and the per-doc
+    * top-k window partitions by doc (uniform). Nothing is quadratic.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn(
+        "__rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc")
+            .orderBy(col("tf").desc, col("df").asc, col("term").asc)))
+      .filter(col("__rn") <= k)
+      .select("doc", "term", "tf", "df")
+  }
+
   /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
     * heuristic. Public, well-known high-frequency function words.
     */

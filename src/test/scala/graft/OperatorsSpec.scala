@@ -322,6 +322,25 @@ class OperatorsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("topTerms ranks by (tf desc, df asc, term asc) and returns k per doc") {
+    val corpus = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry cherry date"),
+      (3L, "apple banana")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df")))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.forall(_._2.length == 2))
+    // doc 1: apple tf=2 first; banana vs cherry tie at tf=1 → banana df=3 > cherry df=2 → cherry wins
+    assert(byDoc(1L).map(t => t._2 -> t._3).toSet == Set("apple" -> 2L, "cherry" -> 1L))
+    // doc 2: banana/cherry tf=2 tie → cherry df=2 < banana df=3 → cherry then banana
+    assert(byDoc(2L).map(_._2).toSet == Set("cherry", "banana"))
+    // df counts documents, not occurrences
+    assert(out.find(_._2 == "apple").get._4 == 2L)
+  }
+
   test("language-ID picks the language with most marker-word hits") {
     val preds = Seq(
       (1L, "the cat is on the mat and it is happy"),

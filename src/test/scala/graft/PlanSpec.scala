@@ -172,4 +172,45 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("rangeJoin plans an equi-join on (keys, bin) — not a nested-loop or pure-filter join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val points = spark.range(0, 10000)
+      .select(col("id").as("pid"), (col("id") % 50).as("k"), (col("id") * 7 % 100000).as("ts"))
+    val intervals = spark.range(0, 500)
+      .select(col("id").as("iid"), (col("id") % 50).as("k"),
+        (col("id") * 191 % 90000).as("s"), (col("id") * 191 % 90000 + 800).as("e"))
+    val p = graft.operators.Temporal
+      .rangeJoin(points, intervals, Seq("k"), "ts", "s", "e", binWidth = 1000)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a cross product:\n$p")
+    // the bin column participates in the JOIN KEYS (equi-join), and the
+    // residual BETWEEN survives as a post-join condition
+    assert(p.contains("__bin"), s"bin key missing from the plan:\n$p")
+    assert(p.contains("Join") && (p.contains("SortMergeJoin") || p.contains("HashJoin")),
+      s"expected a hash/sort-merge equi-join:\n$p")
+  }
+
+  test("curation pipeline: quality gates evaluate scan-side, one exchange feeds the dedup") {
+    val p = Queries.queries("q_curate")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // junk never ships: the n_chars/n_tokens/ratio filters sit under the
+    // first Exchange (they appear as Filter over the scan-side project)
+    val firstExchange = p.indexOf("Exchange")
+    val firstFilter = p.indexOf("Filter")
+    assert(firstExchange > 0 && firstFilter > 0,
+      s"expected a Filter and an Exchange in the curate plan:\n$p")
+    // per-fingerprint min is partial (map-side) before its shuffle
+    assert(p.contains("HashAggregate"), s"expected hash aggregation for the dedup:\n$p")
+  }
+
+  test("hash sampling pushes column pruning to the scan and adds no exchange") {
+    val p = Queries.queries("q_sample_hash")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"sampling must not widen the scan:\n$p")
+    assert(!p.contains("Exchange"), s"a pure filter sample must not shuffle:\n$p")
+  }
 }
