@@ -499,20 +499,21 @@ object Queries {
     // As-of join: every purchase gets the user's latest view value at or
     // before it (views pre-aggregated to unique (user, µs), the operator's
     // determinism requirement). Oracle = DuckDB's native ASOF LEFT JOIN.
-    // binned range join: views landing in each purchase's 5-minute
+    // binned range join: views landing in each purchase's 4-hour
     // lookback window (equi-join on (user, bin), never a per-key cross
-    // product), aggregated per purchase
+    // product), aggregated per purchase; 1-hour bins → ≤ 5 explode rows
+    // per interval
     "q_events_range" -> ((s, d) => {
       val ev = graft.sources.Events.load(s, d)
         .select(col("event_id"), col("user_id"),
           expr("ts_ns div 1000").as("us"), col("event_type"), col("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
-          (col("us") - lit(300000000L)).as("w_start"), col("us").as("w_end"))
+          (col("us") - lit(14400000000L)).as("w_start"), col("us").as("w_end"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("us"), col("value"))
       Temporal.rangeJoin(views, purchases, Seq("user_id"),
-          "us", "w_start", "w_end", binWidth = 60000000L)
+          "us", "w_start", "w_end", binWidth = 3600000000L)
         .groupBy("purchase_id")
         .agg(count(lit(1)).as("n_views"), max(col("value")).as("max_view_value"))
     }),
@@ -1127,7 +1128,7 @@ object Queries {
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
         |    event_type, value FROM events),
         |p AS (SELECT event_id AS purchase_id, user_id,
-        |    us - 300000000 AS w_start, us AS w_end FROM e WHERE event_type = 'purchase'),
+        |    us - 14400000000 AS w_start, us AS w_end FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, us, value FROM e WHERE event_type = 'view')
         |SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n_views,
         |  max(v.value) AS max_view_value

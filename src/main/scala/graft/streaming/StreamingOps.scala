@@ -128,6 +128,32 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * [[graft.operators.Temporal.rangeJoin]]: each purchase matches the same
+    * user's view events in the `before`-long window ending at the purchase
+    * (inclusive both ends). Watermarks on BOTH sides let Spark bound the
+    * join buffers: a side's state evicts once the other side's watermark
+    * passes the interval bound, so state is O(rate × (before + lateness))
+    * regardless of stream length — exactly the property a 100 TB/day
+    * stream needs. Inner join, so matches emit as soon as both rows have
+    * arrived (no watermark-close latency).
+    *
+    * Works identically on a batch frame (same plan), which is how the spec
+    * and the `q_events_range` oracle family validate it.
+    */
+  def viewsBeforePurchase(events: DataFrame, before: String, lateness: String): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value").as("view_value"))
+      .withWatermark("v_ts", lateness)
+    purchases
+      .join(views, expr(
+        s"user_id = v_user AND v_ts >= p_ts - INTERVAL $before AND v_ts <= p_ts"))
+      .select("purchase_id", "user_id", "p_ts", "v_ts", "view_value")
+  }
+
   /** Per-user running session stats held in custom state. */
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
   private final case class Acc(n: Long, total: Double)

@@ -153,7 +153,8 @@ class ComparisonSpec extends SparkSpec {
     val df = source.dropDuplicates("id").select("id", "value", "value4")
     for ((fmt, wOpts, rOpts) <- Seq(
         ("csv", Map("header" -> "true"), Map("header" -> "true", "inferSchema" -> "true")),
-        ("json", Map.empty[String, String], Map.empty[String, String]))) {
+        ("json", Map.empty[String, String], Map.empty[String, String]),
+        ("orc", Map.empty[String, String], Map.empty[String, String]))) {
       IoUtils.writeResult(df, s"$tmp/$fmt",
         OutputConfig(outputDir = tmp, outputFileFormat = fmt, sparkOptions = wOpts, noOfPartitions = 1))
       val back = IoUtils.readDataframe(spark,

@@ -73,6 +73,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 50)
   }
 
+  test("stream-stream interval join equals the batch join and bounds state with watermarks") {
+    val tmp = Files.createTempDirectory("graft-stream-ij").toString
+    val joined = StreamingOps.viewsBeforePurchase(streamedEvents(tmp), "4 hours", "10 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("ij_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("purchase_id"), r.getAs[java.sql.Timestamp]("v_ts"))
+    val streamed = spark.table("ij_out").collect().map(key).toSet
+    val batch = StreamingOps.viewsBeforePurchase(batchEvents, "4 hours", "10 minutes")
+      .collect().map(key).toSet
+    // inner interval joins emit on match, not on watermark close — the
+    // stream must produce the complete batch answer
+    assert(streamed == batch,
+      s"missing ${batch -- streamed take 5} extra ${streamed -- batch take 5}")
+    assert(batch.nonEmpty, "degenerate fixture: no view-before-purchase pairs at all")
+  }
+
   test("session windows: streaming append and flatMapGroupsWithState agree with batch") {
     // batch truth: (user, session_start_us, n_events)
     val batchSessions = StreamingOps.sessionWindows(batchEvents, "8 hours")
