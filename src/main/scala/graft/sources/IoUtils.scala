@@ -39,6 +39,33 @@ object IoUtils {
       .save(path)
   }
 
+  /** Hive-style partitioned write: one directory per distinct value tuple
+    * of `partitionCols`, so reads filtered on those columns prune whole
+    * directories BEFORE any IO (`PartitionFilters` in the scan, pinned in
+    * PlanSpec) — at 100 TB, the difference between scanning a day and
+    * scanning a decade. Partition columns should be low-cardinality
+    * (a date, a source tag); high-cardinality partitioning produces a
+    * small-file explosion, which is what [[writeBucketed]] is for.
+    *
+    * `maxRecordsPerFile` caps file size without a repartition (Spark
+    * splits a task's output by row count) — the knob that keeps one hot
+    * partition from producing a single multi-GB file.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      format: String = Constants.ParquetFmt,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols cannot be empty")
+    val w = df.write
+      .format(format)
+      .mode(Constants.OverwriteMode)
+      .partitionBy(partitionCols: _*)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .save(path)
+  }
+
   /** Bucketed + sorted catalog-table write for CO-LOCATED joins: two tables
     * bucketed and sorted by the same keys into the same bucket count join
     * with ZERO exchanges — the shuffle is paid once at write time instead

@@ -206,6 +206,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregation for the dedup:\n$p")
   }
 
+  test("partitioned writes prune partitions at the scan (PartitionFilters, no full read)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.sources.IoUtils.writePartitioned(docs, s"$tmp/docs", Seq("lang"))
+    val read = spark.read.parquet(s"$tmp/docs").filter(col("lang") === "de")
+    val p = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang filter must prune partitions, not scan them:\n$p")
+    // pruning is real: of the several lang= directories written, the scan
+    // selects exactly ONE
+    val selected = read.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    val allParts = new java.io.File(s"$tmp/docs").listFiles().count(_.getName.startsWith("lang="))
+    assert(allParts >= 3, s"fixture should produce several lang partitions, got $allParts")
+    assert(selected == 1, s"expected exactly the lang=de partition, scanned $selected of $allParts")
+    assert(read.count() == docs.filter(col("lang") === "de").count())
+  }
+
   test("hash sampling pushes column pruning to the scan and adds no exchange") {
     val p = Queries.queries("q_sample_hash")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
