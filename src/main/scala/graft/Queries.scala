@@ -338,6 +338,11 @@ object Queries {
         col("doc_id"),
         TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // context-window chunking: 40-token chunks, 8-token overlap
+    "q_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(docs(s, d), "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 8)),
+
     // per-doc salient terms (integer-exact tf-idf skeleton)
     "q_text_topterms" -> ((s, d) =>
       TextAnalysis.topTerms(docs(s, d), "doc_id", "text", k = 5)),
@@ -943,6 +948,19 @@ object Queries {
         |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
         |       END AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // replicates TextAnalysis.chunkDocuments: starts 1, 1+32, … (stride =
+    // 40 − 8); list_slice end is inclusive so end = start + 39
+    "q_text_chunks" ->
+      """WITH toks AS (SELECT doc_id AS doc,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (SELECT doc, tk, unnest(generate_series(1, len(tk), 32)) AS s
+        |  FROM toks)
+        |SELECT doc, CAST((s - 1) // 32 AS BIGINT) AS chunk_no,
+        |  array_to_string(list_slice(tk, s, s + 39), ' ') AS chunk_text,
+        |  CAST(len(list_slice(tk, s, s + 39)) AS INTEGER) AS n_chunk_tokens
+        |FROM starts""".stripMargin,
 
     // replicates TextAnalysis.topTerms: tf per (doc, term), df per term
     // over distinct (doc, term), rank (tf DESC, df ASC, term ASC), top 5

@@ -128,6 +128,38 @@ object TextAnalysis {
               / tokenCount(t).cast("double")))
   }
 
+  /** Split documents into fixed-size token-window chunks with overlap —
+    * the context-length preprocessing step of a training pipeline. Chunk
+    * starts advance by `chunkTokens - overlapTokens`; the final chunk may
+    * be short; blank documents produce no chunks. Output:
+    * (doc, chunk_no, chunk_text, n_chunk_tokens).
+    *
+    * Scale: narrow per-row explode — no shuffle, no state; output row
+    * count is Σ ⌈tokens/stride⌉, and each chunk carries only its own
+    * text slice (never the whole document re-materialized per chunk
+    * beyond the overlap factor ≤ chunk/stride).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens): $overlapTokens vs $chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), col("__tk"),
+        posexplode(sequence(lit(1), size(col("__tk")), lit(stride))))
+      .select(
+        col("doc"),
+        col("pos").cast("long").as("chunk_no"),
+        concat_ws(" ", slice(col("__tk"), col("col"), lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("__tk"), col("col"), lit(chunkTokens))).as("n_chunk_tokens"))
+  }
+
   /** Per-document salient terms: the `k` terms ranked by
     * (tf DESC, df ASC, term ASC) — term frequency in the document first,
     * corpus document-frequency as the rarity tie-break. This is the

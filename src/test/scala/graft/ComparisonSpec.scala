@@ -146,6 +146,31 @@ class ComparisonSpec extends SparkSpec {
     }
   }
 
+  test("selectCols/dropCols project BEFORE comparison — excluded columns cannot fail a run") {
+    // value2 and value4 disagree for id 7; once value2 is dropped and
+    // value4 is never selected, only (value, value3) are compared
+    val src = Seq((7L, "same", "src-only", true, 7.1)).toDF("id", "value", "value2", "value3", "value4")
+    val tgt = Seq((7L, "same", "tgt-only", true, 9.9)).toDF("id", "value", "value2", "value3", "value4")
+    val r = Comparison.compareDataFrames(spark, src, tgt,
+      DatasetParams(
+        datasetName = "projected",
+        primaryKeys = Seq("id"),
+        selectCols = Seq("id", "value", "value2", "value3"),
+        dropCols = Seq("value2")))
+    assert(r.overallTestReport.head().getAs[String]("test_status") == "PASSED")
+    // the column-level report lists exactly the surviving non-key columns,
+    // in post-projection schema order (the documented divergence: derive
+    // AFTER select/drop — the reference crashes when select/drop removes a
+    // column it derived from the pre-projection schema)
+    val cols = r.colLvlTestReport.collect().map(_.getAs[String]("column_name")).toSeq
+    assert(cols == Seq("value", "value3"), s"unexpected compared columns: $cols")
+    // and a mismatch in a SURVIVING column still fails
+    val r2 = Comparison.compareDataFrames(spark, src, tgt,
+      DatasetParams(datasetName = "projected2", primaryKeys = Seq("id"),
+        selectCols = Seq("id", "value", "value4")))
+    assert(r2.overallTestReport.head().getAs[String]("test_status") == "FAILED")
+  }
+
   test("sources round-trip csv and json with options (S1/S3 across formats)") {
     import graft.sources.IoUtils
     import graft.config.{DataframeConfig, OutputConfig}

@@ -322,6 +322,28 @@ class OperatorsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("chunkDocuments covers every token with the configured overlap; blank docs emit nothing") {
+    val corpus = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "short doc here"), // 3 tokens → one short chunk
+      (3L, "   ") // blank → no chunks
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(corpus, "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 8)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("chunk_no"),
+        r.getAs[String]("chunk_text").split(" ").toSeq))
+    val byDoc = chunks.groupBy(_._1)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(2L).map(_._3).toSeq == Seq(Seq("short", "doc", "here")))
+    // doc 1: starts 1, 33, 65, 97 → 4 chunks; consecutive chunks share 8 tokens
+    val d1 = byDoc(1L).sortBy(_._2).map(_._3)
+    assert(d1.length == 4 && d1(0).length == 40 && d1(3).length == 4)
+    assert(d1(0).takeRight(8) == d1(1).take(8), "overlap must repeat the last 8 tokens")
+    // coverage: concatenating chunks minus overlaps reproduces the document
+    val rebuilt = d1.head ++ d1.tail.flatMap(_.drop(8))
+    assert(rebuilt == (1 to 100).map(i => s"t$i"))
+  }
+
   test("topTerms ranks by (tf desc, df asc, term asc) and returns k per doc") {
     val corpus = Seq(
       (1L, "apple apple banana cherry"),
