@@ -316,6 +316,9 @@ object Queries {
           col("test_status"))
     }),
 
+    // data profiling: one-job per-column stats on the orders table
+    "q_profile" -> ((s, d) => graft.core.Profiling.profile(s, ord(s, d))),
+
     // ---- LLM-pipeline extensions ----------------------------------------
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d), "text")
@@ -948,6 +951,17 @@ object Queries {
         |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
         |       END AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // replicates Profiling.profile on orders: n_distinct is COUNT(DISTINCT)
+    // (non-null) — all-integer outputs, engine-independent
+    "q_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin).mkString("\nUNION ALL\n"),
 
     // replicates TextAnalysis.chunkDocuments: starts 1, 1+32, … (stride =
     // 40 − 8); list_slice end is inclusive so end = start + 39

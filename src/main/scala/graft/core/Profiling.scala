@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-column data profiling — the validation engine's sibling report:
+  * before comparing two datasets, profile ONE (row count, per-column null
+  * and exact distinct counts) to catch schema drift, null explosions, and
+  * key-cardinality changes.
+  *
+  * Plan shape: ONE aggregation job computes every number — `count(*)`,
+  * per-column null sums, and per-column `count(distinct)` — then the
+  * (#columns)-row report is built driver-side, like the comparison
+  * engine's column-level report. Spark expands multi-distinct aggregates
+  * with an internal `expand` (one pass over the input, #distinct-columns
+  * replication in the map stage, partial aggregation before the shuffle) —
+  * at 100 TB that is still one scan and one shuffle of partial states, vs
+  * the naive #columns separate jobs.
+  *
+  * All outputs are exact integers: no float mins/maxes whose string
+  * formatting differs across engines — the report is bit-reproducible
+  * anywhere (the q_profile oracle recomputes it in DuckDB).
+  */
+object Profiling {
+
+  /** Profile `df`: one row per column — (column_name, n_rows, n_nulls,
+    * n_distinct) in schema order. `n_distinct` counts distinct NON-NULL
+    * values (SQL `COUNT(DISTINCT col)` semantics).
+    */
+  def profile(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "cannot profile a zero-column frame")
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.zipWithIndex.map { case (c, i) =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i")
+        } ++
+        cols.zipWithIndex.map { case (c, i) => countDistinct(col(c)).as(s"__dist$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, n, row.getAs[Long](s"__null$i"), row.getAs[Long](s"__dist$i"))
+    }.toDF("column_name", "n_rows", "n_nulls", "n_distinct")
+  }
+}

@@ -171,6 +171,17 @@ class ComparisonSpec extends SparkSpec {
     assert(r2.overallTestReport.head().getAs[String]("test_status") == "FAILED")
   }
 
+  test("profile reports per-column nulls and exact distincts in one job") {
+    val p = graft.core.Profiling.profile(spark, source)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 5 source rows; value has 3 nulls and 2 distinct non-null values
+    // ("foo", "foo7"); id has 4 distinct (3 is duplicated)
+    assert(p("id") == ((5L, 0L, 4L)))
+    assert(p("value") == ((5L, 3L, 2L)))
+    assert(p("value4") == ((5L, 0L, 4L))) // 1.0, 3.0×2, 4.0, 7.1
+    assert(p.keySet == source.columns.toSet)
+  }
+
   test("sources round-trip csv and json with options (S1/S3 across formats)") {
     import graft.sources.IoUtils
     import graft.config.{DataframeConfig, OutputConfig}
