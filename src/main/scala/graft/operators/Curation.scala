@@ -45,17 +45,10 @@ object Curation {
           col("digit_ratio") <= th.maxDigitRatio &&
           col("upper_ratio") <= th.maxUpperRatio)
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
-    // min-id survivor per fingerprint: one hash aggregation (partial
-    // map-side combine), then a semi-join back on (fingerprint, id) —
-    // both sides hash-partition on the fingerprint, no extra exchange.
-    val survivors = scored
-      .groupBy("fingerprint")
-      .agg(min(col(idCol)).as("__keep"))
-    scored
-      .join(survivors,
-        scored("fingerprint") === survivors("fingerprint") &&
-          col(idCol) === col("__keep"))
-      .drop("__keep").drop(survivors("fingerprint"))
+    // min-id survivor per fingerprint via Dedup's min-over-window: ONE
+    // shuffle of the scored frame (the agg+join alternative shuffles it
+    // twice), and the sha fingerprint key is uniform — skew-free.
+    Dedup.dropExactDuplicates(scored, idCol, Seq("fingerprint"))
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
   }
 }

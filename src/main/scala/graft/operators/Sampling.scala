@@ -23,6 +23,12 @@ object Sampling {
   /** 60-bit positive hash of (key, salt): first 15 hex chars of
     * sha256("&lt;key&gt;:&lt;salt&gt;"). DuckDB:
     * `CAST(concat('0x', substr(sha256(k || ':' || salt), 1, 15)) AS BIGINT)`.
+    *
+    * NULL keys: `concat_ws` drops the null, so every NULL-keyed row hashes
+    * as `":<salt>"` — they travel TOGETHER (all kept or all dropped at a
+    * given rate), never silently vanish. External SQL replicating a
+    * nullable key must `coalesce` the same way (plain `||` would yield
+    * NULL → dropped). Sample on a non-null key (the row id) when possible.
     */
   def hash60(key: Column, salt: String): Column =
     conv(substring(sha2(concat_ws(":", key.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
