@@ -319,6 +319,18 @@ object Queries {
     // data profiling: one-job per-column stats on the orders table
     "q_profile" -> ((s, d) => graft.core.Profiling.profile(s, ord(s, d))),
 
+    // skew-salted join: semantics invariant to salting, so the oracle is
+    // the PLAIN join — the salt is pure execution strategy
+    "q_skew_salted_join" -> ((s, d) => {
+      val li = load(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val o = ord(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    }),
+
     // ---- LLM-pipeline extensions ----------------------------------------
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d), "text")
@@ -951,6 +963,13 @@ object Queries {
         |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
         |       END AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // replicates Profiling.profile on orders: n_distinct is COUNT(DISTINCT)
     // (non-null) — all-integer outputs, engine-independent
