@@ -421,6 +421,15 @@ object Queries {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", "lang", threshold = 0.8)),
 
+    // incremental ingest dedup: docs with doc_id % 3 != 0 are the "seen"
+    // corpus (by fingerprint); the anti-join keeps only genuinely new text
+    "q_dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val seen = dd.filter(col("doc_id") % 3 =!= 0)
+        .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      Dedup.dropSeenDocuments(dd, "text", seen).select("doc_id", "lang")
+    }),
+
     // 48 hashes / 16 bands (3 rows per band): P[candidate | j=0.8] ≈ 0.99999,
     // and the exact-Jaccard verify step removes all false positives — so the
     // output equals the full brute-force pair set (the oracle) at any recall
@@ -963,6 +972,14 @@ object Queries {
         |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
         |       END AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // replicates Dedup.dropSeenDocuments: anti-join on the normalized
+    // sha256 fingerprint
+    "q_dedup_incremental" ->
+      """WITH seen AS (SELECT DISTINCT sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 3 != 0)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE sha256(trim(regexp_replace(d.text, '\s+', ' ', 'g'))) NOT IN (SELECT fp FROM seen)""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT o.o_orderpriority,

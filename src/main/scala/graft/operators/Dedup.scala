@@ -47,6 +47,25 @@ object Dedup {
       idCol,
       Seq("__fp")).drop("__fp")
 
+  /** Incremental ingest dedup: keep only the rows of `df` whose
+    * whitespace-normalized fingerprint does NOT appear in `seen` (a frame
+    * with a `fingerprint` column — typically the persisted fingerprint
+    * table of the historical corpus). The daily-batch shape of
+    * [[dropExactDuplicates]]: dedup N new rows against B billion seen ones
+    * without touching the historical TEXT at all — the anti-join ships
+    * only 64-char hashes, shuffles both sides by a uniform sha key
+    * (skew-free), and AQE broadcasts `seen` whenever a day's fingerprint
+    * set is small enough. New-batch-internal duplicates are NOT collapsed
+    * here — run [[dropExactDuplicates]] on the survivors for that.
+    */
+  def dropSeenDocuments(df: DataFrame, textCol: String, seen: DataFrame): DataFrame = {
+    require(seen.columns.contains("fingerprint"),
+      s"seen frame needs a 'fingerprint' column, has: ${seen.columns.mkString(", ")}")
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seen.select(col("fingerprint").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Word-set Jaccard near-duplicate pairs (exact, set-similarity join).
     *
     * Classic distributed set-similarity join: explode each document's

@@ -30,6 +30,19 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("dropSeenDocuments anti-joins on the normalized fingerprint (formatting-invariant)") {
+    val incoming = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "  the   quick brown fox  "), // formatting-only copy of a seen doc
+      (12L, "a genuinely new document")
+    ).toDF("doc_id", "text")
+    val seen = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.TextAnalysis.fingerprint(col("t")).as("fingerprint"))
+    val kept = Dedup.dropSeenDocuments(incoming, "text", seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L), s"formatting-only copies must be dropped: kept $kept")
+  }
+
   test("fingerprint dedup is whitespace-normalization invariant") {
     val messy = Seq(
       (1L, "a b  c"), (2L, "a b c"), (3L, " a b c "), (4L, "a b d")
