@@ -411,6 +411,12 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
+    // unit-length embedding normalization (bit-reproducible doubles)
+    "q_sim_normalize" -> ((s, d) =>
+      embs(s, d).select(
+        col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("unit"))),
+
     "q_dedup_exact" -> ((s, d) => {
       val dd = docs(s, d)
       Dedup.exactDuplicateGroups(
@@ -972,6 +978,20 @@ object Queries {
         |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
         |       END AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // replicates Similarity.l2Normalize: the norm's fold is sequential in
+    // element order on both sides (list_reduce ≙ the kernel's acc loop),
+    // so the doubles are bit-identical
+    "q_sim_normalize" ->
+      """SELECT vec_id,
+        |  CASE WHEN n2 IS NULL OR n2 = 0 THEN de
+        |       ELSE list_transform(de, v -> v / sqrt(n2)) END AS unit
+        |FROM (SELECT vec_id,
+        |        list_transform(embedding, v -> CAST(v AS DOUBLE)) AS de,
+        |        list_reduce(
+        |          list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        |          (a, b) -> a + b) AS n2
+        |      FROM embeddings)""".stripMargin,
 
     // replicates Dedup.dropSeenDocuments: anti-join on the normalized
     // sha256 fingerprint

@@ -467,4 +467,20 @@ object Similarity {
     def dot(x: Column, y: Column): Column = doubleDot(x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** L2-normalize an embedding column to unit length (double precision).
+    * Zero/empty vectors pass through unchanged (no NaN poisoning). Every
+    * step is IEEE-correctly-rounded on deterministic inputs — float→double
+    * cast exact, the norm's summation sequential via the codegen'd
+    * self-dot, sqrt and division correctly rounded — so the output is
+    * bit-identical across engines (DuckDB replicates it verbatim), unlike
+    * any mean/variance-style normalization. Narrow per-row projection: no
+    * shuffle. Normalizing up front turns downstream cosine into a bare dot
+    * product at 100 TB.
+    */
+  def l2Normalize(emb: Column): Column = {
+    val n2 = doubleDot(emb, emb)
+    when(n2.isNull || n2 === 0.0, transform(emb, v => v.cast("double")))
+      .otherwise(transform(emb, v => v.cast("double") / sqrt(n2)))
+  }
 }

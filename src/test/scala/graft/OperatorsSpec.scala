@@ -319,6 +319,19 @@ class OperatorsSpec extends SparkSpec {
     assert(chunked == naive, s"chunked minus naive: ${chunked -- naive}; missing: ${naive -- chunked}")
   }
 
+  test("l2Normalize yields unit vectors, passes zero vectors through, preserves direction") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("id", "e")
+    val out = df.select(col("id"), Similarity.l2Normalize(col("e")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0)) // no NaN poisoning
+    assert(out(3L) == Seq(-1.0, 0.0))
+  }
+
   test("cosineExpr matches hand-computed cosine") {
     val c = vecs.filter(col("vec_id") === 0L)
       .select(Similarity.cosineExpr(col("embedding"), col("embedding")).as("c"))

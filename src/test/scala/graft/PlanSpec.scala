@@ -226,6 +226,18 @@ class PlanSpec extends SparkSpec {
     assert(read.count() == docs.filter(col("lang") === "de").count())
   }
 
+  test("incremental dedup anti-join broadcasts a small seen set (AQE)") {
+    import org.apache.spark.sql.functions._
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val seen = dd.limit(50)
+      .select(graft.functions.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val q = graft.operators.Dedup.dropSeenDocuments(dd, "text", seen)
+    q.queryExecution.toRdd.count() // AQE decides broadcast at runtime
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"a 50-row seen set must broadcast, not shuffle the corpus:\n$p")
+  }
+
   test("hash sampling pushes column pruning to the scan and adds no exchange") {
     val p = Queries.queries("q_sample_hash")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
