@@ -391,6 +391,15 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // deterministic train/val/test split: per-split counts
+    "q_sample_split" -> ((s, d) =>
+      Sampling.hashSplit(
+          docs(s, d).select("doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "split", granularity = 1000)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"))),
+
     // deterministic k-per-group sample: a stable 3-doc eval slice per lang
     "q_sample_group" -> ((s, d) =>
       Sampling.groupSample(
@@ -551,6 +560,18 @@ object Queries {
           "us", "w_start", "w_end", binWidth = 3600000000L)
         .groupBy("purchase_id")
         .agg(count(lit(1)).as("n_views"), max(col("value")).as("max_view_value"))
+    }),
+
+    // ordered funnel view → click → purchase within 48 h of the first view
+    "q_events_funnel" -> ((s, d) => {
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+      Temporal.funnel(ev, "user_id", "event_type", "us",
+          Seq("view", "click", "purchase"), maxSpan = 172800000000L)
+        .agg(
+          count(lit(1)).as("n_viewed"),
+          count(col("t_click")).as("n_clicked"),
+          count(col("t_purchase")).as("n_purchased"))
     }),
 
     "q_events_asof" -> ((s, d) => {
@@ -1080,6 +1101,18 @@ object Queries {
         |          % 1000 < 300)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM mix GROUP BY 1""".stripMargin,
 
+    // replicates Sampling.hashSplit: cumulative bucket thresholds on the
+    // granularity grid (0.8/0.1/0.1 at 1000 → 800/900)
+    "q_sample_split" ->
+      """WITH b AS (SELECT
+        |    CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT)
+        |      % 1000 AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 800 THEN 'train'
+        |            WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1""".stripMargin,
+
     // replicates Sampling.groupSample: lowest (hash, key) k per group
     "q_sample_group" ->
       """SELECT doc_id, lang FROM (
@@ -1209,6 +1242,25 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // replicates Temporal.funnel: per-step earliest in-order timestamps,
+    // strictly increasing, all within 48 h of the first view
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.us) AS t2
+        |  FROM s1 JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |    AND e.us > s1.t1 AND e.us <= s1.t1 + 172800000000
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, min(e.us) AS t3
+        |  FROM s2 JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |    AND e.us > s2.t2 AND e.us <= s2.t1 + 172800000000
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+        |  CAST(count(s2.t2) AS BIGINT) AS n_clicked,
+        |  CAST(count(s3.t3) AS BIGINT) AS n_purchased
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
 
     // semantic replica of the binned range join: a plain BETWEEN theta-join
     // (the binning is a pure execution-strategy change, invisible in results)

@@ -88,6 +88,50 @@ object Temporal {
     bounded.select((lCols ++ outCols).map(col): _*)
   }
 
+  /** Ordered-funnel completion: for every entity that performed
+    * `steps.head`, the earliest in-order completion times of the remaining
+    * steps — t₁ = min ts of step 1; tₖ = min ts of step k STRICTLY after
+    * tₖ₋₁ and within `maxSpan` of t₁. One row per step-1 entity with
+    * nullable `t_<step>` columns (NULL from the first uncompleted step on).
+    *
+    * Plan: one aggregation for step 1, then per further step a LEFT join
+    * of that step's events back on the entity key + a re-aggregation —
+    * every stage hash-partitions on the SAME key, so the k-step funnel is
+    * one logical shuffle by entity plus co-partitioned passes; per-step
+    * event frames are filtered before joining (each pass ships only that
+    * step's events). No window over the full event stream, no
+    * sessionization state.
+    */
+  def funnel(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      maxSpan: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"funnel steps must be distinct: $steps")
+    require(maxSpan >= 1, s"maxSpan must be >= 1, got $maxSpan")
+    val e = events.select(col(keyCol).as("__k"), col(typeCol).as("__t"), col(tsCol).as("__ts"))
+    def tCol(s: String) = s"t_$s"
+    var acc = e.filter(col("__t") === steps.head)
+      .groupBy("__k").agg(min(col("__ts")).as(tCol(steps.head)))
+    steps.sliding(2).foreach {
+      case Seq(prev, cur) =>
+        val carried = acc.columns.toSeq // __k, t_<s1> … t_<prev>
+        val cand = when(
+          col("__ts") > col(tCol(prev)) &&
+            col("__ts") <= col(tCol(steps.head)) + maxSpan,
+          col("__ts"))
+        acc = acc
+          .join(e.filter(col("__t") === cur).select(col("__k"), col("__ts")), Seq("__k"), "left")
+          .groupBy(carried.map(col): _*)
+          .agg(min(cand).as(tCol(cur)))
+      case _ => () // single-step funnel
+    }
+    acc.withColumnRenamed("__k", keyCol)
+  }
+
   /** Binned range join: inner-join every left row (a point at `leftTs`) to
     * the right rows sharing `keys` whose `[rightStart, rightEnd]` interval
     * (inclusive both ends) contains it.

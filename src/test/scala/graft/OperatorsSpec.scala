@@ -423,6 +423,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out(35L) == (Some(300L), Some(30L)))
   }
 
+  test("funnel: earliest in-order completion, strict ordering, span-bounded") {
+    import graft.operators.Temporal
+    val events = Seq(
+      // A completes in order
+      ("A", "view", 10L), ("A", "click", 20L), ("A", "purchase", 30L),
+      // B's only click precedes its view → funnel stops at view
+      ("B", "click", 5L), ("B", "view", 10L),
+      // C: purchase@15 precedes the click → the LATER purchase completes
+      ("C", "view", 10L), ("C", "purchase", 15L), ("C", "click", 20L), ("C", "purchase", 25L),
+      // D clicks beyond the 100-tick span of its first view
+      ("D", "view", 10L), ("D", "click", 200L),
+      // E never viewed → absent from the funnel entirely
+      ("E", "click", 1L), ("E", "purchase", 2L)
+    ).toDF("user_id", "event_type", "us")
+    val out = Temporal.funnel(events, "user_id", "event_type", "us",
+        Seq("view", "click", "purchase"), maxSpan = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out.keySet == Set("A", "B", "C", "D"))
+    assert(out("A") == ((Some(10L), Some(20L), Some(30L))))
+    assert(out("B") == ((Some(10L), None, None)))
+    assert(out("C") == ((Some(10L), Some(20L), Some(25L))))
+    assert(out("D") == ((Some(10L), None, None)))
+  }
+
   test("rangeJoin equals the naive theta-join, inclusive both ends, across bin widths") {
     import graft.operators.Temporal
     val rnd = new scala.util.Random(7)
