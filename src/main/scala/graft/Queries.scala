@@ -331,6 +331,14 @@ object Queries {
           sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
     }),
 
+    // two-phase salted aggregation: fixed-point values make the re-ordered
+    // partial sums EXACT, so the oracle is the plain GROUP BY
+    "q_skew_salted_sum" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+        .select(col("l_returnflag"), round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+      graft.operators.Skew.saltedSum(li, Seq("l_returnflag"), "qty_cents", saltFactor = 16)
+    }),
+
     // ---- LLM-pipeline extensions ----------------------------------------
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d), "text")
@@ -999,6 +1007,11 @@ object Queries {
         |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INTEGER))))
         |       END AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_skew_salted_sum" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // replicates Similarity.l2Normalize: the norm's fold is sequential in
     // element order on both sides (list_reduce ≙ the kernel's acc loop),
