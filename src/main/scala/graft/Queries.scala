@@ -428,11 +428,13 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
-    // unit-length embedding normalization (bit-reproducible doubles)
+    // unit-length embedding normalization (bit-reproducible doubles),
+    // exploded to scalar rows (vec_id, pos, unit_v) so the cross-engine
+    // comparator checks every component individually
     "q_sim_normalize" -> ((s, d) =>
       embs(s, d).select(
         col("vec_id"),
-        Similarity.l2Normalize(col("embedding")).as("unit"))),
+        posexplode(Similarity.l2Normalize(col("embedding"))).as(Seq("pos", "unit_v")))),
 
     "q_dedup_exact" -> ((s, d) => {
       val dd = docs(s, d)
@@ -1015,17 +1017,21 @@ object Queries {
 
     // replicates Similarity.l2Normalize: the norm's fold is sequential in
     // element order on both sides (list_reduce ≙ the kernel's acc loop),
-    // so the doubles are bit-identical
+    // so the doubles are bit-identical; unnested to scalar rows to match
+    // the posexplode'd Spark output component-by-component
     "q_sim_normalize" ->
       """SELECT vec_id,
-        |  CASE WHEN n2 IS NULL OR n2 = 0 THEN de
-        |       ELSE list_transform(de, v -> v / sqrt(n2)) END AS unit
+        |  CAST(generate_subscripts(unit, 1) - 1 AS INTEGER) AS pos,
+        |  unnest(unit) AS unit_v
         |FROM (SELECT vec_id,
-        |        list_transform(embedding, v -> CAST(v AS DOUBLE)) AS de,
-        |        list_reduce(
-        |          list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
-        |          (a, b) -> a + b) AS n2
-        |      FROM embeddings)""".stripMargin,
+        |        CASE WHEN n2 IS NULL OR n2 = 0 THEN de
+        |             ELSE list_transform(de, v -> v / sqrt(n2)) END AS unit
+        |      FROM (SELECT vec_id,
+        |              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS de,
+        |              list_reduce(
+        |                list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        |                (a, b) -> a + b) AS n2
+        |            FROM embeddings))""".stripMargin,
 
     // replicates Dedup.dropSeenDocuments: anti-join on the normalized
     // sha256 fingerprint
