@@ -26,18 +26,24 @@ object Profiling {
   /** Profile `df`: one row per column — (column_name, n_rows, n_nulls,
     * n_distinct) in schema order. `n_distinct` counts distinct NON-NULL
     * values (SQL `COUNT(DISTINCT col)` semantics).
+    *
+    * Columns are referenced POSITIONALLY (via a rename to synthetic names),
+    * so names containing dots/backticks and even duplicate names — both
+    * legal in DataFrames — profile correctly instead of failing analysis
+    * or binding ambiguously.
     */
   def profile(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
     val cols = df.columns.toSeq
     require(cols.nonEmpty, "cannot profile a zero-column frame")
+    val safe = df.toDF(cols.indices.map(i => s"__c$i"): _*)
     val aggs =
       Seq(count(lit(1)).as("__n")) ++
-        cols.zipWithIndex.map { case (c, i) =>
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i")
+        cols.indices.map { i =>
+          sum(when(col(s"__c$i").isNull, 1L).otherwise(0L)).as(s"__null$i")
         } ++
-        cols.zipWithIndex.map { case (c, i) => countDistinct(col(c)).as(s"__dist$i") }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.indices.map { i => countDistinct(col(s"__c$i")).as(s"__dist$i") }
+    val row = safe.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Long]("__n")
     cols.zipWithIndex.map { case (c, i) =>
       (c, n, row.getAs[Long](s"__null$i"), row.getAs[Long](s"__dist$i"))

@@ -138,6 +138,11 @@ object TextAnalysis {
     * count is Σ ⌈tokens/stride⌉, and each chunk carries only its own
     * text slice (never the whole document re-materialized per chunk
     * beyond the overlap factor ≤ chunk/stride).
+    *
+    * The output is a fixed-name PROJECTION — input columns other than
+    * `idCol`/`textCol` are not carried, so a caller column named `doc`,
+    * `pos`, `col` or `__tk` is never overwritten (it simply isn't in the
+    * output); join the chunks back on `doc` to re-attach metadata.
     */
   def chunkDocuments(
       df: DataFrame,
@@ -171,6 +176,9 @@ object TextAnalysis {
     * Scale: two hash aggregations + one join; the document-frequency table
     * is |vocabulary| rows — AQE broadcasts it when small, and the per-doc
     * top-k window partitions by doc (uniform). Nothing is quadratic.
+    *
+    * Fixed-name projection like [[chunkDocuments]]: caller columns are
+    * never overwritten, only left behind — join back on `doc`.
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

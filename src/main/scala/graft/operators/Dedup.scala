@@ -41,11 +41,14 @@ object Dedup {
   /** Fingerprint dedup: exact dedup over the whitespace-normalized sha256
     * fingerprint of `textCol` — catches formatting-only near-copies.
     */
-  def fingerprintDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def fingerprintDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!df.columns.contains("__fp"),
+      "input already has a '__fp' column (reserved as this helper's scratch name) — rename it first")
     exactDuplicateGroups(
       df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
       idCol,
       Seq("__fp")).drop("__fp")
+  }
 
   /** Incremental ingest dedup: keep only the rows of `df` whose
     * whitespace-normalized fingerprint does NOT appear in `seen` (a frame
@@ -61,6 +64,8 @@ object Dedup {
   def dropSeenDocuments(df: DataFrame, textCol: String, seen: DataFrame): DataFrame = {
     require(seen.columns.contains("fingerprint"),
       s"seen frame needs a 'fingerprint' column, has: ${seen.columns.mkString(", ")}")
+    require(!df.columns.contains("__fp"),
+      "input already has a '__fp' column (reserved as this helper's scratch name) — rename it first")
     df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(seen.select(col("fingerprint").as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")

@@ -22,17 +22,20 @@ object Sampling {
 
   /** 60-bit positive hash of (key, salt): first 15 hex chars of
     * sha256("&lt;key&gt;:&lt;salt&gt;"). DuckDB:
-    * `CAST(concat('0x', substr(sha256(k || ':' || salt), 1, 15)) AS BIGINT)`.
+    * `CAST(concat('0x', substr(sha256(coalesce(CAST(k AS VARCHAR), '') || ':' || salt), 1, 15)) AS BIGINT)`.
     *
-    * NULL keys: `concat_ws` drops the null, so every NULL-keyed row hashes
-    * as `":<salt>"` — they travel TOGETHER (all kept or all dropped at a
-    * given rate), never silently vanish. External SQL replicating a
-    * nullable key must `coalesce` the same way (plain `||` would yield
-    * NULL → dropped). Sample on a non-null key (the row id) when possible.
+    * NULL keys hash as the empty string — sha256(":&lt;salt&gt;") — via an
+    * EXPLICIT `coalesce` (not `concat_ws`, whose null-skipping also eats
+    * the separator and silently diverges from the `||` recipe above), so
+    * NULL-keyed rows travel TOGETHER (all kept or all dropped at a given
+    * rate), never silently vanish, and the formula above reproduces them
+    * exactly. Sample on a non-null key (the row id) when possible.
     */
   def hash60(key: Column, salt: String): Column =
-    conv(substring(sha2(concat_ws(":", key.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
-      .cast("long")
+    conv(
+      substring(
+        sha2(concat(coalesce(key.cast("string"), lit("")), lit(":" + salt)), 256), 1, 15),
+      16, 10).cast("long")
 
   /** [[hash60]] folded onto a `granularity`-bucket grid. */
   def hashBucket(key: Column, salt: String, granularity: Int): Column = {
@@ -94,6 +97,8 @@ object Sampling {
       k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("__rn"),
+      "input already has a '__rn' column (reserved as this helper's scratch name) — rename it first")
     import org.apache.spark.sql.expressions.Window
     df.withColumn(
         "__rn",
