@@ -32,8 +32,11 @@ object Profiling {
     * legal in DataFrames — profile correctly instead of failing analysis
     * or binding ambiguously.
     */
-  def profile(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
+  /** The single-row aggregation both profile flavors execute, un-executed —
+    * exposed for plan audits (PlanSpec pins that the approx path has no
+    * `Expand` node). `rsd = None` → exact `countDistinct`.
+    */
+  private[graft] def profileAgg(df: DataFrame, rsd: Option[Double]): DataFrame = {
     val cols = df.columns.toSeq
     require(cols.nonEmpty, "cannot profile a zero-column frame")
     val safe = df.toDF(cols.indices.map(i => s"__c$i"): _*)
@@ -42,11 +45,41 @@ object Profiling {
         cols.indices.map { i =>
           sum(when(col(s"__c$i").isNull, 1L).otherwise(0L)).as(s"__null$i")
         } ++
-        cols.indices.map { i => countDistinct(col(s"__c$i")).as(s"__dist$i") }
-    val row = safe.agg(aggs.head, aggs.tail: _*).head()
+        cols.indices.map { i =>
+          rsd match {
+            case Some(r) => approx_count_distinct(col(s"__c$i"), r).as(s"__dist$i")
+            case None    => countDistinct(col(s"__c$i")).as(s"__dist$i")
+          }
+        }
+    safe.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def report(spark: SparkSession, cols: Seq[String], agg: DataFrame): DataFrame = {
+    import spark.implicits._
+    val row = agg.head()
     val n = row.getAs[Long]("__n")
     cols.zipWithIndex.map { case (c, i) =>
       (c, n, row.getAs[Long](s"__null$i"), row.getAs[Long](s"__dist$i"))
     }.toDF("column_name", "n_rows", "n_nulls", "n_distinct")
+  }
+
+  def profile(spark: SparkSession, df: DataFrame): DataFrame =
+    report(spark, df.columns.toSeq, profileAgg(df, None))
+
+  /** [[profile]] with HyperLogLog++ distinct counts
+    * (`approx_count_distinct`, relative standard deviation `rsd`) — the
+    * default choice for WIDE tables at scale. Exact multi-column distincts
+    * make Spark `Expand` the input ~(#columns)× in the map stage (one row
+    * copy per distinct aggregate); the HLL sketch needs no Expand and no
+    * per-value dedup state, so a 30-column 100 TB profile does one plain
+    * scan + one tiny shuffle of fixed-size sketches. Use [[profile]] when
+    * the counts must be exact (key-cardinality equality checks); use this
+    * when "how distinct is this column" is the question. Same output
+    * schema and positional column binding; `n_distinct` is approximate
+    * (±rsd, default 5%).
+    */
+  def approxProfile(spark: SparkSession, df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0.0 && rsd < 1.0, s"rsd out of (0,1): $rsd")
+    report(spark, df.columns.toSeq, profileAgg(df, Some(rsd)))
   }
 }

@@ -182,6 +182,24 @@ class ComparisonSpec extends SparkSpec {
     assert(p.keySet == source.columns.toSet)
   }
 
+  test("approxProfile matches exact counts within HLL tolerance") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val exact = graft.core.Profiling.profile(spark, li)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val approx = graft.core.Profiling.approxProfile(spark, li, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((c, (n, nulls, dist)) <- exact) {
+      val (an, anulls, adist) = approx(c)
+      // row and null counts are NOT approximated — must be identical
+      assert(an == n && anulls == nulls, s"$c: exact fields diverged")
+      // HLL++ distinct within 5×rsd of truth (generous: rsd is a std-dev)
+      assert(math.abs(adist - dist) <= math.max(1L, math.round(dist * 0.10)),
+        s"$c: approx distinct $adist too far from exact $dist")
+    }
+  }
+
   test("sources round-trip csv and json with options (S1/S3 across formats)") {
     import graft.sources.IoUtils
     import graft.config.{DataframeConfig, OutputConfig}

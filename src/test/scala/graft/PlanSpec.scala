@@ -245,4 +245,20 @@ class PlanSpec extends SparkSpec {
       s"sampling must not widen the scan:\n$p")
     assert(!p.contains("Exchange"), s"a pure filter sample must not shuffle:\n$p")
   }
+
+  test("approxProfile has no Expand node; exact profile pays one per multi-distinct") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+    def planOf(df: DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val exact = planOf(graft.core.Profiling.profileAgg(li, None))
+    assert(exact.contains("Expand"),
+      s"multi-column exact countDistinct should plan an Expand (the map-stage replication approxProfile avoids):\n$exact")
+    val approx = planOf(graft.core.Profiling.profileAgg(li, Some(0.05)))
+    assert(!approx.contains("Expand"),
+      s"approx_count_distinct must not Expand the input:\n$approx")
+    // still the one-scan/one-shuffle shape: partial+final agg, single Exchange
+    assert(approx.linesIterator.count(_.contains("Exchange (")) == 1,
+      s"approx profile should shuffle fixed-size sketches exactly once:\n$approx")
+  }
 }
