@@ -95,6 +95,29 @@ object Queries {
         DatasetParams("emb_cmp", Seq("vec_id"), TestParams(canonicalizeNestedTypes = true)))
     }
 
+  // orders reshaped with a STRUCT column (status, priority) vs a copy with
+  // dropped keys and perturbed struct fields — the struct-column
+  // (nested-type canonicalization) engine scenario: the checksum and the
+  // per-column predicate both go through to_json canonicalization.
+  private def compareStructResult(s: SparkSession, d: String) =
+    memoizedCompare(s, d, "orders_struct") {
+      val o = ord(s, d)
+      val k = col("o_orderkey")
+      val src = o.filter(k % 19 =!= 0).select(
+        k,
+        struct(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority")).as("meta"),
+        col("o_custkey"))
+      val tgt = o.filter(k % 13 =!= 0).select(
+        k,
+        struct(
+          when(k % 7 === 0, lit("X")).otherwise(col("o_orderstatus")).as("status"),
+          col("o_orderpriority").as("priority")).as("meta"),
+        col("o_custkey"))
+      Comparison.compareDataFrames(
+        s, src, tgt,
+        DatasetParams("orders_struct", Seq("o_orderkey"), TestParams(canonicalizeNestedTypes = true)))
+    }
+
   /** Release every memoized comparison run's persisted frames (benchmarks
     * call this between warmup and measurement).
     */
@@ -286,6 +309,10 @@ object Queries {
 
     // engine end-to-end over ARRAY columns (nested-type canonicalization)
     "q_compare_arrays" -> ((s, d) => compareArraysResult(s, d).rowLvlTestReport),
+
+    // engine end-to-end over a STRUCT column (to_json canonicalization in
+    // both the row checksum and the per-column predicate)
+    "q_compare_struct" -> ((s, d) => compareStructResult(s, d).rowLvlTestReport),
 
     "q_compare_overall" -> ((s, d) =>
       compareResult(s, d).overallTestReport.select(
@@ -593,6 +620,23 @@ object Queries {
       val views = ev.filter(col("event_type") === "view")
         .groupBy("user_id", "us").agg(max(col("value")).as("view_value"))
       Temporal.asOfJoin(purchases, views, Seq("user_id"), "us", "us", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("view_value_asof").as("view_value"), col("us_asof").as("view_us"))
+    }),
+
+    // asOfJoin TOLERANCE path: matches staler than 1 h (in µs) are nulled
+    // out, rows kept — the semantics DuckDB ASOF can't state in its single
+    // join inequality, replicated oracle-side as a post-join CASE
+    "q_events_asof_tol" -> ((s, d) => {
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("us"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max(col("value")).as("view_value"))
+      Temporal.asOfJoin(purchases, views, Seq("user_id"), "us", "us", Seq("view_value"),
+          tolerance = Some(3600000000L))
         .select(col("event_id"), col("user_id"), col("us"),
           col("view_value_asof").as("view_value"), col("us_asof").as("view_us"))
     }))
@@ -943,6 +987,30 @@ object Queries {
         |    AND s.embedding IS NOT DISTINCT FROM t.embedding
         |    AND s.label IS NOT DISTINCT FROM t.label, FALSE) AS all_rows_matched
         |FROM src s FULL OUTER JOIN tgt t ON s.vec_id = t.vec_id""".stripMargin,
+
+    // replica of the struct-column engine scenario: to_json canonicalization
+    // is injective for a fixed struct schema (a null field is OMITTED from
+    // the json, never colliding with any non-null value), so checksum
+    // equality ≙ null-safe field-wise equality — which DuckDB states
+    // directly on the underlying fields
+    "q_compare_struct" ->
+      """WITH src AS (SELECT o_orderkey, o_orderstatus AS status,
+        |    o_orderpriority AS priority, o_custkey
+        |  FROM orders WHERE o_orderkey % 19 != 0),
+        |tgt AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+        |    o_orderpriority AS priority, o_custkey
+        |  FROM orders WHERE o_orderkey % 13 != 0)
+        |SELECT 'orders_struct' AS dataset_name, COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CAST(0 AS BIGINT) AS duplicate_count,
+        |  CASE WHEN s.o_orderkey IS NULL THEN 'MISSING_AT_SOURCE'
+        |       WHEN t.o_orderkey IS NULL THEN 'MISSTING_AT_TARGET'
+        |       ELSE 'PRESENT_IN_BOTH' END AS missing_row_status,
+        |  COALESCE(s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+        |    AND s.status IS NOT DISTINCT FROM t.status
+        |    AND s.priority IS NOT DISTINCT FROM t.priority
+        |    AND s.o_custkey IS NOT DISTINCT FROM t.o_custkey, FALSE) AS all_rows_matched
+        |FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
@@ -1302,6 +1370,23 @@ object Queries {
         |  FROM e WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.us, v.view_value, v.us AS view_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
+
+    // the tolerance branch: plain ASOF then null out matches older than
+    // leftTs − 1 h (keep the row) — exactly Temporal.asOfJoin(tolerance=)
+    "q_events_asof_tol" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |    event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, us, MAX(value) AS view_value
+        |  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        |a AS (SELECT p.event_id, p.user_id, p.us, v.view_value, v.us AS view_us
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us)
+        |SELECT event_id, user_id, us,
+        |  CASE WHEN view_us IS NOT NULL AND us - view_us <= 3600000000
+        |       THEN view_value END AS view_value,
+        |  CASE WHEN view_us IS NOT NULL AND us - view_us <= 3600000000
+        |       THEN view_us END AS view_us
+        |FROM a""".stripMargin,
 
     // 8 h gap = 28800000000 µs; a session closes gap after its last event.
     // Spark merges an event into the open session iff it starts STRICTLY

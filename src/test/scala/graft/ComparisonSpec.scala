@@ -182,6 +182,23 @@ class ComparisonSpec extends SparkSpec {
     assert(p.keySet == source.columns.toSet)
   }
 
+  test("unpersist releases every engine-persisted frame (no storage leak in shared sessions)") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val r = Comparison.compareDataFrames(spark, source, target, params)
+    r.overallTestReport.collect() // materialize the persisted intermediates
+    assert(!cm.isEmpty, "engine should register persisted frames in the cache manager")
+    r.unpersist()
+    assert(cm.isEmpty, "ComparisonResult.unpersist must empty the cache manager")
+    // the memoized catalog cache releases the same way (bench calls this
+    // between warmup and measurement; long-lived sessions would leak blocks
+    // otherwise)
+    Queries.queries("q_compare_row_lvl")(spark, "/root/testdata/sf0.001").count()
+    assert(!cm.isEmpty)
+    Queries.clearComparisonCache()
+    assert(cm.isEmpty, "clearComparisonCache must release the memoized runs' frames")
+  }
+
   test("approxProfile matches exact counts within HLL tolerance") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity", "l_returnflag")
