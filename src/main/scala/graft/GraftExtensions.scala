@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.{DoubleArrayDot, LongArrayDot}
+
+/** SQL front-door for the codegen'd kernels: registers the two Catalyst
+  * dot-product expressions in the session `FunctionRegistry`, so SQL-only
+  * users (`spark.sql(...)`, thrift/connect clients) can reach the hot-path
+  * primitives the operator library builds on:
+  *
+  * {{{
+  *   SELECT double_array_dot(embedding, embedding) AS norm2 FROM embeddings
+  *   -- cosine over pre-normalized vectors is a bare dot product:
+  *   SELECT a.id, b.id, double_array_dot(a.unit, b.unit) FROM ...
+  * }}}
+  *
+  * Registered as real `FunctionRegistry` entries — NOT `spark.udf.register`
+  * (a UDF would box every array and fall out of whole-stage codegen,
+  * exactly what these expressions exist to avoid).
+  *
+  * Activation paths, in preference order:
+  *   - [[GraftSession.builder]] injects it for every graft-built session;
+  *   - `--conf spark.sql.extensions=graft.GraftExtensions` for sessions
+  *     built elsewhere (spark-submit, notebooks, Spark Connect servers);
+  *   - [[GraftExtensions.registerFunctions]] retrofits a LIVE session.
+  *
+  * `double_array_dot` mirrors [[graft.functions.VectorExpressions.doubleDot]]:
+  * each argument gets one whole-array cast to `array<double>`, so
+  * `array<float>` embedding columns work directly with values identical to
+  * the Scala API. `long_array_dot` is exact and uncasted by design — the
+  * fixed-point path must never silently widen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, clazz: Class[_], usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getCanonicalName, null, name, usage, "", "", "", "math_funcs", "4.0.0", "", "built-in")
+
+  private def arity2(name: String)(build: (Expression, Expression) => Expression): FunctionBuilder = {
+    case Seq(a, b) => build(a, b)
+    case exprs =>
+      throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${exprs.length}")
+  }
+
+  /** The registry entries (shared by the extension injector and the live
+    * retrofit): name, documentation, builder.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("long_array_dot"),
+      info("long_array_dot", classOf[LongArrayDot],
+        "long_array_dot(a, b) - Exact integer dot product of two array<bigint> columns; NULL on length mismatch or NULL element. long_array_dot(a, a) is the squared norm."),
+      arity2("long_array_dot")(LongArrayDot(_, _))),
+    (FunctionIdentifier("double_array_dot"),
+      info("double_array_dot", classOf[DoubleArrayDot],
+        "double_array_dot(a, b) - Double dot product of two numeric array columns (each argument gets one whole-array cast to array<double>); NULL on length mismatch or NULL element."),
+      arity2("double_array_dot") { (a, b) =>
+        val at = ArrayType(DoubleType)
+        DoubleArrayDot(Cast(a, at), Cast(b, at))
+      }))
+
+  /** Register the functions in an already-running session (equivalent to
+    * having built it with the extension installed; idempotent — re-register
+    * simply overwrites the same entries).
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

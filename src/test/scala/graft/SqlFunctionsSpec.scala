@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** The SQL front-door: the codegen'd kernels must be reachable by name from
+  * plain `spark.sql`, with the Scala API's exact semantics (they resolve to
+  * the SAME Catalyst expressions, not UDF wrappers).
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  // The shared test session is built by GraftSession.builder, so the
+  // extension is installed; retrofit is idempotent over it.
+  GraftExtensions.registerFunctions(spark)
+
+  test("long_array_dot is callable from SQL with exact integer semantics") {
+    val r = spark.sql(
+      "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head()
+    assert(r.getLong(0) == 32L)
+  }
+
+  test("double_array_dot casts float arrays like the Scala API") {
+    val r = spark.sql(
+      """SELECT double_array_dot(
+        |  array(CAST(0.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(4.0 AS FLOAT), CAST(0.25 AS FLOAT))) AS d""".stripMargin).head()
+    assert(r.getDouble(0) == 2.5)
+  }
+
+  test("SQL kernels keep the fold's null semantics: length mismatch and null elements") {
+    val rows = spark.sql(
+      """SELECT long_array_dot(array(1L, 2L), array(1L)) AS mismatch,
+        |       long_array_dot(array(1L, NULL), array(1L, 2L)) AS nullelem,
+        |       long_array_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS nullinput""".stripMargin).head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+  }
+
+  test("SQL invocation resolves to the codegen'd expression, not a fallback") {
+    // non-foldable input (id varies) so constant folding can't pre-evaluate
+    spark.sql("SELECT id, array(CAST(id AS DOUBLE), 2.0) AS v FROM range(4)")
+      .createOrReplaceTempView("vecs_sql")
+    val df = spark.sql("SELECT double_array_dot(v, v) AS n2 FROM vecs_sql WHERE id = 1")
+    assert(df.head().getDouble(0) == 5.0)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // formatted mode marks whole-stage-codegen operators with [codegen id];
+    // the Project evaluating the kernel must carry one
+    val projLine = plan.linesIterator.find(l => l.contains("Project") && l.contains("codegen id"))
+    assert(projLine.isDefined, s"kernel's Project left whole-stage codegen:\n$plan")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("double_array_dot"), s"expected the kernel expression:\n$analyzed")
+  }
+
+  test("wrong arity is a clear error") {
+    val e = intercept[Exception](spark.sql("SELECT long_array_dot(array(1L))").head())
+    assert(e.getMessage.contains("long_array_dot"), e.getMessage)
+  }
+}
