@@ -87,7 +87,9 @@ object Bench {
       "q_dedup_jaccard", "q_sim_cosine_topk", "q_dedup_embedding",
       "q_compare_row_lvl", "q_compare_arrays", "q_events_window", "q_text_stats",
       "q_sim_lsh_topk", "q_sim_ivf_topk", "q_dedup_minhash", "q_dedup_simhash",
-      "q_curate", "q_events_range", "q_text_topterms")
+      "q_curate", "q_events_range", "q_text_topterms",
+      // round-6 permanent additions (warmup grows only with the catalog)
+      "q_compare_struct", "q_events_asof_tol")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
