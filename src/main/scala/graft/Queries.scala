@@ -388,6 +388,20 @@ object Queries {
         col("doc_id"),
         TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // Gopher-style repetition signals; duplicate lines are injected on a
+    // third of the corpus so the line-dup path is actually exercised (the
+    // synthetic docs are single-line)
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(
+        docs(s, d).select(
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\nrepeat line\nrepeat line")))
+            .otherwise(col("text")).as("text")),
+        "text")
+        .select("doc_id", "n_lines", "dup_line_ratio",
+          "dup_2gram_ratio", "dup_3gram_ratio")),
+
     // context-window chunking: 40-token chunks, 8-token overlap
     "q_text_chunks" -> ((s, d) =>
       TextAnalysis.chunkDocuments(docs(s, d), "doc_id", "text",
@@ -1038,6 +1052,39 @@ object Queries {
     "q_text_fingerprint" ->
       """SELECT doc_id, sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // replicates TextAnalysis.repetitionStats over the line-dup-augmented
+    // corpus: non-blank trimmed lines; word n-gram repeat fractions as
+    // (total − distinct)/total — integer subtraction over one IEEE
+    // division, bit-identical across engines
+    "q_text_repetition" ->
+      """WITH a AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || chr(10) || 'repeat line' || chr(10) || 'repeat line'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lines,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |         END AS words
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS INTEGER) AS n_lines,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |            / CAST(len(lines) AS DOUBLE) END AS dup_line_ratio,
+        |  CASE WHEN len(words) - 1 <= 0 THEN 0.0
+        |       ELSE CAST((len(words) - 1) - len(list_distinct(list_transform(
+        |              range(1, len(words)), i -> words[i] || ' ' || words[i+1]))) AS DOUBLE)
+        |            / CAST(len(words) - 1 AS DOUBLE) END AS dup_2gram_ratio,
+        |  CASE WHEN len(words) - 2 <= 0 THEN 0.0
+        |       ELSE CAST((len(words) - 2) - len(list_distinct(list_transform(
+        |              range(1, len(words) - 1),
+        |              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS DOUBLE)
+        |            / CAST(len(words) - 2 AS DOUBLE) END AS dup_3gram_ratio
+        |FROM b""".stripMargin,
 
     // replicates TextAnalysis.langId: hits = #distinct marker words present;
     // winner = max hits, ties to the lexicographically LAST language; 'und'

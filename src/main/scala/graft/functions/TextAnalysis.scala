@@ -128,6 +128,49 @@ object TextAnalysis {
               / tokenCount(t).cast("double")))
   }
 
+  /** Repetition-based quality signals (the Gopher/MassiveText repetition
+    * rules, public: Rae et al. 2021 §A1.1): within-document repetition is
+    * one of the strongest cheap markers of boilerplate/spam, complementary
+    * to [[qualityFeatures]]'s character-class ratios. Appends:
+    *
+    *  - `n_lines` — non-blank (space-trimmed) lines;
+    *  - `dup_line_ratio` — fraction of lines that are repeats of an
+    *    earlier line (1 − distinct/total);
+    *  - `dup_2gram_ratio`, `dup_3gram_ratio` — fraction of word n-grams
+    *    that are repeats (1 − distinct/total over ALL n-grams, not the
+    *    distinct shingle set).
+    *
+    * All ratios are 0.0 for empty inputs. Pure in-row codegen'd HOF
+    * composition — no shuffle, no UDF; ratios are exact-integer
+    * subtractions over one IEEE division, so any engine reproduces them
+    * bit-identically (`q_text_repetition` oracle). The words array is
+    * materialized in a scratch column first — inlining it would re-split
+    * the text for every `element_at` inside the shingle lambda.
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    require(!df.columns.contains("__rep_w"),
+      "input already has a '__rep_w' column (reserved as this helper's scratch name) — rename it first")
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines)
+    val nTok = tokenCount(t)
+    def gramRatio(n: Int): Column = {
+      val total = nTok - lit(n - 1)
+      val dist = size(shinglesOfWords(col("__rep_w"), n))
+      when(total <= 0, lit(0.0))
+        .otherwise((total - dist).cast("double") / total.cast("double"))
+    }
+    df.withColumn("__rep_w", tokens(t))
+      .withColumn("n_lines", nLines)
+      .withColumn(
+        "dup_line_ratio",
+        when(nLines === 0, lit(0.0))
+          .otherwise((nLines - size(array_distinct(lines))).cast("double") / nLines.cast("double")))
+      .withColumn("dup_2gram_ratio", gramRatio(2))
+      .withColumn("dup_3gram_ratio", gramRatio(3))
+      .drop("__rep_w")
+  }
+
   /** Split documents into fixed-size token-window chunks with overlap —
     * the context-length preprocessing step of a training pipeline. Chunk
     * starts advance by `chunkTokens - overlapTokens`; the final chunk may

@@ -348,6 +348,30 @@ class OperatorsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("repetitionStats: hand-computed dup line/n-gram fractions; empty inputs are 0") {
+    val corpus = Seq(
+      // 4 non-blank lines, "dup" twice → dup_line_ratio 1/4;
+      // words: a b c a b c d (7 tokens) → 6 bigrams, distinct {ab,bc,ca,cd}=4
+      // wait: bigrams: ab bc ca ab bc cd → distinct 4 → dup 2/6
+      (1L, "a b c\ndup\n   \ndup\na b c d"),
+      (2L, "x y"), // 1 line; 1 bigram, 0 trigrams → trigram ratio 0
+      (3L, "   ") // blank: everything 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(corpus, "text")
+      .select("doc_id", "n_lines", "dup_line_ratio", "dup_2gram_ratio", "dup_3gram_ratio")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    // doc 1 lines: "a b c","dup","dup","a b c d" → 4 lines, 3 distinct
+    assert(r(1L)._1 == 4 && r(1L)._2 == 0.25)
+    // doc 1 words: a b c dup dup a b c d → 8 bigrams ("a b","b c","c dup",
+    // "dup dup","dup a","a b","b c","c d") distinct 6 → 2/8
+    assert(r(1L)._3 == 0.25)
+    // 7 trigrams, "a b c" repeats once → 1/7
+    assert(math.abs(r(1L)._4 - 1.0 / 7) < 1e-15)
+    assert(r(2L) == ((1, 0.0, 0.0, 0.0)))
+    assert(r(3L) == ((0, 0.0, 0.0, 0.0)))
+  }
+
   test("chunkDocuments covers every token with the configured overlap; blank docs emit nothing") {
     val corpus = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
