@@ -487,6 +487,22 @@ object Queries {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", "lang", threshold = 0.8)),
 
+    // pair graph → transitive clusters: corpus augmented with an exact copy
+    // (+100000) and a suffix-perturbed copy (+200000) of every 10th doc, so
+    // original–copyA–copyB chains form; components group them and the
+    // component id is the min-id survivor
+    "q_dedup_components" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text", "lang")
+      val tenth = dd.filter(col("doc_id") % 10 === 0)
+      val cpyA = tenth.withColumn("doc_id", col("doc_id") + lit(100000L))
+      val cpyB = tenth.withColumn("doc_id", col("doc_id") + lit(200000L))
+        .withColumn("text", concat(col("text"), lit(" zz11 zz22 zz33")))
+      val pairs = Dedup.jaccardPairs(
+        dd.unionByName(cpyA).unionByName(cpyB), "doc_id", "text", "lang", threshold = 0.8)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy("component").agg(count(lit(1)).as("n_members"))
+    }),
+
     // incremental ingest dedup: docs with doc_id % 3 != 0 are the "seen"
     // corpus (by fingerprint); the anti-join keeps only genuinely new text
     "q_dedup_incremental" -> ((s, d) => {
@@ -1333,6 +1349,44 @@ object Queries {
         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+
+    // replica of the components pipeline: the jaccard pair CTE over the
+    // augmented corpus, then min-label transitive closure via a recursive
+    // CTE (a label l propagates to neighbor n when l < n; the component
+    // min always wins, spurious larger labels fall to the MIN aggregate)
+    "q_dedup_components" ->
+      """WITH RECURSIVE aug AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' zz11 zz22 zz33', lang
+        |    FROM documents WHERE doc_id % 10 = 0),
+        |w AS (SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |  FROM aug),
+        |toks AS (SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |  FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM toks a JOIN toks b
+        |         ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS lbl FROM e
+        |  UNION
+        |  SELECT e.a AS node, r.lbl FROM e JOIN reach r ON r.node = e.b
+        |  WHERE r.lbl < e.a),
+        |cc AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM cc GROUP BY component""".stripMargin,
 
     "q_sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -400,4 +400,88 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ---- pair graph → clusters ------------------------------------------
+
+  /** Connected components of an undirected pair graph — the step between
+    * near-dup PAIR emission ([[jaccardPairs]] / [[minhashNearDuplicates]] /
+    * [[simhashNearDuplicates]] / embedding near-dup) and CLUSTER-level
+    * dedup: near-duplication is transitive in practice (A≈B, B≈C ⇒ the
+    * whole chain is one boilerplate family), so survivors must be picked
+    * per component, not per pair — pairwise dropping can delete BOTH rows
+    * of a pair or keep two members of one chain. Output: one row per node
+    * of the pair graph, `(node, component)` with `component` = the MIN node
+    * id of its component (so the component id doubles as the canonical
+    * survivor id).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round (a) every node takes the min of its own and its neighbors'
+    * labels (one equi-join + hash agg on the edge list), then (b) labels
+    * jump to their label's label (one self-join), which doubles the
+    * propagation distance per round, the classic log-rounds trick. Rounds ≈
+    * log₂(component diameter); near-dup families are dense (diameter a few
+    * hops), so convergence is 2-4 rounds in practice. The driver loop only
+    * checks a per-round CHANGED counter (one scalar action per round) —
+    * all data stays distributed; per-round `localCheckpoint` truncates the
+    * otherwise-exponential lineage.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    // undirected, deduped edge list — reused every round
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(false)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // (a) min over self + neighbors
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("component").as("nbr")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nbr")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          col("component").as("prev"))
+      // (b) pointer jump: component ← label(component)
+      val jumped = stepped.as("s")
+        .join(labels.select(col("node").as("component"), col("component").as("jump")).as("j"),
+          Seq("component"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("jump"), col("component"))).as("component"),
+          col("prev"))
+        .localCheckpoint(false)
+      changed = jumped.filter(col("component") =!= col("prev")).count()
+      labels = jumped.drop("prev")
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds — raise maxRounds")
+    labels
+  }
+
+  /** Cluster-level near-dup dedup: drop every member of each pair-graph
+    * component except the min-id survivor. Rows of `df` not in any pair
+    * survive untouched; the anti-join ships only the loser id set (far
+    * smaller than the corpus — it is bounded by the duplicate count).
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -348,6 +348,21 @@ class OperatorsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("connectedComponents resolves chains transitively; dropNearDuplicates keeps one survivor per cluster") {
+    import graft.operators.Dedup
+    // a 4-node chain (1-2-3-4: never all pairwise-similar, the case
+    // pairwise dropping gets wrong), a 2-node pair, and an untouched node
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 99L))
+  }
+
   test("repetitionStats: hand-computed dup line/n-gram fractions; empty inputs are 0") {
     val corpus = Seq(
       // 4 non-blank lines, "dup" twice → dup_line_ratio 1/4;
