@@ -21,13 +21,19 @@ import graft.functions.TextAnalysis
 object Curation {
 
   /** Cheap-signal quality gates; defaults tuned to drop degenerate rows
-    * (empty, numeric tables, shouting) without modeling.
+    * (empty, numeric tables, shouting) without modeling. The repetition
+    * gates (Gopher-style, [[TextAnalysis.repetitionStats]]) are OFF by
+    * default — when set, documents exceeding the duplicate-line /
+    * duplicate-3-gram fractions are dropped scan-side too, and the four
+    * repetition columns ride along in the output.
     */
   final case class QualityThresholds(
       minChars: Int = 20,
       minTokens: Int = 5,
       maxDigitRatio: Double = 0.2,
-      maxUpperRatio: Double = 0.3)
+      maxUpperRatio: Double = 0.3,
+      maxDupLineRatio: Option[Double] = None,
+      maxDup3gramRatio: Option[Double] = None)
 
   /** Curate `df`: returns the surviving rows with quality features, a
     * `fingerprint` column, and `lang_pred`. Survivor of a fingerprint
@@ -38,13 +44,21 @@ object Curation {
       idCol: String,
       textCol: String,
       th: QualityThresholds = QualityThresholds()): DataFrame = {
-    val scored = TextAnalysis.qualityFeatures(df, textCol)
+    val gated = TextAnalysis.qualityFeatures(df, textCol)
       .filter(
         col("n_chars") >= th.minChars &&
           col("n_tokens") >= th.minTokens &&
           col("digit_ratio") <= th.maxDigitRatio &&
           col("upper_ratio") <= th.maxUpperRatio)
-      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    val repGated =
+      if (th.maxDupLineRatio.isEmpty && th.maxDup3gramRatio.isEmpty) gated
+      else {
+        val rep = TextAnalysis.repetitionStats(gated, textCol)
+        val lineOk = th.maxDupLineRatio.map(col("dup_line_ratio") <= _).getOrElse(lit(true))
+        val gramOk = th.maxDup3gramRatio.map(col("dup_3gram_ratio") <= _).getOrElse(lit(true))
+        rep.filter(lineOk && gramOk)
+      }
+    val scored = repGated.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
     // min-id survivor per fingerprint via Dedup's min-over-window: ONE
     // shuffle of the scored frame (the agg+join alternative shuffles it
     // twice), and the sha fingerprint key is uniform — skew-free.

@@ -100,4 +100,20 @@ class SamplingSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 5L), s"expected survivors 1 and 5, got ${out.keySet}")
     assert(out(1L) == "en" && out(5L) == "de")
   }
+
+  test("curate repetition gates drop boilerplate when enabled, change nothing when off") {
+    val spam = ("the daily offer is here today " * 8).trim // 3-gram loops
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, spam)
+    ).toDF("doc_id", "text")
+    // off (default): both survive the standard gates
+    assert(Curation.curate(corpus, "doc_id", "text").count() == 2)
+    val gated = Curation.curate(corpus, "doc_id", "text",
+      Curation.QualityThresholds(maxDup3gramRatio = Some(0.5)))
+    val kept = gated.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"spam doc should fail the 3-gram gate, kept $kept")
+    // the repetition feature columns ride along when the gate is on
+    assert(gated.columns.contains("dup_3gram_ratio"))
+  }
 }
