@@ -89,7 +89,8 @@ object Bench {
       "q_sim_lsh_topk", "q_sim_ivf_topk", "q_dedup_minhash", "q_dedup_simhash",
       "q_curate", "q_events_range", "q_text_topterms",
       // round-6 permanent additions (warmup grows only with the catalog)
-      "q_compare_struct", "q_events_asof_tol")
+      "q_compare_struct", "q_events_asof_tol",
+      "q_text_repetition", "q_dedup_components")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }

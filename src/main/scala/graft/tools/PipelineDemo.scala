@@ -9,10 +9,11 @@ import graft.sources.IoUtils
 /** Runnable end-to-end corpus pipeline — the composition a training-data
   * job actually runs, wired from the library's own operators:
   *
-  *   read documents → curate (quality gates + fingerprint dedup + lang tag)
-  *   → incremental dedup vs a "seen" fingerprint table → train/val/test
-  *   split → context-window chunking of the train split → partitioned
-  *   write by (split, lang_pred).
+  *   read documents → curate (quality + repetition gates + fingerprint
+  *   dedup + lang tag) → incremental dedup vs a "seen" fingerprint table
+  *   → near-dup cluster dedup (jaccard pairs → connected components →
+  *   min-id survivors) → train/val/test split → context-window chunking
+  *   of the train split → partitioned write by (split, lang_pred).
   *
   * Usage: {{{ PipelineDemo [sfDir] [outDir] }}}
   * Prints per-stage row counts; writes chunks under
@@ -28,7 +29,8 @@ object PipelineDemo {
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[pipeline] raw documents:        ${raw.count()}")
 
-    val curated = Curation.curate(raw, "doc_id", "text")
+    val curated = Curation.curate(raw, "doc_id", "text",
+      Curation.QualityThresholds(maxDup3gramRatio = Some(0.5)))
     println(s"[pipeline] after curation:       ${curated.count()}")
 
     // simulate a historical corpus: every doc_id % 4 == 0 was seen before
@@ -37,8 +39,14 @@ object PipelineDemo {
     val fresh = Dedup.dropSeenDocuments(curated, "text", seen)
     println(s"[pipeline] after incremental:    ${fresh.count()}")
 
+    // near-dup CLUSTER dedup: pair emission, transitive components,
+    // min-id survivor per cluster
+    val pairs = Dedup.jaccardPairs(fresh, "doc_id", "text", "lang_pred", threshold = 0.8)
+    val unique = Dedup.dropNearDuplicates(fresh, "doc_id", pairs)
+    println(s"[pipeline] after near-dup:       ${unique.count()}")
+
     val split = Sampling.hashSplit(
-      fresh, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      unique, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     split.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(s"[pipeline]   split ${r.getString(0)}: ${r.getLong(1)}"))
 

@@ -246,6 +246,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"a pure filter sample must not shuffle:\n$p")
   }
 
+  test("repetition stats are a pure in-row projection: no exchange, no generate") {
+    val p = Queries.queries("q_text_repetition")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"repetition signals must not explode rows:\n$p")
+  }
+
   test("approxProfile has no Expand node; exact profile pays one per multi-distinct") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
