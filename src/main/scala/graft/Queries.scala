@@ -487,6 +487,18 @@ object Queries {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", "lang", threshold = 0.8)),
 
+    // benchmark decontamination: every 50th doc is the "eval suite"; the
+    // training side is the rest plus leaked eval copies (+300000) that a
+    // crawl would have picked up — the leak must be dropped, survivors kept
+    "q_dedup_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text", "lang")
+      val eval = dd.filter(col("doc_id") % 50 === 0)
+      val train = dd.filter(col("doc_id") % 50 =!= 0)
+        .unionByName(eval.withColumn("doc_id", col("doc_id") + lit(300000L)))
+      Dedup.decontaminate(train, "doc_id", "text", eval, "text", minSharedShingles = 5)
+        .select("doc_id", "lang")
+    }),
+
     // pair graph → transitive clusters: corpus augmented with an exact copy
     // (+100000) and a suffix-perturbed copy (+200000) of every 10th doc, so
     // original–copyA–copyB chains form; components group them and the
@@ -1349,6 +1361,28 @@ object Queries {
         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+
+    // replica of decontamination: distinct 3-gram shingles per side,
+    // count of distinct shared shingles per training doc, threshold 5
+    "q_dedup_decontaminate" ->
+      """WITH ev AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 != 0
+        |       UNION ALL
+        |       SELECT doc_id + 300000, text, lang FROM documents WHERE doc_id % 50 = 0),
+        |evw AS (SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words FROM ev),
+        |evt AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(words) - 2),
+        |          i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |        FROM evw),
+        |trw AS (SELECT doc_id,
+        |          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |        FROM tr),
+        |trt AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(words) - 2),
+        |          i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |        FROM trw),
+        |bad AS (SELECT doc_id FROM trt JOIN evt USING (tok)
+        |        GROUP BY doc_id HAVING COUNT(*) >= 5)
+        |SELECT doc_id, lang FROM tr
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     // replica of the components pipeline: the jaccard pair CTE over the
     // augmented corpus, then min-label transitive closure via a recursive

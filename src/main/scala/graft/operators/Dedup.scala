@@ -468,6 +468,46 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: drop every training document that shares
+    * at least `minSharedShingles` distinct word `n`-gram shingles with ANY
+    * document of `eval` — the standard guard against test-set leakage into
+    * a training corpus (eval answers crawled into the training set inflate
+    * downstream scores without improving the model).
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of
+    * documents, not billions — so its exploded distinct shingle set is
+    * small and AQE broadcasts it; the training corpus pays one narrow
+    * shingle explode, a broadcast-join probe, and a hash-agg on matching
+    * doc ids only (documents sharing nothing with eval never leave the
+    * map side). The contaminated-id set is tiny, so the final anti-join
+    * broadcasts too: the full corpus is never shuffled.
+    *
+    * Counting is over DISTINCT shared shingles (both sides deduped), so
+    * one boilerplate shingle repeated 100× in a training doc counts once —
+    * the threshold measures OVERLAP BREADTH, not frequency.
+    */
+  def decontaminate(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      minSharedShingles: Int = 5,
+      n: Int = 3): DataFrame = {
+    require(minSharedShingles >= 1, s"minSharedShingles must be >= 1, got $minSharedShingles")
+    val evalShingles = eval
+      .select(explode(TextAnalysis.shingleSet(col(evalTextCol), n)).as("tok"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol).as("doc"), explode(TextAnalysis.shingleSet(col(textCol), n)).as("tok"))
+      .join(evalShingles, Seq("tok"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("shared")) // shingle sets are distinct per side
+      .filter(col("shared") >= minSharedShingles)
+      .select(col("doc").as(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Cluster-level near-dup dedup: drop every member of each pair-graph
     * component except the min-id survivor. Rows of `df` not in any pair
     * survive untouched; the anti-join ships only the loser id set (far

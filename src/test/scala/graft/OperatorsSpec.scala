@@ -348,6 +348,22 @@ class OperatorsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("decontaminate drops leaked eval text at the shingle threshold, keeps clean docs") {
+    import graft.operators.Dedup
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta and more words"), // leak: 6 shared
+      (2L, "alpha beta gamma unrelated words follow here now"), // 1 shared shingle
+      (3L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    def ids(min: Int) =
+      Dedup.decontaminate(train, "doc_id", "text", eval, "text", minSharedShingles = min)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(5) == Set(2L, 3L), "the leak shares 6 shingles and must drop at threshold 5")
+    assert(ids(1) == Set(3L), "at threshold 1 any shared shingle contaminates")
+  }
+
   test("connectedComponents resolves chains transitively; dropNearDuplicates keeps one survivor per cluster") {
     import graft.operators.Dedup
     // a 4-node chain (1-2-3-4: never all pairwise-similar, the case

@@ -238,6 +238,20 @@ class PlanSpec extends SparkSpec {
       s"a 50-row seen set must broadcast, not shuffle the corpus:\n$p")
   }
 
+  test("decontamination broadcasts the eval shingle set and the contaminated-id set (AQE)") {
+    import org.apache.spark.sql.functions._
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val eval = dd.filter(col("doc_id") % 50 === 0)
+    val q = graft.operators.Dedup.decontaminate(
+      dd.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", eval, "text")
+    q.queryExecution.toRdd.count() // AQE decides broadcast at runtime
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the small eval shingle set must broadcast into the probe:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"survivors must come from an anti-join against the tiny contaminated set:\n$p")
+  }
+
   test("hash sampling pushes column pruning to the scan and adds no exchange") {
     val p = Queries.queries("q_sample_hash")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
