@@ -411,6 +411,10 @@ object Queries {
     "q_text_topterms" -> ((s, d) =>
       TextAnalysis.topTerms(docs(s, d), "doc_id", "text", k = 5)),
 
+    // corpus-level vocabulary head (global top-k terms, term tie-break)
+    "q_text_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(docs(s, d), "text", k = 50)),
+
     // text cleaning: emails/URLs are appended so the masking path is
     // actually exercised (the synthetic corpus contains neither)
     "q_text_scrub" -> ((s, d) =>
@@ -1229,6 +1233,15 @@ object Queries {
         |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rn
         |  FROM tf JOIN dfreq USING (term))
         |SELECT doc, term, tf, df FROM r WHERE rn <= 5""".stripMargin,
+
+    // global vocabulary head: deterministic under the (tf DESC, term) order
+    "q_text_vocab" ->
+      """WITH toks AS (SELECT
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS tf
+        |FROM toks WHERE term != ''
+        |GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50""".stripMargin,
 
     // replicates TextAnalysis.scrub: mask emails, then URLs, then collapse
     // whitespace — same regexes (RE2-safe), same order

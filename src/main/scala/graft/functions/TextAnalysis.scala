@@ -208,6 +208,28 @@ object TextAnalysis {
         size(slice(col("__tk"), col("col"), lit(chunkTokens))).as("n_chunk_tokens"))
   }
 
+  /** Corpus-level vocabulary head: the `k` globally most frequent
+    * lowercased tokens with their total frequencies, deterministically
+    * tie-broken by term. The corpus-health stat behind stopword lists,
+    * tokenizer audits, and boilerplate spotting.
+    *
+    * Scale: one narrow explode, one hash aggregation on the term (map-side
+    * partial combine collapses each partition to its local vocabulary
+    * before the shuffle), and the final top-k plans as
+    * `TakeOrderedAndProject` — each partition ships only its local top-k,
+    * never the full vocabulary, to the driver-side merge (pinned in
+    * PlanSpec). No global sort is ever materialized.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Per-document salient terms: the `k` terms ranked by
     * (tf DESC, df ASC, term ASC) — term frequency in the document first,
     * corpus document-frequency as the rarity tie-break. This is the

@@ -238,6 +238,15 @@ class PlanSpec extends SparkSpec {
       s"a 50-row seen set must broadcast, not shuffle the corpus:\n$p")
   }
 
+  test("vocabulary top-k plans TakeOrderedAndProject — no full-vocabulary global sort") {
+    val p = Queries.queries("q_text_vocab")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must ship per-partition top-k, not Sort the vocabulary:\n$p")
+    assert(p.linesIterator.count(_.contains("Sort (")) == 0,
+      s"no materialized global sort expected:\n$p")
+  }
+
   test("decontamination broadcasts the eval shingle set and the contaminated-id set (AQE)") {
     import org.apache.spark.sql.functions._
     val dd = spark.read.parquet(s"$sf/documents.parquet")
