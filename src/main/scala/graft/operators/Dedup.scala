@@ -495,11 +495,22 @@ object Dedup {
       minSharedShingles: Int = 5,
       n: Int = 3): DataFrame = {
     require(minSharedShingles >= 1, s"minSharedShingles must be >= 1, got $minSharedShingles")
+    // Materialize the words array BEFORE building shingles (same trick as
+    // the jaccard tokenizer, which pays a localCheckpoint for the same
+    // reason): with tokens(text) inlined into the generator, every
+    // element_at inside the shingle lambda re-splits the text —
+    // O(#shingles · length) per document, measured ~10× on this query at
+    // sf0.1. The checkpoint is the materialization barrier CollapseProject
+    // cannot cross.
     val evalShingles = eval
-      .select(explode(TextAnalysis.shingleSet(col(evalTextCol), n)).as("tok"))
+      .select(TextAnalysis.tokens(col(evalTextCol)).as("__w"))
+      .localCheckpoint(false)
+      .select(explode(TextAnalysis.shinglesOfWords(col("__w"), n)).as("tok"))
       .distinct()
     val contaminated = train
-      .select(col(idCol).as("doc"), explode(TextAnalysis.shingleSet(col(textCol), n)).as("tok"))
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .localCheckpoint(false)
+      .select(col("doc"), explode(TextAnalysis.shinglesOfWords(col("__w"), n)).as("tok"))
       .join(evalShingles, Seq("tok"))
       .groupBy("doc")
       .agg(count(lit(1)).as("shared")) // shingle sets are distinct per side
