@@ -30,18 +30,31 @@ object TextAnalysis {
   def shingleSet(text: Column, n: Int = 3): Column =
     shinglesOfWords(tokens(text), n)
 
-  /** Shingle set over an ALREADY-SPLIT words array column. Prefer
-    * materializing the words array in a projection and calling this — if
-    * the words expression is inlined, Catalyst re-evaluates it for every
-    * `element_at` inside the transform lambda (3n array splits per row).
+  /** Shingle set over an ALREADY-SPLIT words array column.
+    *
+    * Built as a `zip_with` chain over shifted `slice`s — NOT via
+    * `element_at(w, i+j)` inside a `transform` lambda. The difference is
+    * load-bearing: higher-order functions run interpreted
+    * (CodegenFallback), and when Catalyst's CollapseProject inlines the
+    * words expression (e.g. `tokens(text)`) into the lambda, each
+    * `element_at` re-evaluates it — O(#shingles · text length) re-splits
+    * per row (measured 8× on the decontamination query at sf0.1). A
+    * `zip_with` lambda binds ELEMENT VALUES, so the words expression is
+    * evaluated only a constant number of times per row (once per slice)
+    * no matter where the optimizer inlines it.
     */
-  def shinglesOfWords(w: Column, n: Int = 3): Column =
+  def shinglesOfWords(w: Column, n: Int = 3): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    // every component slice has the SAME length m−(n−1): shingle i is
+    // (w_i, w_{i+1}, …, w_{i+n−1}) for i = 1..m−n+1; zip_with pads the
+    // shorter side with nulls, so unequal slice lengths would fabricate a
+    // null-poisoned phantom shingle
+    val grams = (2 to n).foldLeft(slice(w, lit(1), size(w) - (n - 1))) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j), size(w) - (n - 1)), (a, b) => concat(a, lit(" "), b))
+    }
     when(size(w) < n, array().cast("array<string>"))
-      .otherwise(
-        array_distinct(
-          transform(
-            sequence(lit(0), size(w) - n),
-            i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+      .otherwise(array_distinct(grams))
+  }
 
   /** 64-bit hash from the first 16 hex chars of sha256(value): hi 32 bits
     * from chars 1-8, lo 32 bits from chars 9-16 (big-endian, the natural

@@ -495,22 +495,16 @@ object Dedup {
       minSharedShingles: Int = 5,
       n: Int = 3): DataFrame = {
     require(minSharedShingles >= 1, s"minSharedShingles must be >= 1, got $minSharedShingles")
-    // Materialize the words array BEFORE building shingles (same trick as
-    // the jaccard tokenizer, which pays a localCheckpoint for the same
-    // reason): with tokens(text) inlined into the generator, every
-    // element_at inside the shingle lambda re-splits the text —
-    // O(#shingles · length) per document, measured ~10× on this query at
-    // sf0.1. The checkpoint is the materialization barrier CollapseProject
-    // cannot cross.
+    // shingleSet is safe to inline into the explode generator: the
+    // zip_with-based construction evaluates the tokenization a constant
+    // number of times per row regardless of CollapseProject (see
+    // TextAnalysis.shinglesOfWords — the element_at-based shape this
+    // replaced cost O(#shingles · length) re-splits, 8× on this query).
     val evalShingles = eval
-      .select(TextAnalysis.tokens(col(evalTextCol)).as("__w"))
-      .localCheckpoint(false)
-      .select(explode(TextAnalysis.shinglesOfWords(col("__w"), n)).as("tok"))
+      .select(explode(TextAnalysis.shingleSet(col(evalTextCol), n)).as("tok"))
       .distinct()
     val contaminated = train
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__w"))
-      .localCheckpoint(false)
-      .select(col("doc"), explode(TextAnalysis.shinglesOfWords(col("__w"), n)).as("tok"))
+      .select(col(idCol).as("doc"), explode(TextAnalysis.shingleSet(col(textCol), n)).as("tok"))
       .join(evalShingles, Seq("tok"))
       .groupBy("doc")
       .agg(count(lit(1)).as("shared")) // shingle sets are distinct per side
