@@ -30,6 +30,44 @@ object Similarity {
     */
   private val Q = 1e8
 
+  /** Per-vector symmetric integer quantization of an embedding column —
+    * the pre-shuffle compaction for high-dimensional corpora: an
+    * `array<float>` costs 4 bytes/component through every bucket/band
+    * join; int8 compaction quarters the shuffled volume (int16 halves it)
+    * at ~0.4% (int8) worst-case per-component error. Returns
+    * `struct(scale: double, q: array<tinyint|smallint>)` with
+    * `component ≈ q · scale`, scale chosen per vector so the largest
+    * |component| maps to the integer max. Zero/empty/null-element vectors
+    * quantize under scale 1.0 (no division by zero, NULL elements → NULL
+    * quanta).
+    *
+    * Collapse-safe by construction: the per-vector `scale` rides into the
+    * lambda via `array_repeat` + `zip_with` (element-value binding), so it
+    * is evaluated once per ROW even when the optimizer inlines this whole
+    * expression — a `transform` lambda referencing `scale` directly would
+    * re-evaluate the O(d) max per ELEMENT (see
+    * [[graft.functions.TextAnalysis.shinglesOfWords]] for the same trap).
+    */
+  def compactEmbedding(emb: Column, bits: Int = 8): Column = {
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16, got $bits")
+    val qMax = (1 << (bits - 1)) - 1
+    val qType = if (bits == 8) "byte" else "short"
+    val absMax = array_max(transform(emb, v => abs(v.cast("double"))))
+    val scale = when(absMax.isNull || absMax === 0.0, lit(1.0))
+      .otherwise(absMax / lit(qMax.toDouble))
+    struct(
+      scale.as("scale"),
+      zip_with(emb, array_repeat(scale, size(emb)),
+        (v, s) => round(v.cast("double") / s).cast(qType)).as("q"))
+  }
+
+  /** Inverse of [[compactEmbedding]]: `array<double>` reconstruction
+    * (`q · scale`), for scoring after the compacted shuffle.
+    */
+  def expandEmbedding(c: Column): Column =
+    zip_with(c.getField("q"), array_repeat(c.getField("scale"), size(c.getField("q"))),
+      (v, s) => v.cast("double") * s)
+
   /** Positional explode of an embedding column, quantized:
     * (id, pos, qv = round(v·1e8) as long). Integer quantization makes every
     * downstream sum EXACT and hence independent of partitioning/summation

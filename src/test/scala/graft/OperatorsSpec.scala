@@ -348,6 +348,32 @@ class OperatorsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("compactEmbedding round-trips within quantization error and preserves cosine") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).select(col("vec_id"), col("embedding"))
+    for (bits <- Seq(8, 16)) {
+      val qMax = (1 << (bits - 1)) - 1
+      val rt = vecs.select(
+        col("embedding"),
+        Similarity.expandEmbedding(Similarity.compactEmbedding(col("embedding"), bits)).as("back"))
+      // per-component reconstruction error <= scale/2 = absMax/(2*qMax)
+      val maxRelErr = rt.select(
+        max(array_max(zip_with(col("embedding"), col("back"),
+          (a, b) => abs(a.cast("double") - b))) /
+          array_max(transform(col("embedding"), v => abs(v.cast("double")))))).head().getDouble(0)
+      assert(maxRelErr <= 0.5 / qMax + 1e-12, s"bits=$bits: rel err $maxRelErr")
+      // cosine between original and reconstruction stays ~1
+      val minCos = rt.select(min(Similarity.cosineExpr(
+        transform(col("embedding"), _.cast("double")), col("back")))).head().getDouble(0)
+      assert(minCos > (if (bits == 8) 0.999 else 0.9999995), s"bits=$bits: min cosine $minCos")
+    }
+    // zero vector: scale 1.0, all-zero quanta, exact round trip
+    val z = Seq(Tuple1(Array(0f, 0f, 0f))).toDF("embedding")
+      .select(Similarity.compactEmbedding(col("embedding")).as("c"))
+    val zr = z.select(col("c.scale"), col("c.q")).head()
+    assert(zr.getDouble(0) == 1.0 && zr.getSeq[Byte](1) == Seq(0, 0, 0))
+  }
+
   test("decontaminate drops leaked eval text at the shingle threshold, keeps clean docs") {
     import graft.operators.Dedup
     val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
