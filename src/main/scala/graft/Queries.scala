@@ -407,6 +407,16 @@ object Queries {
       TextAnalysis.chunkDocuments(docs(s, d), "doc_id", "text",
         chunkTokens = 40, overlapTokens = 8)),
 
+    // sequence packing of the 40-token chunks into 100-token bins
+    // (next-fit in chunk order — the training-batch prep step)
+    "q_text_pack" -> ((s, d) =>
+      TextAnalysis.packChunks(
+        TextAnalysis.chunkDocuments(docs(s, d), "doc_id", "text",
+            chunkTokens = 40, overlapTokens = 8)
+          .select("doc", "chunk_no", "n_chunk_tokens"),
+        "doc", "chunk_no", "n_chunk_tokens", maxTokens = 100)
+        .select("doc", "chunk_no", "bin")),
+
     // per-doc salient terms (integer-exact tf-idf skeleton)
     "q_text_topterms" -> ((s, d) =>
       TextAnalysis.topTerms(docs(s, d), "doc_id", "text", k = 5)),
@@ -1218,6 +1228,27 @@ object Queries {
         |  array_to_string(list_slice(tk, s, s + 39), ' ') AS chunk_text,
         |  CAST(len(list_slice(tk, s, s + 39)) AS INTEGER) AS n_chunk_tokens
         |FROM starts""".stripMargin,
+
+    // replays the next-fit packing fold as a recursive CTE over the same
+    // chunk derivation (chunk_no is consecutive per doc, so the recursion
+    // steps ordinal+1 carrying (bin, filled) — integer-exact on both sides)
+    "q_text_pack" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id AS doc,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (SELECT doc, tk, unnest(generate_series(1, len(tk), 32)) AS s
+        |  FROM toks),
+        |ch AS (SELECT doc, CAST((s - 1) // 32 AS BIGINT) AS chunk_no,
+        |    CAST(len(list_slice(tk, s, s + 39)) AS BIGINT) AS n
+        |  FROM starts),
+        |rec AS (
+        |  SELECT doc, chunk_no, n, 0 AS bin, n AS filled FROM ch WHERE chunk_no = 0
+        |  UNION ALL
+        |  SELECT c.doc, c.chunk_no, c.n,
+        |    CASE WHEN r.filled + c.n > 100 THEN r.bin + 1 ELSE r.bin END AS bin,
+        |    CASE WHEN r.filled + c.n > 100 THEN c.n ELSE r.filled + c.n END AS filled
+        |  FROM ch c JOIN rec r ON c.doc = r.doc AND c.chunk_no = r.chunk_no + 1)
+        |SELECT doc, chunk_no, CAST(bin AS INTEGER) AS bin FROM rec""".stripMargin,
 
     // replicates TextAnalysis.topTerms: tf per (doc, term), df per term
     // over distinct (doc, term), rank (tf DESC, df ASC, term ASC), top 5

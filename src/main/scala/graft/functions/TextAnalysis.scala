@@ -243,6 +243,62 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Sequence packing: assign each document's chunks to fixed-capacity
+    * token bins by the next-fit rule — chunks in `ordCol` order; a chunk
+    * joins the current bin iff its tokens still fit, otherwise it opens the
+    * next bin; an oversized chunk (> `maxTokens`) gets a bin of its own.
+    * The batch-preparation step between [[chunkDocuments]] and training:
+    * each bin becomes one padded training sequence, and next-fit in
+    * document order keeps a document's neighboring chunks adjacent (unlike
+    * global best-fit, which also destroys determinism under parallelism).
+    * Appends a 0-based per-document `bin` column.
+    *
+    * Packing is inherently a sequential scan with reset, so it runs as an
+    * in-row `aggregate` fold over each document's collected chunk list —
+    * one hash-partitioned shuffle on the document id, state bounded by
+    * chunks-per-document, nothing driver-side. Integer-exact: the fold
+    * replays identically in any engine (the oracle replays it as a
+    * recursive CTE).
+    */
+  def packChunks(
+      df: DataFrame,
+      docCol: String,
+      ordCol: String,
+      nTokCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val otherCols = df.columns.filterNot(c => c == docCol).toSeq
+    val gathered = df
+      .groupBy(col(docCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("__o") +: otherCols.map(c => col(c).as(c)): _*))).as("__cs"))
+    // next-fit fold: acc = (bins so far, current bin, tokens in current bin)
+    val emptyAcc = struct(
+      array().cast("array<int>").as("bins"), lit(0).as("cur"), lit(0L).as("filled"))
+    val binsExpr = aggregate(
+      col("__cs"),
+      emptyAcc,
+      (acc, c) => {
+        val n = c.getField(nTokCol).cast("long")
+        val opens = acc.getField("filled") > 0L &&
+          acc.getField("filled") + n > lit(maxTokens.toLong)
+        val cur = when(opens, acc.getField("cur") + 1).otherwise(acc.getField("cur"))
+        struct(
+          concat(acc.getField("bins"), array(cur)).as("bins"),
+          cur.as("cur"),
+          when(opens, n).otherwise(acc.getField("filled") + n).as("filled"))
+      },
+      acc => acc.getField("bins"))
+    gathered
+      .withColumn("__bins", binsExpr)
+      .withColumn("__z", arrays_zip(col("__cs"), col("__bins")))
+      .select(col(docCol), explode(col("__z")).as("__e"))
+      .select(
+        col(docCol) +:
+          otherCols.map(c => col(s"__e.__cs.$c").as(c)) :+
+          col("__e.__bins").as("bin"): _*)
+  }
+
   /** Per-document salient terms: the `k` terms ranked by
     * (tf DESC, df ASC, term ASC) — term frequency in the document first,
     * corpus document-frequency as the rarity tie-break. This is the

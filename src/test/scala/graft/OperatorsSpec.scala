@@ -429,6 +429,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) == ((0, 0.0, 0.0, 0.0)))
   }
 
+  test("packChunks: next-fit bins in chunk order, oversize chunks get their own bin") {
+    val chunks = Seq(
+      // doc 1: 60+50 overflow at 100 → bins 0,1; +40 fits bin 1 (90); +30 overflows → bin 2
+      (1L, 0L, 60), (1L, 1L, 50), (1L, 2L, 40), (1L, 3L, 30),
+      // doc 2: oversize 150 opens alone in bin 0; next 10 must NOT join it
+      (2L, 0L, 150), (2L, 1L, 10),
+      // doc 3: exact fits — 100 fills bin 0, 100 fills bin 1
+      (3L, 0L, 100), (3L, 1L, 100)
+    ).toDF("doc", "chunk_no", "n")
+    val out = TextAnalysis.packChunks(chunks, "doc", "chunk_no", "n", maxTokens = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(out == Map(
+      (1L, 0L) -> 0, (1L, 1L) -> 1, (1L, 2L) -> 1, (1L, 3L) -> 2,
+      (2L, 0L) -> 0, (2L, 1L) -> 1,
+      (3L, 0L) -> 0, (3L, 1L) -> 1))
+  }
+
   test("chunkDocuments covers every token with the configured overlap; blank docs emit nothing") {
     val corpus = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
