@@ -24,7 +24,11 @@ import graft.functions.{DoubleArrayDot, LongArrayDot}
   * exactly what these expressions exist to avoid).
   *
   * Activation paths, in preference order:
-  *   - [[GraftSession.builder]] injects it for every graft-built session;
+  *   - [[GraftSession.builder]] injects it into every session it CREATES
+  *     (caveat: `getOrCreate` silently returns any pre-existing session,
+  *     on which `withExtensions` is a no-op — [[GraftSession.local]]
+  *     retrofits via `registerFunctions` to close that gap; do the same
+  *     after any `getOrCreate` that might reuse a session);
   *   - `--conf spark.sql.extensions=graft.GraftExtensions` for sessions
   *     built elsewhere (spark-submit, notebooks, Spark Connect servers);
   *   - [[GraftExtensions.registerFunctions]] retrofits a LIVE session.

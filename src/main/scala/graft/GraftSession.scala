@@ -26,6 +26,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    builder(s"local[$cores]", math.max(cores, 8)).getOrCreate()
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = builder(s"local[$cores]", math.max(cores, 8)).getOrCreate()
+    // getOrCreate ignores withExtensions when it returns a pre-existing
+    // session — retrofit the SQL functions so they are present either way
+    GraftExtensions.registerFunctions(spark)
+    spark
+  }
 }

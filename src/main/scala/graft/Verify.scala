@@ -59,7 +59,9 @@ object Verify {
     writeAtomic(s"$outDir/oracle_sql.json", oracleJson)
 
     val verdicts = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def mirror(): Unit = {
+    // A FILTERED run must not overwrite the canonical full-catalog mirror
+    // with a subset that would read as an all-green latest state.
+    def mirror(): Unit = if (only.isEmpty) {
       val body = verdicts.map { case (k, v) => s"${q(k)}: $v" }
         .mkString("{", ",", "}")
       try writeAtomic("VERIFY_LATEST.json", body)

@@ -42,6 +42,11 @@ object TextAnalysis {
     * `zip_with` lambda binds ELEMENT VALUES, so the words expression is
     * evaluated only a constant number of times per row (once per slice)
     * no matter where the optimizer inlines it.
+    *
+    * NULL word elements (which no built-in tokenizer emits — `split`
+    * never yields null) null-poison the shingles containing them; the
+    * poisoned shingles are dropped from the set rather than silently
+    * shortened.
     */
   def shinglesOfWords(w: Column, n: Int = 3): Column = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -53,7 +58,7 @@ object TextAnalysis {
       zip_with(acc, slice(w, lit(j), size(w) - (n - 1)), (a, b) => concat(a, lit(" "), b))
     }
     when(size(w) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(grams))
+      .otherwise(array_distinct(filter(grams, g => g.isNotNull)))
   }
 
   /** 64-bit hash from the first 16 hex chars of sha256(value): hi 32 bits
@@ -267,6 +272,9 @@ object TextAnalysis {
       nTokCol: String,
       maxTokens: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val reserved = Seq("bin", "__o", "__cs", "__bins", "__z", "__e").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with packChunks' reserved names (${reserved.mkString(", ")}) — rename them first")
     val otherCols = df.columns.filterNot(c => c == docCol).toSeq
     val gathered = df
       .groupBy(col(docCol))
