@@ -39,10 +39,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // Optional 3rd arg (local iteration only; the driver passes 2): a
     // comma-separated list of query names to run instead of the full catalog.
-    val (sfDir, outDir, only) = args match {
+    val (sfDir, rawOutDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [query1,query2,...]")
+        sys.exit(2)
     }
+    // A filtered run writes to a sibling subdirectory: outDir stays the
+    // canonical full-catalog dump (oracle_sql.json + one parquet per query)
+    // and is never partially overwritten by local subset iteration.
+    val outDir = if (only.isEmpty) rawOutDir else s"$rawOutDir/_filtered"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

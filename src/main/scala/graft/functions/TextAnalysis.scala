@@ -166,8 +166,10 @@ object TextAnalysis {
     * the text for every `element_at` inside the shingle lambda.
     */
   def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
-    require(!df.columns.contains("__rep_w"),
-      "input already has a '__rep_w' column (reserved as this helper's scratch name) — rename it first")
+    val reserved = Seq("__rep_w", "n_lines", "dup_line_ratio", "dup_2gram_ratio", "dup_3gram_ratio")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with repetitionStats' scratch/output names (${reserved.mkString(", ")}) — rename them first")
     val t = col(textCol)
     val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
     val nLines = size(lines)
@@ -287,7 +289,13 @@ object TextAnalysis {
       col("__cs"),
       emptyAcc,
       (acc, c) => {
-        val n = c.getField(nTokCol).cast("long")
+        // A NULL token count would silently poison the fold (null comparisons
+        // make `opens` null → every later chunk stays in the current bin), so
+        // fail loudly instead — chunkDocuments never emits NULLs, but this
+        // API is public.
+        val n = when(c.getField(nTokCol).isNull,
+            raise_error(lit(s"packChunks: NULL in token-count column '$nTokCol'")))
+          .otherwise(c.getField(nTokCol)).cast("long")
         val opens = acc.getField("filled") > 0L &&
           acc.getField("filled") + n > lit(maxTokens.toLong)
         val cur = when(opens, acc.getField("cur") + 1).otherwise(acc.getField("cur"))

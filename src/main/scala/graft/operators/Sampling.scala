@@ -30,6 +30,13 @@ object Sampling {
     * NULL-keyed rows travel TOGETHER (all kept or all dropped at a given
     * rate), never silently vanish, and the formula above reproduces them
     * exactly. Sample on a non-null key (the row id) when possible.
+    *
+    * MIGRATION NOTE (round 6): NULL keys previously hashed via `concat_ws`,
+    * which skipped the NULL *and* its separator — i.e. sha256("salt"), not
+    * sha256(":salt") — diverging from the documented DuckDB recipe. The fix
+    * aligns code with the recipe, but persisted sample/split membership of
+    * NULL-keyed rows from pre-fix runs differs from re-runs; re-materialize
+    * any retained NULL-keyed samples (non-NULL keys are unaffected).
     */
   def hash60(key: Column, salt: String): Column =
     conv(

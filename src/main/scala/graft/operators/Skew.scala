@@ -64,7 +64,12 @@ object Skew {
       saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salt = "__salt"
-    df.withColumn(salt, pmod(xxhash64(col(valueCol)), lit(saltFactor)).cast("int"))
+    // Salt from the WHOLE row (as saltedJoin does), not the value column: a
+    // hot group summing a constant/low-cardinality value would otherwise
+    // hash to a handful of salts and still funnel to one reducer. Fully
+    // identical rows still collapse map-side (same group+salt partial), so
+    // whole-row hashing loses nothing there.
+    df.withColumn(salt, pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).cast("int"))
       .groupBy((groupCols :+ salt).map(col): _*)
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(groupCols.map(col): _*)

@@ -178,6 +178,20 @@ class OperatorsSpec extends SparkSpec {
     assert(plainSum == saltedSum)
   }
 
+  test("saltedSum spreads a hot key even when the value column is constant") {
+    // The pathological case saltedSum exists for: one dominant group key
+    // summing a flag (value ≡ 1). A value-column salt would collapse to one
+    // salt here; the whole-row salt must still fan the partials out.
+    val hot = spark.range(50000)
+      .select(lit("hot").as("k"), col("id"), lit(1L).as("flag"))
+    val salts = hot.withColumn("s", org.apache.spark.sql.functions.pmod(
+        xxhash64(hot.columns.map(col): _*), lit(8)))
+      .select("s").distinct().count()
+    assert(salts == 8, s"constant-value hot key only spread over $salts of 8 salts")
+    val out = Skew.saltedSum(hot, Seq("k"), "flag", saltFactor = 8).head()
+    assert(out.getString(0) == "hot" && out.getLong(1) == 50000L)
+  }
+
   test("IVF top-k recalls brute-force neighbors; iters=0 equals the sha-pivot oracle path") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pred = col("vec_id") < 5
