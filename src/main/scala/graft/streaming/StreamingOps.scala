@@ -110,7 +110,11 @@ object StreamingOps {
             rows.toSeq.sortBy(_._3).foreach { case (_, _, us, qv) =>
               acc match {
                 case Some(a) if us - a.lastUs < gapUs =>
-                  acc = Some(SessAcc(a.startUs, us, a.n + 1, a.qv + qv))
+                  // min/max (not `a.startUs`/`us`): a row older than the
+                  // restored state — cross-batch disorder after a restart —
+                  // must widen the session, never move lastUs backwards
+                  acc = Some(SessAcc(math.min(a.startUs, us), math.max(a.lastUs, us),
+                    a.n + 1, a.qv + qv))
                 case Some(a) =>
                   closed ::= Session(user, a.startUs, a.lastUs + gapUs, a.n, a.qv / 1e6)
                   acc = Some(SessAcc(us, us, 1L, qv))
@@ -120,8 +124,14 @@ object StreamingOps {
             }
             acc.foreach { a =>
               state.update(a)
-              // flush once the watermark is `gap` past the last event
-              state.setTimeoutTimestamp((a.lastUs + gapUs) / 1000)
+              // flush once the watermark is `gap` past the last event — but
+              // never BEHIND the current watermark: after a restart the
+              // watermark may have advanced past a stale session's horizon,
+              // and Spark rejects a timeout below it, killing the query on
+              // every restart attempt. Clamping flushes such sessions at the
+              // next watermark tick instead.
+              state.setTimeoutTimestamp(
+                math.max((a.lastUs + gapUs) / 1000, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

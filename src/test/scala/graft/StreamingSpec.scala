@@ -126,6 +126,69 @@ class StreamingSpec extends SparkSpec {
       s"flatMapGroupsWithState closed sessions differ: ${closed -- batchSessions}")
   }
 
+  test("sessionizeEvents survives a checkpoint restart: no lost or duplicated closed session") {
+    // The exactly-once claim: kill the query mid-stream, restart from the
+    // checkpoint, and the union of emitted sessions must still be a
+    // duplicate-free subset of the batch answer — with sessions SPANNING
+    // the restart carrying their pre-restart state (event counts combine).
+    val srcDir = Files.createTempDirectory("graft-ckpt-src").toString
+    val ckptDir = Files.createTempDirectory("graft-ckpt-state").toString
+    val outDir = Files.createTempDirectory("graft-ckpt-out").toString
+    val gapUs = 28800000000L // 8 hours, as the batch-truth test uses
+
+    val raw = batchEvents.drop("ts").withColumnRenamed("ts_ns", "ts")
+    val splitNs = raw.stat.approxQuantile("ts", Array(0.6), 0.0)(0).toLong
+    // phase 1 now (one time-ordered file per phase: each phase is one
+    // microbatch, so the watermark advances between phases, not within)
+    raw.filter(col("ts") <= splitNs).orderBy("ts").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+
+    def startQuery() = StreamingOps.sessionizeEvents(
+        spark,
+        Events.decorate(spark.readStream.schema(Events.rawSchema).parquet(srcDir)),
+        gapUs, lateness = "1 minute")
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // "crash" after phase 1
+    val phase1Count = spark.read.parquet(outDir).count()
+
+    // phase 2 arrives while the query is down; restart from the checkpoint
+    raw.filter(col("ts") > splitNs).orderBy("ts").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly-once across the restart: no session emitted twice (a lost
+    // checkpoint would re-read phase-1 files; lost state would re-open and
+    // re-close sessions at shifted starts)
+    assert(out.length == out.distinct.length, "duplicate sessions after restart")
+    assert(out.map(s => (s._1, s._2)).distinct.length == out.length,
+      "same session start emitted twice with different contents")
+    assert(out.length > phase1Count, "restart emitted nothing — phase-2 state lost")
+
+    // every emitted session is a true batch session over the FULL data
+    val batchSessions = StreamingOps.sessionWindows(batchEvents, "8 hours")
+      .select(col("user_id"), unix_micros(col("session_start")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.toSet.subsetOf(batchSessions),
+      s"restart emitted sessions unknown to batch: ${out.toSet -- batchSessions take 5}")
+
+    // at least one emitted session spans the restart: it started at or
+    // before the split and ended after it, so its state crossed the
+    // checkpoint — and its n_events matches batch exactly (asserted by the
+    // subset check above; a state loss would have emitted a fragment)
+    val splitUs = splitNs / 1000L
+    val spanning = out.filter(s => s._2 <= splitUs && s._2 + gapUs > splitUs)
+    assert(spanning.nonEmpty, "fixture degenerate: no session spanned the restart")
+  }
+
   test("mapGroupsWithState running stats (batch-mode execution)") {
     val stats = StreamingOps.userRunningStats(spark, batchEvents.limit(200))
       .collect().map(s => s.user_id -> s.n_events).toMap
