@@ -176,10 +176,13 @@ object Queries {
         .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 
-    // S2: catalog-table scan via the "table" sentinel path
+    // S2: catalog-table scan via the "table" sentinel path — through a REAL
+    // persisted catalog table (saveAsTable -> warehouse parquet + catalog
+    // entry -> read.table), not a temp view, so the metastore path is
+    // exercised end to end.
     "q_s2_table_scan" -> ((s, d) => {
-      load(s, d, "region").createOrReplaceTempView("graft_region_v")
-      s.read.table("graft_region_v").select("r_regionkey", "r_name")
+      load(s, d, "region").write.mode("overwrite").saveAsTable("graft_region_t")
+      s.read.table("graft_region_t").select("r_regionkey", "r_name")
     }),
 
     // S5 + J3: driver-local table broadcast-joined to a dimension
