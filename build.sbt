@@ -1,6 +1,14 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+ThisBuild / organization := "graft"
 name := "sparkdatatestspark"
+// Library packaging: `sbt publishLocal` installs graft:sparkdatatestspark_2.13:0.1.0
+// into the local ivy repository. Spark itself is intentionally absent from
+// the POM (it comes from the unmanaged /opt/spark/jars here; a consumer
+// declares their own spark-sql "provided" dependency, the standard shape
+// for Spark libraries). Scaladoc generation is skipped — the jar is the
+// deliverable and doc generation doubles publish time.
+Compile / packageDoc / publishArtifact := false
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
