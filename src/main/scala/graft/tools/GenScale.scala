@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for bench runs beyond the bundled testdata:
+  * replicates every fact table `factor`× with per-replica key shifts, so
+  * `GenScale in out 10` turns sf0.1 into an sf1-equivalent corpus.
+  *
+  * The replication is designed to preserve each query family's
+  * per-row/per-pair workload CHARACTER, so per-query scaling ratios measure
+  * the plans, not a data artifact:
+  *
+  *  - **Dims stay fixed** (region, nation) — as in TPC-H, scale grows facts.
+  *  - **Keys shift** by replica × (max+1): PKs stay unique, FK joins keep
+  *    the same per-replica fan-out, duplicate-key counts don't explode.
+  *  - **Text gets a per-replica caesar cipher** (length-preserving bijective
+  *    letter map): within-replica shingle/jaccard structure is EXACTLY the
+  *    original's, while cross-replica shingles are disjoint — so near-dup
+  *    pair counts scale linearly with replicas instead of quadratically
+  *    (identical copies would put every doc in a `factor`-clique and
+  *    inflate the dedup family superlinearly by construction).
+  *  - **Embeddings get a per-replica coordinate permutation**: dot products
+  *    are invariant under a common permutation, so each replica is an
+  *    isometric copy of the corpus (same ANN neighbor structure), while
+  *    differently-permuted replicas decorrelate.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def in(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      System.err.println(s"[genscale] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
+    }
+    /** max(key)+1 — the per-replica shift stride. */
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key).cast("long"))).head().getLong(0) + 1L
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    /** Length-preserving per-replica letter rotation (identity at r=0). */
+    def caesar(c: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+      if (r == 0) c
+      else {
+        val k = r % 26
+        translate(c, lower + upper,
+          lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+      }
+
+    // dims: fixed at every scale factor
+    write("region", in("region"))
+    write("nation", in("nation"))
+
+    def replicate(t: String)(project: (DataFrame, Int) => DataFrame): Unit = {
+      val src = in(t)
+      write(t, (0 until factor).map(r => project(src, r)).reduce(_ unionAll _))
+    }
+
+    val custStride = stride(in("customer"), "c_custkey")
+    val ordStride = stride(in("orders"), "o_orderkey")
+    val partStride = stride(in("part"), "p_partkey")
+    val suppStride = stride(in("supplier"), "s_suppkey")
+
+    replicate("customer")((df, r) => df.withColumn(
+      "c_custkey", col("c_custkey") + lit(r * custStride)))
+    replicate("supplier")((df, r) => df.withColumn(
+      "s_suppkey", col("s_suppkey") + lit(r * suppStride)))
+    replicate("part")((df, r) => df.withColumn(
+      "p_partkey", col("p_partkey") + lit(r * partStride)))
+    replicate("orders")((df, r) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(r * ordStride))
+      .withColumn("o_custkey", col("o_custkey") + lit(r * custStride)))
+    replicate("lineitem")((df, r) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(r * ordStride))
+      .withColumn("l_partkey", col("l_partkey") + lit(r * partStride))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppStride)))
+
+    // events' ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects —
+    // read through the raw LongType schema (as Events.load does) and write
+    // plain INT64 nanos back, which the same reader path accepts.
+    val rawEvents = spark.read.schema(graft.sources.Events.rawSchema)
+      .parquet(s"$inDir/events.parquet")
+    val evStride = stride(rawEvents, "event_id")
+    val userStride = stride(rawEvents, "user_id")
+    write("events", (0 until factor).map(r => rawEvents
+      .withColumn("event_id", col("event_id") + lit(r * evStride))
+      .withColumn("user_id", col("user_id") + lit(r * userStride)))
+      .reduce(_ unionAll _))
+
+    val docStride = stride(in("documents"), "doc_id")
+    replicate("documents")((df, r) => df
+      .withColumn("doc_id", col("doc_id") + lit(r * docStride))
+      .withColumn("text", caesar(col("text"), r)))
+
+    val vecStride = stride(in("embeddings"), "vec_id")
+    val dim = in("embeddings").select(size(col("embedding"))).head().getInt(0)
+    val rnd = new scala.util.Random(42)
+    val perms = Vector.fill(factor)(rnd.shuffle((0 until dim).toVector))
+    replicate("embeddings")((df, r) => df
+      .withColumn("vec_id", col("vec_id") + lit(r * vecStride))
+      .withColumn("embedding",
+        if (r == 0) col("embedding")
+        else array(perms(r).map(i => col("embedding").getItem(i)): _*)))
+
+    spark.stop()
+    println(s"""{"scaled": $factor, "in": "$inDir", "out": "$outDir"}""")
+  }
+}
