@@ -91,7 +91,9 @@ object Bench {
       // round-6 permanent additions (warmup grows only with the catalog)
       "q_compare_struct", "q_events_asof_tol",
       "q_text_repetition", "q_dedup_components", "q_dedup_decontaminate",
-      "q_text_vocab", "q_text_pack")
+      "q_text_vocab", "q_text_pack",
+      // round-7 permanent addition
+      "q_text_oov")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }

@@ -181,6 +181,14 @@ object Queries {
     // entry -> read.table), not a temp view, so the metastore path is
     // exercised end to end.
     "q_s2_table_scan" -> ((s, d) => {
+      // A prior PROCESS's warehouse directory can survive while the fresh
+      // in-memory catalog has forgotten the table — saveAsTable then fails
+      // with LOCATION_ALREADY_EXISTS. Drop both the entry and the location.
+      s.sql("DROP TABLE IF EXISTS graft_region_t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_region_t")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       load(s, d, "region").write.mode("overwrite").saveAsTable("graft_region_t")
       s.read.table("graft_region_t").select("r_regionkey", "r_name")
     }),
@@ -427,6 +435,11 @@ object Queries {
     // corpus-level vocabulary head (global top-k terms, term tie-break)
     "q_text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(docs(s, d), "text", k = 50)),
+
+    // corpus-relative OOV-bigram quality score (CCNet-style LM filter,
+    // integer-exact): fraction of char bigrams outside the corpus top-200
+    "q_text_oov" -> ((s, d) =>
+      TextAnalysis.oovBigramScore(docs(s, d), "doc_id", "text", vocabK = 200)),
 
     // text cleaning: emails/URLs are appended so the masking path is
     // actually exercised (the synthetic corpus contains neither)
@@ -1276,6 +1289,30 @@ object Queries {
         |SELECT term, CAST(count(*) AS BIGINT) AS tf
         |FROM toks WHERE term != ''
         |GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50""".stripMargin,
+
+    // replicates oovBigramScore: same normalization, char bigrams via
+    // generate_series + substr, top-200 vocab with (count DESC, bigram ASC)
+    // tie-break, left-join scoring; one IEEE division for the ratio
+    "q_text_oov" ->
+      """WITH norm AS (SELECT doc_id AS doc,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |bg AS (SELECT doc, substr(t, CAST(i AS INT), 2) AS bg
+        |  FROM norm, LATERAL unnest(generate_series(1, length(t) - 1)) AS u(i)
+        |  WHERE length(t) >= 2),
+        |vocab AS (SELECT bg FROM (
+        |    SELECT bg, count(*) AS bf FROM bg GROUP BY 1
+        |    ORDER BY bf DESC, bg ASC LIMIT 200)),
+        |sc AS (SELECT b.doc,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN v.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM bg b LEFT JOIN vocab v USING (bg) GROUP BY 1)
+        |SELECT d.doc_id AS doc,
+        |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sc.n_oov, 0) AS n_oov,
+        |  CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE coalesce(sc.n_oov, 0) / CAST(sc.n_bigrams AS DOUBLE) END AS oov_ratio
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc""".stripMargin,
 
     // replicates TextAnalysis.scrub: mask emails, then URLs, then collapse
     // whitespace — same regexes (RE2-safe), same order

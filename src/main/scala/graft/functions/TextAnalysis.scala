@@ -146,6 +146,61 @@ object TextAnalysis {
               / tokenCount(t).cast("double")))
   }
 
+  /** Corpus-relative "LM-ish" quality score on the cheap: the fraction of a
+    * document's character bigrams that fall OUTSIDE the corpus's `vocabK`
+    * most frequent bigrams. The integer-exact skeleton of the CCNet-style
+    * LM-perplexity filter (Wenzek et al. 2020): prose in the corpus's
+    * dominant language(s) is built almost entirely from the head of the
+    * character-bigram distribution, while binary junk, mojibake, exotic
+    * markup and wrong-script text load on the tail — high `oov_ratio` flags
+    * them without any float log-prob (whose libm variance would break
+    * cross-engine reproducibility). Output: (doc, n_bigrams, n_oov,
+    * oov_ratio), one row per input document (blank docs score 0.0).
+    *
+    * Two passes by nature (corpus statistics, then scoring — persist the
+    * bigram frame at real scale): pass 1 is one hash aggregation whose
+    * top-k plans as `TakeOrderedAndProject` (each partition ships only its
+    * local top-k); pass 2 rejoins the tiny vocab (`vocabK` rows, broadcast)
+    * to the exploded bigrams and folds per document. Ties at the vocabulary
+    * boundary break deterministically by (count DESC, bigram ASC), so any
+    * engine derives the same vocabulary.
+    *
+    * The normalized text is materialized in a scratch column and referenced
+    * from several expressions — CollapseProject then cannot inline the
+    * normalization into the interpreted `transform` lambda (see
+    * [[shinglesOfWords]] on why inlining there is quadratic).
+    */
+  def oovBigramScore(df: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    val norm = df.select(
+      col(idCol).as("doc"),
+      lower(trim(regexp_replace(col(textCol), "\\s+", " "))).as("__t"))
+    val bigrams = norm.select(
+      col("doc"),
+      // guard: sequence(1, 0) would generate DESCENDING [1, 0], not empty
+      when(length(col("__t")) < 2, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), length(col("__t")) - 1),
+          i => substr(col("__t"), i, lit(2)))).as("__bg"))
+      .select(col("doc"), explode_outer(col("__bg")).as("bg"))
+    val vocab = bigrams.filter(col("bg").isNotNull)
+      .groupBy("bg").agg(count(lit(1)).as("bf"))
+      .orderBy(col("bf").desc, col("bg").asc)
+      .limit(vocabK)
+      .select(col("bg").as("__vbg"), lit(1).as("__in_vocab"))
+    bigrams
+      .join(broadcast(vocab), bigrams("bg") === vocab("__vbg"), "left")
+      .groupBy("doc")
+      .agg(
+        count(col("bg")).as("n_bigrams"), // non-null only: blank docs -> 0
+        sum(when(col("bg").isNotNull && col("__in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov"))
+      .withColumn(
+        "oov_ratio",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("n_oov").cast("double") / col("n_bigrams").cast("double")))
+  }
+
   /** Repetition-based quality signals (the Gopher/MassiveText repetition
     * rules, public: Rae et al. 2021 §A1.1): within-document repetition is
     * one of the strongest cheap markers of boilerplate/spam, complementary

@@ -443,6 +443,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) == ((0, 0.0, 0.0, 0.0)))
   }
 
+  test("oovBigramScore: prose scores near 0, junk loads on the OOV tail, blanks score 0") {
+    // 30 prose docs built from one phrase → their bigrams ARE the corpus
+    // head; one mojibake doc shares almost none of them
+    val prose = (1L to 30L).map(i => (i, "the quick brown fox jumps over the lazy dog " * 3))
+    val corpus = (prose ++ Seq((98L, "zqxj##@@||~~^^zzqqxxjj"), (99L, "   ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.oovBigramScore(corpus, "doc_id", "text", vocabK = 40)
+      .collect().map(x => x.getAs[Long]("doc") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Long]("n_oov"), x.getAs[Double]("oov_ratio")))).toMap
+    assert(r.size == 32, "one output row per input document")
+    assert(r(99L) == ((0L, 0L, 0.0)), "blank doc scores 0")
+    val proseRatio = r(1L)._3
+    val junkRatio = r(98L)._3
+    assert(proseRatio < 0.2, s"prose should sit in the vocab head, got $proseRatio")
+    assert(junkRatio > 0.8, s"mojibake should be mostly OOV, got $junkRatio")
+    // n_bigrams = normalized length - 1
+    assert(r(98L)._1 == "zqxj##@@||~~^^zzqqxxjj".length - 1)
+  }
+
   test("packChunks: next-fit bins in chunk order, oversize chunks get their own bin") {
     val chunks = Seq(
       // doc 1: 60+50 overflow at 100 → bins 0,1; +40 fits bin 1 (90); +30 overflows → bin 2

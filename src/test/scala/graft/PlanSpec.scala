@@ -247,6 +247,16 @@ class PlanSpec extends SparkSpec {
       s"no materialized global sort expected:\n$p")
   }
 
+  test("oov-bigram score: vocab plans TakeOrderedAndProject, scoring join broadcasts the vocab") {
+    val p = plan("q_text_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bigram vocab top-k must ship per-partition top-k, not Sort the bigram table:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ${200}-row vocab must broadcast under the scoring join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join expected anywhere in the scoring pass:\n$p")
+  }
+
   test("decontamination broadcasts the eval shingle set and the contaminated-id set (AQE)") {
     import org.apache.spark.sql.functions._
     val dd = spark.read.parquet(s"$sf/documents.parquet")
