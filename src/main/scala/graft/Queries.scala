@@ -554,6 +554,22 @@ object Queries {
       Dedup.dropSeenDocuments(dd, "text", seen).select("doc_id", "lang")
     }),
 
+    // corpus-level exact line dedup (the C4/RefinedWeb boilerplate pass):
+    // the synthetic docs are single-line, so each doc is wrapped with two
+    // shared boilerplate lines (dedupable — only the min-doc_id document
+    // keeps each) plus a short footer (< minChars — always survives)
+    "q_dedup_lines" -> ((s, d) => {
+      val fixture = docs(s, d).select(
+        col("doc_id"),
+        concat_ws("\n",
+          lit("Subscribe to our newsletter today for updates and member offers!"),
+          col("text"),
+          lit("(c) Example Corp"),
+          lit("All rights reserved worldwide - see the site terms of use."))
+          .as("text"))
+      Dedup.dropRepeatedLines(fixture, "doc_id", "text", minChars = 30)
+    }),
+
     // 48 hashes / 16 bands (3 rows per band): P[candidate | j=0.8] ≈ 0.99999,
     // and the exact-Jaccard verify step removes all false positives — so the
     // output equals the full brute-force pair set (the oracle) at any recall
@@ -1213,6 +1229,34 @@ object Queries {
         |  FROM documents WHERE doc_id % 3 != 0)
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE sha256(trim(regexp_replace(d.text, '\s+', ' ', 'g'))) NOT IN (SELECT fp FROM seen)""".stripMargin,
+
+    // replicates Dedup.dropRepeatedLines over the same wrapped fixture:
+    // global first occurrence by (doc, pos) per distinct line (partitioning
+    // by the line itself ≡ Spark's sha256-of-line shuffle key), short lines
+    // always kept, documents reassembled in original line order
+    "q_dedup_lines" ->
+      """WITH fix AS (SELECT doc_id AS doc,
+        |    'Subscribe to our newsletter today for updates and member offers!'
+        |    || chr(10) || text || chr(10) || '(c) Example Corp' || chr(10)
+        |    || 'All rights reserved worldwide - see the site terms of use.' AS text
+        |  FROM documents),
+        |ls AS (SELECT doc, string_split(text, chr(10)) AS arr FROM fix),
+        |ln AS (SELECT doc, unnest(arr) AS line, unnest(range(len(arr))) AS pos FROM ls),
+        |flag AS (SELECT doc, pos, line, length(trim(line)) >= 30 AS dedupable FROM ln),
+        |keep AS (
+        |  SELECT doc, pos, line FROM (
+        |    SELECT doc, pos, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc, pos) AS rn
+        |    FROM flag WHERE dedupable) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc, pos, line FROM flag WHERE NOT dedupable),
+        |tot AS (SELECT doc, count(*) AS n FROM ln GROUP BY doc)
+        |SELECT t.doc AS doc,
+        |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text,
+        |  CAST(count(k.pos) AS BIGINT) AS n_lines_kept,
+        |  CAST(any_value(t.n) - count(k.pos) AS BIGINT) AS n_lines_dropped
+        |FROM tot t LEFT JOIN keep k ON t.doc = k.doc
+        |GROUP BY t.doc""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT o.o_orderpriority,

@@ -71,6 +71,65 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Corpus-level exact LINE dedup (the C4/RefinedWeb boilerplate pass):
+    * a line at least `minChars` long (after trim) survives only in its
+    * globally FIRST occurrence — ordered by (doc id, line position) — and
+    * is dropped from every later document; shorter lines (headings, blanks,
+    * list bullets) always survive. Documents are reassembled with surviving
+    * lines in their original order. Output: one row per input document —
+    * (doc, clean_text, n_lines_kept, n_lines_dropped).
+    *
+    * Scale design: the global first-occurrence vote runs over (doc, pos,
+    * sha256(line)) METADATA — the window partitions by the line hash, so
+    * full line text is never shuffled for voting. Text is shuffled exactly
+    * once (the per-document reassembly group-by), and the kept-position
+    * list joins it co-partitioned on the doc id. Line-hash partitions are
+    * at most corpus-duplicate-count deep, and the pathological key (the
+    * empty/short line, which can appear billions of times) is excluded
+    * from the vote entirely by the `minChars` gate.
+    */
+  def dropRepeatedLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minChars: Int = 30): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    require(Seq(idCol, textCol).forall(df.columns.contains),
+      s"input needs columns '$idCol' and '$textCol', has: ${df.columns.mkString(", ")}")
+    val lines = df
+      .select(col(idCol).as("doc"), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("col", "line")
+    val meta = lines.select(
+      col("doc"), col("pos"),
+      sha2(col("line"), 256).as("__h"),
+      (length(trim(col("line"))) >= minChars).as("__dedupable"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h").orderBy(col("doc"), col("pos"))
+    val keptPos = meta.filter(col("__dedupable"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc", "pos")
+      .unionAll(meta.filter(!col("__dedupable")).select("doc", "pos"))
+      .groupBy("doc").agg(collect_list(col("pos")).as("__keep"))
+    lines
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("__ls"))
+      // left join: a document whose EVERY line is a corpus-duplicate has no
+      // keptPos row but must still appear (with empty clean_text), or the
+      // "one row per input document" contract breaks
+      .join(keptPos, Seq("doc"), "left")
+      .withColumn("__keep",
+        coalesce(col("__keep"), array().cast("array<int>")))
+      .select(
+        col("doc"),
+        concat_ws("\n",
+          transform(
+            filter(col("__ls"), e => array_contains(col("__keep"), e.getField("pos"))),
+            e => e.getField("line"))).as("clean_text"),
+        size(col("__keep")).cast("long").as("n_lines_kept"),
+        (size(col("__ls")) - size(col("__keep"))).cast("long").as("n_lines_dropped"))
+  }
+
   /** Word-set Jaccard near-duplicate pairs (exact, set-similarity join).
     *
     * Classic distributed set-similarity join: explode each document's

@@ -43,6 +43,26 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(12L), s"formatting-only copies must be dropped: kept $kept")
   }
 
+  test("dropRepeatedLines keeps first occurrence globally, short lines always, order intact") {
+    val boiler = "subscribe to our newsletter for all the updates" // 47 chars, dedupable
+    val multi = Seq(
+      (2L, s"unique line of document two content\n$boiler\nok"),
+      (1L, s"$boiler\nunique line of document one content\nok"),
+      (3L, boiler) // every line a corpus-dup -> must still emit a row
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedLines(multi, "doc_id", "text", minChars = 30)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_dropped")))
+      .toMap
+    assert(out.size == 3, s"one row per input document, got ${out.keySet}")
+    // doc 1 is the global first occurrence of the boilerplate (min doc id)
+    assert(out(1L) == ((s"$boiler\nunique line of document one content\nok", 3L, 0L)))
+    // doc 2 loses the boilerplate but keeps its own line + the short "ok"
+    assert(out(2L) == (("unique line of document two content\nok", 2L, 1L)))
+    // doc 3 loses everything yet still appears
+    assert(out(3L) == (("", 0L, 1L)))
+  }
+
   test("fingerprint dedup is whitespace-normalization invariant") {
     val messy = Seq(
       (1L, "a b  c"), (2L, "a b c"), (3L, " a b c "), (4L, "a b d")
