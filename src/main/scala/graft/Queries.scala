@@ -253,6 +253,21 @@ object Queries {
           "column_name", "unmatched_rows_count")
         .withColumn("unmatched_rows_count", coalesce(col("unmatched_rows_count"), lit(0L)))),
 
+    // U3: pivot (wide conditional-count reshape). The value list is
+    // EXPLICIT — an unlisted pivot makes Spark run a values-discovery job
+    // over the full table before planning, which at 100 TB is a second
+    // scan; empty cells are count NULL, folded to 0
+    "q_u3_pivot" -> ((s, d) =>
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
     // J1 + E5: full-outer alignment with missing-side status
     "q_j1_full_outer" -> ((s, d) => {
       val o = ord(s, d)
@@ -356,6 +371,31 @@ object Queries {
 
     // data profiling: one-job per-column stats on the orders table
     "q_profile" -> ((s, d) => graft.core.Profiling.profile(s, ord(s, d))),
+
+    // equi-width histogram: 20 bins over [0, 500000) — round-number edges
+    // keep the bin arithmetic bit-identical across engines
+    "q_profile_hist" -> ((s, d) =>
+      graft.core.Profiling.histogram(ord(s, d), "o_totalprice",
+        nBins = 20, lo = 0.0, hi = 500000.0)),
+
+    // CDC changelog merge: state-per-user snapshot from the first 19 days
+    // of events, then the remaining days replayed as a changelog where an
+    // 'error' event deletes the user and anything else upserts the user's
+    // latest (event_id, us, event_type, value) state. µs timestamps — the
+    // cross-engine events resolution (DuckDB reads the NANOS parquet at µs)
+    "q_events_changelog" -> ((s, d) => {
+      val cut = lit(1705708800000000L) // 2024-01-20T00:00:00Z as epoch micros
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
+          col("event_type"), col("value"))
+      val snap = graft.operators.Changelog.latestByKey(
+        ev.filter(col("us") < cut), Seq("user_id"), Seq("us", "event_id"))
+      val chg = ev.filter(col("us") >= cut)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      graft.operators.Changelog.applyChangelog(
+        snap, chg, Seq("user_id"), Seq("us", "event_id"), "op")
+    }),
 
     // skew-salted join: semantics invariant to salting, so the oracle is
     // the PLAIN join — the salt is pure execution strategy
@@ -1265,6 +1305,37 @@ object Queries {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
 
+    // pivot ≡ per-group filtered counts (FILTER counts are 0, matching the
+    // Spark side's coalesce of empty pivot cells)
+    "q_u3_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // replicates Changelog.applyChangelog: latest row per user on each side
+    // of the cut (row_number ≡ Spark's version-first struct max — the
+    // (ts_ns, event_id) pair is unique), delete on 'error', else upsert
+    "q_events_changelog" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type, value
+        |  FROM events),
+        |snap AS (SELECT user_id, event_id, us, event_type, value FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev WHERE us < 1705708800000000) WHERE rn = 1),
+        |chg AS (SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev WHERE us >= 1705708800000000) WHERE rn = 1)
+        |SELECT coalesce(c.user_id, s.user_id) AS user_id,
+        |  CASE WHEN c.user_id IS NOT NULL THEN c.event_id ELSE s.event_id END AS event_id,
+        |  CASE WHEN c.user_id IS NOT NULL THEN c.us ELSE s.us END AS us,
+        |  CASE WHEN c.user_id IS NOT NULL THEN c.event_type ELSE s.event_type END AS event_type,
+        |  CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE s.value END AS value
+        |FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+        |WHERE c.op IS NULL OR c.op != 'D'""".stripMargin,
+
     // replicates Profiling.profile on orders: n_distinct is COUNT(DISTINCT)
     // (non-null) — all-integer outputs, engine-independent
     "q_profile" ->
@@ -1275,6 +1346,18 @@ object Queries {
            |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
            |FROM orders""".stripMargin).mkString("\nUNION ALL\n"),
+
+    // replicates Profiling.histogram: same round-number bin arithmetic
+    // (width 25000 = (500000 - 0) / 20), clamped edge bins, NULLs dropped
+    "q_profile_hist" ->
+      """SELECT bin_no,
+        |  0.0 + bin_no * 25000.0 AS lo_edge,
+        |  0.0 + (bin_no + 1) * 25000.0 AS hi_edge,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT least(19, greatest(0,
+        |    CAST(floor((o_totalprice - 0.0) / 25000.0) AS INTEGER))) AS bin_no
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |GROUP BY bin_no""".stripMargin,
 
     // replicates TextAnalysis.chunkDocuments: starts 1, 1+32, … (stride =
     // 40 − 8); list_slice end is inclusive so end = start + 39

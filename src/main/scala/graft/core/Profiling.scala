@@ -82,4 +82,32 @@ object Profiling {
     require(rsd > 0.0 && rsd < 1.0, s"rsd out of (0,1): $rsd")
     report(spark, df.columns.toSeq, profileAgg(df, Some(rsd)))
   }
+
+  /** Equi-width histogram of a numeric column: `nBins` bins over
+    * `[lo, hi)`, out-of-range values clamped into the edge bins, NULLs
+    * dropped. Output: (bin_no, lo_edge, hi_edge, n_rows) — only non-empty
+    * bins appear (outer-join a bin spine if a dense axis is needed).
+    *
+    * Bounds are CALLER-provided on purpose: at scale the min/max either
+    * come from [[profile]] or from domain knowledge, and baking a
+    * bounds-discovery action in here would force a second full scan per
+    * histogram. The whole thing is one scan + one ≤nBins-group hash
+    * aggregation (map-side combine reduces each task to ≤nBins rows), so
+    * histogramming a 100 TB column costs exactly one pass.
+    */
+  def histogram(df: DataFrame, column: String, nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    val bin = least(lit(nBins - 1),
+      greatest(lit(0), floor((col(column) - lo) / width).cast("int")))
+    df.filter(col(column).isNotNull)
+      .groupBy(bin.as("bin_no"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        col("bin_no"),
+        (lit(lo) + col("bin_no") * lit(width)).as("lo_edge"),
+        (lit(lo) + (col("bin_no") + 1) * lit(width)).as("hi_edge"),
+        col("n_rows"))
+  }
 }

@@ -301,4 +301,27 @@ class PlanSpec extends SparkSpec {
     assert(approx.linesIterator.count(_.contains("Exchange (")) == 1,
       s"approx profile should shuffle fixed-size sketches exactly once:\n$approx")
   }
+
+  test("histogram is one scan + one <=nBins-group shuffle with map-side combine") {
+    val p = plan("q_profile_hist")
+    assert(p.linesIterator.count(_.contains("HashAggregate (")) == 2,
+      s"expected partial+final HashAggregate (map-side combine to <=nBins rows):\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange (")) == 1,
+      s"histogramming a column must shuffle exactly once:\n$p")
+  }
+
+  test("changelog merge: latest-per-key is a struct-max agg (no window sort), one shuffle each side") {
+    val p = plan("q_events_changelog")
+    assert(!p.contains("Window"),
+      s"latestByKey must plan max(struct), never a row_number window sort:\n$p")
+    // partial+final max(struct) per latestByKey call (snapshot + changelog);
+    // struct buffers aren't hash-aggregable, so Spark plans SortAggregate —
+    // the partial (pre-shuffle) halves are what the scale claim rests on
+    assert(p.linesIterator.count(_.contains("SortAggregate (")) == 4,
+      s"expected two partial+final struct-max aggregations:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange (")) == 2,
+      s"each side must shuffle exactly once:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the merge join must key-partition both sides:\n$p")
+  }
 }
