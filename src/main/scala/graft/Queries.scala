@@ -253,6 +253,29 @@ object Queries {
           "column_name", "unmatched_rows_count")
         .withColumn("unmatched_rows_count", coalesce(col("unmatched_rows_count"), lit(0L)))),
 
+    // A5: rollup (hierarchical subtotal lattice — priority, priority ×
+    // status, grand total). One Expand + one shuffle; fixed-point sums
+    "q_a5_rollup" -> ((s, d) =>
+      ord(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))),
+
+    // W2: full window-analytics coverage — rank, running total, and lag
+    // over a per-customer ordered frame; (date, orderkey) makes the order
+    // total so RANGE and ROWS frames coincide deterministically
+    "q_w2_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d).select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        row_number().over(w).cast("long").as("order_seq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("cum_cents"),
+        lag(round(col("o_totalprice") * 100).cast("long"), 1).over(w).as("prev_cents"))
+    }),
+
     // U3: pivot (wide conditional-count reshape). The value list is
     // EXPLICIT — an unlisted pivot makes Spark run a values-discovery job
     // over the full table before planning, which at 100 TB is a second
@@ -1304,6 +1327,22 @@ object Queries {
         |  CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // both engines emit NULL group markers for rollup subtotal rows, and
+    // neither input column is ever NULL in the data, so rows align exactly
+    "q_a5_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_w2_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS order_seq,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cum_cents,
+        |  lag(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w AS prev_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     // pivot ≡ per-group filtered counts (FILTER counts are 0, matching the
     // Spark side's coalesce of empty pivot cells)

@@ -189,6 +189,43 @@ class StreamingSpec extends SparkSpec {
     assert(spanning.nonEmpty, "fixture degenerate: no session spanned the restart")
   }
 
+  test("upsertSink materializes a CDC stream: upserts, deletes, inserts across micro-batches") {
+    val base = Files.createTempDirectory("graft-upsert").toString
+    val in = s"$base/in"; val snap = s"$base/snap"; val ckpt = s"$base/ckpt"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string").add("v", "long").add("op", "string")
+    def feed(rows: Seq[(Long, String, Long, String)]): Unit =
+      rows.toDF("id", "name", "v", "op").repartition(1)
+        .write.mode("append").parquet(in)
+
+    feed(Seq((1L, "alice", 100L, "U"), (2L, "bob", 100L, "U"), (3L, "carol", 100L, "U")))
+    val q = StreamingOps.upsertSink(
+      spark.readStream.schema(schema).parquet(in),
+      snap, ckpt, Seq("id"), Seq("v"), "op")
+    try {
+      q.processAllAvailable()
+      def state() = StreamingOps.readSnapshot(spark, snap).get
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+      assert(state() == Map(1L -> "alice", 2L -> "bob", 3L -> "carol"))
+
+      // second micro-batch: update bob, delete carol, insert dave
+      feed(Seq((2L, "bob2", 101L, "U"), (3L, "x", 101L, "D"), (4L, "dave", 101L, "U")))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "alice", 2L -> "bob2", 4L -> "dave"),
+        "cross-batch merge must update, delete, insert, and carry untouched keys")
+    } finally q.stop()
+
+    // replay idempotence (the exactly-once claim): re-merging the last
+    // batch into the final snapshot must be a no-op
+    val last = Seq((2L, "bob2", 101L, "U"), (3L, "x", 101L, "D"), (4L, "dave", 101L, "U"))
+      .toDF("id", "name", "v", "op")
+    val snapDf = StreamingOps.readSnapshot(spark, snap).get
+    val replayed = graft.operators.Changelog
+      .applyChangelog(snapDf, last, Seq("id"), Seq("v"), "op")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(replayed == Map(1L -> "alice", 2L -> "bob2", 4L -> "dave"))
+  }
+
   test("mapGroupsWithState running stats (batch-mode execution)") {
     val stats = StreamingOps.userRunningStats(spark, batchEvents.limit(200))
       .collect().map(s => s.user_id -> s.n_events).toMap
