@@ -312,6 +312,83 @@ object Queries {
         .join(cust(s, d), col("o_custkey") === col("c_custkey"), "left")
         .select(col("o_orderkey"), coalesce(col("c_name"), lit("UNKNOWN")).as("cust_name"))),
 
+    // J3: left-semi join (EXISTS). The build side carries ONLY the join
+    // key — no payload columns shuffle, and the hash table dedups keys, so
+    // a billion-order probe against it stays one broadcast/hash probe per
+    // row. The filter evaluates scan-side on orders before the join.
+    "q_j3_semi" -> ((s, d) =>
+      cust(s, d)
+        .join(
+          ord(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    // J4: left-anti join (NOT EXISTS) — the retention/orphan query. Same
+    // key-only build side as J3; NULL keys can't false-match because the
+    // equi-condition is null-rejecting on both sides.
+    "q_j4_anti" -> ((s, d) =>
+      cust(s, d)
+        .join(ord(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")),
+
+    // A6: cube + grouping_id — the full 2^n subtotal lattice with the
+    // bitmask distinguishing real NULL groups from subtotal markers.
+    // One Expand (4 replicas/row) + one shuffle, same as rollup.
+    "q_a6_cube" -> ((s, d) =>
+      ord(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))),
+
+    // A7: exact per-group percentiles (linear interpolation). Integer-cent
+    // inputs + quarter fractions make the interpolation arithmetic exact in
+    // both engines — no float-drift risk in the hash compare. NOTE the
+    // 100 TB path is approx_percentile (mergeable t-digest sketch, no
+    // per-group value buffer); OperatorsSpec pins approx-vs-exact agreement
+    // on this same query. Exact percentile here buffers each group's values
+    // — fine for bounded groups (5 priorities), the oracle-able variant.
+    "q_a7_percentile" -> ((s, d) =>
+      ord(s, d)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile(col("cents"), lit(0.25)).as("p25_cents"),
+          percentile(col("cents"), lit(0.5)).as("p50_cents"),
+          percentile(col("cents"), lit(0.75)).as("p75_cents"))),
+
+    // W3: per-group top-N. Spark 4 rewrites rank<=k filters over windows
+    // into WindowGroupLimit — each map task keeps a k-row heap per group
+    // BEFORE the shuffle, so the exchange carries ≤ k rows per group per
+    // task instead of the whole table (pinned in PlanSpec). (date, key)
+    // tie-break makes the ranking total.
+    "q_w3_topn_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ord(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    }),
+
+    // U4/U5: set operations. INTERSECT/EXCEPT are DISTINCT set semantics —
+    // Spark plans them as an aggregate + semi/anti join on all columns;
+    // dedup happens map-side before the shuffle.
+    "q_u4_intersect" -> ((s, d) => {
+      val o = ord(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+    "q_u5_except" -> ((s, d) => {
+      val o = ord(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+
     // Headline grouped aggregation. Exact AND order-independent without
     // decimal arithmetic: quantize each 2-decimal measure to integer cents
     // (round(v*100) as long) and sum longs — plain codegen'd integer adds,
@@ -715,6 +792,32 @@ object Queries {
           count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))),
 
+    // Time-series gap-fill: per-user hourly counts with missing hours
+    // zero-filled across each user's [first, last] active span. NO
+    // span-join: after the per-(user, hour) aggregate, one window pass
+    // finds each row's predecessor hour and explodes only the gap bins
+    // owed by that row — generated rows are proportional to the gaps,
+    // never a dense user × global-timeline cross product. Raw events
+    // cross ONE exchange (with map-side combine); the window's re-key
+    // shuffles only the already-aggregated (user, hour) frame.
+    "q_events_gapfill" -> ((s, d) => {
+      val perHour = graft.sources.Events.load(s, d)
+        .groupBy(col("user_id"), expr("ts_ns div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+      perHour
+        .withColumn("prev_hr", lag(col("hr"), 1).over(w))
+        .select(
+          col("user_id"), col("hr"), col("n_events"),
+          explode(sequence(coalesce(col("prev_hr") + 1, col("hr")), col("hr")))
+            .as("hour_bucket"))
+        .select(
+          col("user_id"),
+          col("hour_bucket"),
+          when(col("hour_bucket") === col("hr"), col("n_events"))
+            .otherwise(lit(0L)).as("n_events"))
+    }),
+
     // Batch twin of the streaming session-window operator (8 h gap):
     // the oracle rebuilds the same sessions with a lag/cumsum gap split,
     // which doubles as a semantic pin of session_window's strict-< merge
@@ -1037,6 +1140,52 @@ object Queries {
     "q_j2_left_coalesce" ->
       """SELECT o_orderkey, COALESCE(c_name, 'UNKNOWN') AS cust_name
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_j3_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
+
+    "q_j4_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    // GROUPING() in DuckDB and grouping_id() in Spark emit the same
+    // bitmask (left column = MSB, 1 = aggregated-away)
+    "q_a6_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // quantile_cont ≡ Spark percentile: linear interpolation between the
+    // two adjacent order statistics; exact on integer cents at quarter
+    // fractions
+    "q_a7_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)  AS p50_cents,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS p75_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_w3_topn_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_u4_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q_u5_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1714,6 +1863,18 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // same gap-fill semantics rebuilt with a span join: per-user hourly
+    // counts left-joined onto each user's dense [min, max] hour series
+    "q_events_gapfill" ->
+      """WITH per AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM per GROUP BY 1),
+        |bins AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour_bucket FROM span)
+        |SELECT b.user_id, b.hour_bucket, COALESCE(per.n, 0) AS n_events
+        |FROM bins b LEFT JOIN per ON per.user_id = b.user_id AND per.hr = b.hour_bucket""".stripMargin,
 
     // replicates Temporal.funnel: per-step earliest in-order timestamps,
     // strictly increasing, all within 48 h of the first view

@@ -644,4 +644,39 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("threshold > 0"))
   }
+
+  test("approx_percentile tracks exact percentile within its accuracy bound (the 100 TB path)") {
+    // q_a7_percentile is the oracle-able EXACT variant (buffers each
+    // group's values — fine for 5 bounded groups). At scale the same
+    // query runs on approx_percentile's mergeable sketch; pin that the
+    // swap is sound: with accuracy a, rank error is <= n/a, so on n rows
+    // the value at rank r±n/a brackets the approximation.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val approx = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_percentile(cents, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // ground truth: each group's sorted value list (groups are ~300 rows
+    // at sf0.001 — a bounded driver-side fixture, not a scale pattern)
+    val sorted = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), cents.as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(approx.keySet == sorted.keySet)
+    for ((prio, qs) <- approx; (a, p) <- qs.zip(Seq(0.25, 0.5, 0.75))) {
+      val vs = sorted(prio)
+      // approx_percentile returns a real element of the group whose RANK
+      // is within n/accuracy of the target (here n << accuracy, so the
+      // bracketing order statistics around rank p*(n-1) are the bound);
+      // exact percentile interpolates BETWEEN those same two statistics,
+      // which is why a value-distance bound is the wrong assertion.
+      val r = p * (vs.length - 1)
+      val lo = vs(math.floor(r).toInt)
+      val hi = vs(math.ceil(r).toInt)
+      assert(a >= lo && a <= hi,
+        s"$prio p$p: approx $a outside bracketing order statistics [$lo, $hi]")
+    }
+  }
 }

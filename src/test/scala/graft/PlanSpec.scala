@@ -324,4 +324,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"the merge join must key-partition both sides:\n$p")
   }
+
+  test("per-group top-N plans WindowGroupLimit: k-row heaps before the shuffle") {
+    val p = plan("q_w3_topn_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter must rewrite to WindowGroupLimit (map-side k-row heap per group), " +
+        s"not a full window sort of the table:\n$p")
+    // both the partial (pre-shuffle) and final limit should appear
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("semi and anti joins ship key-only build sides") {
+    val semi = plan("q_j3_semi")
+    assert(semi.contains("LeftSemi"), s"expected a left-semi join:\n$semi")
+    // the orders side must be pruned to the single join key — no payload
+    // columns cross the exchange
+    assert(semi.contains("ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>"),
+      s"semi-join build side should scan only key + pushed filter column:\n$semi")
+    assert(semi.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter must reach the orders scan:\n$semi")
+    val anti = plan("q_j4_anti")
+    assert(anti.contains("LeftAnti"), s"expected a left-anti join:\n$anti")
+    assert(anti.contains("ReadSchema: struct<o_custkey:bigint>"),
+      s"anti-join build side should scan exactly the join key:\n$anti")
+  }
+
+  test("gap-fill: no span self-join; both shuffles carry aggregate-granularity rows") {
+    val p = plan("q_events_gapfill")
+    // two exchanges by design: the (user, hour) aggregation shuffles with
+    // map-side partial combine (exchange volume = distinct (user, hour)
+    // per map task, not raw events), then the window re-keys the already-
+    // aggregated frame by user. Raw events never cross an exchange twice.
+    assert(p.linesIterator.count(_.contains("Exchange (")) == 2,
+      s"expected agg shuffle + window re-key, nothing more:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate (")) == 2,
+      s"the event aggregation must partial-combine map-side:\n$p")
+    assert(!p.contains("Join"), s"gap-fill must not plan a span join:\n$p")
+    assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
+  }
 }
