@@ -92,8 +92,9 @@ object Bench {
       "q_compare_struct", "q_events_asof_tol",
       "q_text_repetition", "q_dedup_components", "q_dedup_decontaminate",
       "q_text_vocab", "q_text_pack",
-      // round-7 permanent addition
-      "q_text_oov")
+      // round-7 permanent additions (new execution paths only: Expand
+      // rollup, WindowGroupLimit top-N, per-gap sequence explode)
+      "q_text_oov", "q_a5_rollup", "q_w3_topn_group", "q_events_gapfill")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
