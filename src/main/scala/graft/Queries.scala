@@ -351,15 +351,20 @@ object Queries {
     // per-group value buffer); OperatorsSpec pins approx-vs-exact agreement
     // on this same query. Exact percentile here buffers each group's values
     // — fine for bounded groups (5 priorities), the oracle-able variant.
+    // One percentile(ARRAY) call — a single shared counts-map buffer per
+    // group instead of three — then scalar projections of the result
+    // array (the driver comparator requires scalar output columns).
     "q_a7_percentile" -> ((s, d) =>
       ord(s, d)
         .select(col("o_orderpriority"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
         .groupBy("o_orderpriority")
-        .agg(
-          percentile(col("cents"), lit(0.25)).as("p25_cents"),
-          percentile(col("cents"), lit(0.5)).as("p50_cents"),
-          percentile(col("cents"), lit(0.75)).as("p75_cents"))),
+        .agg(percentile(col("cents"), array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+        .select(
+          col("o_orderpriority"),
+          col("q").getItem(0).as("p25_cents"),
+          col("q").getItem(1).as("p50_cents"),
+          col("q").getItem(2).as("p75_cents"))),
 
     // W3: per-group top-N. Spark 4 rewrites rank<=k filters over windows
     // into WindowGroupLimit — each map task keeps a k-row heap per group
