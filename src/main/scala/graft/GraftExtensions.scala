@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DoubleArrayDot, LongArrayDot}
+import graft.functions.{CharBigrams, DoubleArrayDot, LongArrayDot, OovBigramCounts}
 
 /** SQL front-door for the codegen'd kernels: registers the two Catalyst
   * dot-product expressions in the session `FunctionRegistry`, so SQL-only
@@ -49,6 +49,13 @@ object GraftExtensions {
   private def info(name: String, clazz: Class[_], usage: String): ExpressionInfo =
     new ExpressionInfo(clazz.getCanonicalName, null, name, usage, "", "", "", "math_funcs", "4.0.0", "", "built-in")
 
+  private def arity1(name: String)(build: Expression => Expression): FunctionBuilder = {
+    case Seq(a) => build(a)
+    case exprs =>
+      throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument, got ${exprs.length}")
+  }
+
   private def arity2(name: String)(build: (Expression, Expression) => Expression): FunctionBuilder = {
     case Seq(a, b) => build(a, b)
     case exprs =>
@@ -70,7 +77,15 @@ object GraftExtensions {
       arity2("double_array_dot") { (a, b) =>
         val at = ArrayType(DoubleType)
         DoubleArrayDot(Cast(a, at), Cast(b, at))
-      }))
+      }),
+    (FunctionIdentifier("char_bigrams"),
+      info("char_bigrams", classOf[CharBigrams],
+        "char_bigrams(s) - Array of the numChars-1 overlapping character bigrams of s (codepoint-based); empty below 2 chars, NULL on NULL."),
+      arity1("char_bigrams")(CharBigrams(_))),
+    (FunctionIdentifier("oov_bigram_counts"),
+      info("oov_bigram_counts", classOf[OovBigramCounts],
+        "oov_bigram_counts(s, vocab) - struct(n_bigrams, n_oov): total character bigrams of s and how many fall outside the vocab array<string>; NULL if either input is NULL."),
+      arity2("oov_bigram_counts")(OovBigramCounts(_, _))))
 
   /** Register the functions in an already-running session (equivalent to
     * having built it with the extension installed; idempotent — re-register

@@ -157,44 +157,40 @@ object TextAnalysis {
     * cross-engine reproducibility). Output: (doc, n_bigrams, n_oov,
     * oov_ratio), one row per input document (blank docs score 0.0).
     *
-    * Two passes by nature (corpus statistics, then scoring — persist the
-    * bigram frame at real scale): pass 1 is one hash aggregation whose
-    * top-k plans as `TakeOrderedAndProject` (each partition ships only its
-    * local top-k); pass 2 rejoins the tiny vocab (`vocabK` rows, broadcast)
-    * to the exploded bigrams and folds per document. Ties at the vocabulary
-    * boundary break deterministically by (count DESC, bigram ASC), so any
-    * engine derives the same vocabulary.
+    * Two passes by nature (corpus statistics, then scoring): pass 1 explodes
+    * codegen'd [[TextExpressions.charBigrams]] arrays into one hash
+    * aggregation whose top-k plans as `TakeOrderedAndProject` (each
+    * partition ships only its local top-k), collapsed to a single-row vocab
+    * ARRAY; pass 2 broadcasts that row and scores every document in-row via
+    * [[TextExpressions.oovBigramCounts]] — no second explode, no join, no
+    * per-doc shuffle, just a narrow projection over the corpus. Ties at the
+    * vocabulary boundary break deterministically by (count DESC, bigram
+    * ASC), so any engine derives the same vocabulary.
     *
-    * The normalized text is materialized in a scratch column and referenced
-    * from several expressions — CollapseProject then cannot inline the
-    * normalization into the interpreted `transform` lambda (see
-    * [[shinglesOfWords]] on why inlining there is quadratic).
+    * NULL text is coalesced to '' up front (scores (0, 0, 0.0), same as the
+    * previous left-join fold and the DuckDB oracle's missing-group
+    * coalesce), which also keeps the scoring expression null-free.
     */
   def oovBigramScore(df: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
     require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
     val norm = df.select(
       col(idCol).as("doc"),
-      lower(trim(regexp_replace(col(textCol), "\\s+", " "))).as("__t"))
-    val bigrams = norm.select(
-      col("doc"),
-      // guard: sequence(1, 0) would generate DESCENDING [1, 0], not empty
-      when(length(col("__t")) < 2, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), length(col("__t")) - 1),
-          i => substr(col("__t"), i, lit(2)))).as("__bg"))
-      .select(col("doc"), explode_outer(col("__bg")).as("bg"))
-    val vocab = bigrams.filter(col("bg").isNotNull)
+      coalesce(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), lit("")).as("__t"))
+    val vocab = norm
+      .select(explode(TextExpressions.charBigrams(col("__t"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("bf"))
       .orderBy(col("bf").desc, col("bg").asc)
       .limit(vocabK)
-      .select(col("bg").as("__vbg"), lit(1).as("__in_vocab"))
-    bigrams
-      .join(broadcast(vocab), bigrams("bg") === vocab("__vbg"), "left")
-      .groupBy("doc")
-      .agg(
-        count(col("bg")).as("n_bigrams"), // non-null only: blank docs -> 0
-        sum(when(col("bg").isNotNull && col("__in_vocab").isNull, 1L).otherwise(0L))
-          .as("n_oov"))
+      .agg(collect_list(col("bg")).as("__vocab"))
+    norm
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc"),
+        TextExpressions.oovBigramCounts(col("__t"), col("__vocab")).as("__c"))
+      .select(
+        col("doc"),
+        col("__c").getField("n_bigrams").as("n_bigrams"),
+        col("__c").getField("n_oov").as("n_oov"))
       .withColumn(
         "oov_ratio",
         when(col("n_bigrams") === 0, lit(0.0))

@@ -247,14 +247,18 @@ class PlanSpec extends SparkSpec {
       s"no materialized global sort expected:\n$p")
   }
 
-  test("oov-bigram score: vocab plans TakeOrderedAndProject, scoring join broadcasts the vocab") {
+  test("oov-bigram score: vocab plans TakeOrderedAndProject, scoring is a shuffle-free projection") {
     val p = plan("q_text_oov")
     assert(p.contains("TakeOrderedAndProject"),
       s"bigram vocab top-k must ship per-partition top-k, not Sort the bigram table:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the ${200}-row vocab must broadcast under the scoring join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row vocab array must broadcast under the scoring pass:\n$p")
+    assert(p.contains("char_bigrams"),
+      s"bigram generation must run the codegen'd kernel, not an interpreted HOF:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no shuffle join expected anywhere in the scoring pass:\n$p")
+    assert(p.linesIterator.count(l => l.contains("- Exchange") && !l.contains("BroadcastExchange")) == 1,
+      s"only the vocab aggregation may shuffle — scoring must stay in-row:\n$p")
   }
 
   test("decontamination broadcasts the eval shingle set and the contaminated-id set (AQE)") {

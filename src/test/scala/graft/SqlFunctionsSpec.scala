@@ -18,6 +18,15 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == 32L)
   }
 
+  test("char_bigrams and oov_bigram_counts are callable from SQL") {
+    val r = spark.sql(
+      """SELECT char_bigrams('abc') AS bg,
+        |  oov_bigram_counts('abc', array('ab')) AS c""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("ab", "bc"))
+    val c = r.getStruct(1)
+    assert(c.getLong(0) == 2L && c.getLong(1) == 1L)
+  }
+
   test("double_array_dot casts float arrays like the Scala API") {
     val r = spark.sql(
       """SELECT double_array_dot(
