@@ -333,6 +333,18 @@ object Queries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")),
 
+    // J5: Bloom-pruned semi join — the key set is filtered scan-side with
+    // a broadcast Bloom filter BEFORE the big side's exchange, then exact
+    // semi-join verify (false positives pruned, so row-identical to a
+    // plain EXISTS — the filter only cuts shuffle volume). PlanSpec pins
+    // might_contain below the exchange.
+    "q_j5_bloom_semi" -> ((s, d) =>
+      graft.operators.Pruning.bloomPrunedSemiJoin(
+          li(s, d),
+          ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey", expectedItems = 20000L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
     // A6: cube + grouping_id — the full 2^n subtotal lattice with the
     // bitmask distinguishing real NULL groups from subtotal markers.
     // One Expand (4 replicas/row) + one shuffle, same as rollup.
@@ -1155,6 +1167,14 @@ object Queries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    // the Bloom prefilter is exactness-preserving (no false negatives +
+    // exact verify join), so the oracle is the plain EXISTS
+    "q_j5_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey
+        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
 
     // GROUPING() in DuckDB and grouping_id() in Spark emit the same
     // bitmask (left column = MSB, 1 = aggregated-away)

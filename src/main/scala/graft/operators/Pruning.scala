@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Scan-side join pruning via Bloom filters.
+  *
+  * The 100 TB shape this exists for: a huge fact/corpus table joined
+  * against a key set that is too large to broadcast as a join hash table
+  * (tens of millions of ids → GBs of hash map) but tiny as a Bloom filter
+  * (~1.2 bytes/key at 3% fpp). Shuffling the full big side just to discard
+  * 95% of it in the join is the single largest avoidable cost in that
+  * query; a Bloom filter built from the key side and applied BEFORE the
+  * exchange cuts the big side's shuffle volume to roughly the join
+  * selectivity (plus the fpp).
+  *
+  * Spark's own runtime row-level filtering (InjectRuntimeFilter) does this
+  * automatically, but only under narrow conditions (selective filter on
+  * the creation side, shuffle-join plan shape, size thresholds). This
+  * operator is the explicit, always-on form, built from the same native
+  * codegen'd expressions ([[BloomFilterAggregate]] /
+  * [[BloomFilterMightContain]] — NOT a UDF).
+  *
+  * Exactness: the Bloom filter has false positives but NO false negatives,
+  * and the pruned big side still goes through the exact semi join — so the
+  * result is row-identical to the unpruned semi join (the fpp only costs
+  * shuffle bytes, never correctness). The dual (anti-join pruning) is
+  * deliberately ABSENT: a false positive there would wrongly drop a row,
+  * so anti joins must stay exact.
+  */
+object Pruning {
+
+  /** One-row Bloom aggregate of `key` hashes as a scalar-subquery
+    * expression — `might_contain` requires its filter input to be a
+    * constant or scalar subquery (the form InjectRuntimeFilter emits), so
+    * the build side is executed once as a subquery stage and its result
+    * ships to the scan tasks as a literal.
+    */
+  private def bloomSubquery(df: DataFrame, key: String, expectedItems: Long, fpp: Double): ScalarSubquery = {
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(xxhash64(col(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    ScalarSubquery(df.agg(GraftColumnBridge.column(agg).as("__bf")).queryExecution.analyzed)
+  }
+
+  /** Semi join `big` ⋉ `small` on `bigKey = smallKey`, with the big side
+    * Bloom-pruned before its exchange.
+    *
+    * `expectedItems` sizes the filter (pass the approximate DISTINCT count
+    * of `smallKey`; oversizing wastes broadcast bytes, undersizing raises
+    * the effective fpp and with it the pruned-but-discarded volume — never
+    * correctness). NULL big-side keys are dropped by the filter, matching
+    * semi-join semantics (NULL never matches).
+    */
+  def bloomPrunedSemiJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val bf = bloomSubquery(small, smallKey, expectedItems, fpp)
+    val pruned = big.filter(GraftColumnBridge.column(new BloomFilterMightContain(
+      bf, GraftColumnBridge.expression(xxhash64(col(bigKey))))))
+    pruned.join(small, pruned(bigKey) === small(smallKey), "left_semi")
+  }
+}

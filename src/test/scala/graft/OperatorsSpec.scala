@@ -679,4 +679,22 @@ class OperatorsSpec extends SparkSpec {
         s"$prio p$p: approx $a outside bracketing order statistics [$lo, $hi]")
     }
   }
+
+  test("bloomPrunedSemiJoin is row-identical to the plain semi join (dups, nulls, misses)") {
+    import org.apache.spark.sql.functions._
+    val big = Seq[(java.lang.Long, String)](
+      (1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (null, "e"), (9L, "f"))
+      .toDF("k", "payload")
+    val small = Seq[(java.lang.Long, String)](
+      (1L, "x"), (1L, "y"), (3L, "z"), (null, "w"))
+      .toDF("sk", "tag")
+    val got = graft.operators.Pruning
+      .bloomPrunedSemiJoin(big, small, "k", "sk", expectedItems = 10L)
+      .select("k", "payload").collect().map(r => (r.get(0), r.getString(1))).toSet
+    val want = big.join(small, col("k") === col("sk"), "left_semi")
+      .select("k", "payload").collect().map(r => (r.get(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(got == Set((1L, "a"), (1L, "b"), (3L, "d")),
+      "dup keys kept once each, null and missing keys dropped")
+  }
 }

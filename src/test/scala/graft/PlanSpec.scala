@@ -261,6 +261,21 @@ class PlanSpec extends SparkSpec {
       s"only the vocab aggregation may shuffle — scoring must stay in-row:\n$p")
   }
 
+  test("bloom-pruned semi join: might_contain filters the big side below any exchange") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = Queries.queries("q_j5_bloom_semi")(spark, sf).queryExecution.sparkPlan
+    val bloomFilter = sp.collectFirst {
+      case f: FilterExec if f.condition.find(_.isInstanceOf[BloomFilterMightContain]).isDefined => f
+    }
+    assert(bloomFilter.isDefined, s"expected a might_contain filter in the plan:\n$sp")
+    assert(bloomFilter.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"the bloom prune must run scan-side, BELOW the big side's exchange:\n$sp")
+    assert(bloomFilter.get.toString.contains("Scan parquet"),
+      s"the bloom prune must sit directly over the big-side scan:\n$sp")
+  }
+
   test("decontamination broadcasts the eval shingle set and the contaminated-id set (AQE)") {
     import org.apache.spark.sql.functions._
     val dd = spark.read.parquet(s"$sf/documents.parquet")
