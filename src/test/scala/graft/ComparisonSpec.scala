@@ -301,4 +301,70 @@ class ComparisonSpec extends SparkSpec {
     assert(rows((2L, 1)) == ((1L, true))) // 2×1 cross product ⇒ M·N−1 = 1
     res.unpersist()
   }
+
+  test("randomized perturbation property: reports match a naive driver-side model (seeded)") {
+    // The golden fixture pins ONE scenario; this pins the count semantics
+    // on a seeded random corpus against an independent collections-based
+    // model of the documented rules (keys-with-any-matching-pair matched
+    // count, keys-missing-per-side, keys-with->1-row duplicate counts,
+    // per-column sums over unmatched cross-join pairs).
+    case class R(id: Long, a: String, b: Long, c: String)
+    val rnd = new scala.util.Random(20260813L)
+    val base = (1L to 120L).map(k =>
+      R(k, s"a${rnd.nextInt(1000)}", rnd.nextLong() % 100000L, s"c${rnd.nextInt(1000)}"))
+    // disjoint perturbation ranges so every effect is independently visible
+    val srcRows = base ++ base.filter(r => r.id >= 41 && r.id <= 45) // src dups ×2
+    val tgtBase = base.filter(_.id > 10).map { r => // 1..10 missing at target
+      if (r.id <= 25) r.copy(a = r.a + "_x") // 11..25: a differs
+      else if (r.id <= 35) r.copy(b = r.b + 1000000L) // 26..35: b differs
+      else if (r.id <= 40) r.copy(a = r.a + "_y", c = r.c + "_y") // 36..40: a AND c
+      else r
+    }
+    val tgtRows = tgtBase ++
+      tgtBase.filter(r => r.id >= 46 && r.id <= 50) ++ // tgt dups ×3
+      tgtBase.filter(r => r.id >= 46 && r.id <= 50) ++
+      (201L to 206L).map(k => R(k, "new", k, "new")) // missing at source
+    // naive model over the raw rows
+    val srcBy = srcRows.groupBy(_.id); val tgtBy = tgtRows.groupBy(_.id)
+    val allKeys = srcBy.keySet ++ tgtBy.keySet
+    val expMissSrc = allKeys.count(k => !srcBy.contains(k)).toLong
+    val expMissTgt = allKeys.count(k => !tgtBy.contains(k)).toLong
+    val expMatched = allKeys.count { k =>
+      srcBy.get(k).exists(ss => tgtBy.get(k).exists(ts =>
+        ss.exists(s => ts.contains(s))))
+    }.toLong
+    val expDups = (srcBy.count(_._2.size > 1).toLong, tgtBy.count(_._2.size > 1).toLong)
+    val fields = Seq[(String, R => Any)](
+      "a" -> (_.a), "b" -> (_.b), "c" -> (_.c))
+    val expCol = fields.map { case (name, get) =>
+      name -> allKeys.toSeq.map { k =>
+        (for {
+          s <- srcBy.getOrElse(k, Nil); t <- tgtBy.getOrElse(k, Nil)
+          if s != t // pair unmatched (exact compare, tolerance 0)
+          if get(s) != get(t)
+        } yield 1L).sum
+      }.sum
+    }.toMap
+    val res = Comparison.compareDataFrames(
+      spark,
+      rnd.shuffle(srcRows).map(r => (r.id, r.a, r.b, r.c)).toDF("id", "a", "b", "c"),
+      rnd.shuffle(tgtRows).map(r => (r.id, r.a, r.b, r.c)).toDF("id", "a", "b", "c"),
+      DatasetParams("prop", Seq("id")))
+    val o = res.overallTestReport.collect().head
+    assert(o.getAs[Map[String, Long]]("count") ==
+      Map("source" -> srcRows.size.toLong, "target" -> tgtRows.size.toLong))
+    assert(o.getAs[Long]("matched_count") == expMatched)
+    assert(o.getAs[Map[String, Long]]("duplicate_count") ==
+      Map("source" -> expDups._1, "target" -> expDups._2))
+    assert(o.getAs[Map[String, Long]]("missing_rows") ==
+      Map("source" -> expMissSrc, "target" -> expMissTgt))
+    assert(o.getAs[String]("test_status") == "FAILED")
+    val gotCol = res.colLvlTestReport.collect()
+      .map(r => r.getAs[String]("column_name") ->
+        r.getAs[Number]("unmatched_rows_count").longValue()).toMap
+    assert(gotCol == expCol)
+    assert(res.unmatchedRecords.keySet ==
+      expCol.collect { case (c, n) if n > 0 => s"prop/$c" }.toSet)
+    res.unpersist()
+  }
 }
