@@ -656,6 +656,15 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
+    // winsorization outlier gate: per-language [p05, p95] document-length
+    // band; exact quantiles for the oracle (approx_percentile is the
+    // bounded-state 100 TB default)
+    "q_curate_qgate" -> ((s, d) =>
+      Curation.quantileGate(
+          docs(s, d).select("doc_id", "lang", "n_chars"),
+          "n_chars", Seq("lang"), loQ = 0.05, hiQ = 0.95, exact = true)
+        .select("doc_id", "lang", "n_chars")),
+
     // unit-length embedding normalization (bit-reproducible doubles),
     // exploded to scalar rows (vec_id, pos, unit_v) so the cross-engine
     // comparator checks every component individually
@@ -1761,6 +1770,18 @@ object Queries {
         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM pred GROUP BY 1""".stripMargin,
+
+    // replicates Curation.quantileGate(exact): per-group continuous
+    // quantile bounds (quantile_cont ≡ Spark percentile interpolation),
+    // inner equi-join back, inclusive band filter
+    "q_curate_qgate" ->
+      """WITH b AS (SELECT lang,
+        |    quantile_cont(n_chars, 0.05) AS lo,
+        |    quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN b ON d.lang = b.lang
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH u AS (SELECT * FROM documents

@@ -65,4 +65,48 @@ object Curation {
     Dedup.dropExactDuplicates(scored, idCol, Seq("fingerprint"))
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
   }
+
+  /** Winsorization-style outlier gate: keep rows whose `valueCol` lies
+    * within the `[loQ, hiQ]` quantiles of their group — the "drop the
+    * freakishly short and the freakishly long documents per language"
+    * curation step.
+    *
+    * Plan shape: one grouped quantile aggregation over the low-cardinality
+    * groups (languages, sources), its bounds broadcast back over the
+    * corpus, then a scan-side filter — the corpus itself never shuffles.
+    * `exact = true` buffers each group's values in the quantile aggregate
+    * (the oracle-able variant; fine while groups fit an executor);
+    * the default `exact = false` uses `approx_percentile` with bounded
+    * state — the 100 TB path, where a per-mille boundary error only
+    * shifts a statistical cutoff, not a correctness contract.
+    *
+    * Rows with a NULL group key or NULL value are dropped (an outlier gate
+    * can't place them; matches the SQL equi-join oracle's semantics).
+    */
+  def quantileGate(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      loQ: Double,
+      hiQ: Double,
+      exact: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "quantileGate needs at least one group column")
+    require(0.0 <= loQ && loQ < hiQ && hiQ <= 1.0,
+      s"need 0 <= loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    val reserved = Seq("__qb", "__q_lo", "__q_hi").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with quantileGate's scratch names (${reserved.mkString(", ")}) — rename them first")
+    val q = array(lit(loQ), lit(hiQ))
+    val qAgg =
+      if (exact) percentile(col(valueCol), q)
+      else approx_percentile(col(valueCol), q, lit(10000))
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(qAgg.as("__qb"))
+      .select(groupCols.map(col) :+
+        col("__qb").getItem(0).as("__q_lo") :+
+        col("__qb").getItem(1).as("__q_hi"): _*)
+    df.join(broadcast(bounds), groupCols, "inner")
+      .filter(col(valueCol) >= col("__q_lo") && col(valueCol) <= col("__q_hi"))
+      .drop("__q_lo", "__q_hi")
+  }
 }

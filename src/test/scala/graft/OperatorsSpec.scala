@@ -680,6 +680,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("quantileGate keeps the inclusive per-group band; NULL group keys drop; approx tracks exact") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 100).map(i => ("g1", i.toLong)) ++
+      (1 to 50).map(i => ("g2", i.toLong * 10)) :+ ((null.asInstanceOf[String], 5L))
+    val df = rows.toDF("g", "v")
+    val exact = graft.operators.Curation
+      .quantileGate(df, "v", Seq("g"), 0.1, 0.9, exact = true)
+      .groupBy("g").agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // g1 = 1..100: p10 = 10.9, p90 = 90.1 (continuous interpolation) → keep 11..90
+    assert(exact("g1") == ((80L, 11L, 90L)))
+    // g2 = 10..500 step 10: p10 = 59, p90 = 451 → keep 60..450
+    assert(exact("g2") == ((40L, 60L, 450L)))
+    assert(!exact.contains(null), "NULL group key cannot be placed — dropped")
+    val approxN = graft.operators.Curation
+      .quantileGate(df, "v", Seq("g"), 0.1, 0.9)
+      .count()
+    assert(math.abs(approxN - 120L) <= 5, s"approx band should track exact, kept $approxN")
+  }
+
   test("bloomPrunedSemiJoin is row-identical to the plain semi join (dups, nulls, misses)") {
     import org.apache.spark.sql.functions._
     val big = Seq[(java.lang.Long, String)](
