@@ -36,6 +36,18 @@ object StreamingOps {
   def dedupEvents(events: DataFrame, lateness: String): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: left-join each micro-batch against a
+    * broadcast dimension table. Left join — enrichment must never DROP an
+    * event (unmatched rows keep NULL dimension columns); the broadcast
+    * hint keeps the stream side stateless and shuffle-free (no watermark
+    * or join state needed, unlike stream-stream joins). Note Spark does
+    * not re-list file-based static sides between micro-batches — for a
+    * slowly-changing dimension, restart the query or use a dimension
+    * format with refreshable listing.
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Per-user session windows via Spark's native `session_window`: events
     * of one user merge into a session while each arrives within `gap` of
     * the session's end; the window closes `gap` after the last event.

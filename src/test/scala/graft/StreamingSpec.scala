@@ -73,6 +73,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 50)
   }
 
+  test("stream-static enrichment equals the batch left join and keeps unmatched events") {
+    val tmp = Files.createTempDirectory("graft-stream-enrich").toString
+    val dim = Seq(("view", "browse"), ("click", "browse"), ("purchase", "convert"))
+      .toDF("event_type", "funnel_stage")
+    val enriched = StreamingOps.enrichEvents(streamedEvents(tmp), dim, Seq("event_type"))
+      .select("event_id", "event_type", "funnel_stage")
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("enrich_out")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val batch = StreamingOps.enrichEvents(batchEvents, dim, Seq("event_type"))
+      .select("event_id", "funnel_stage")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(streamed == batch)
+    assert(streamed.size == batchEvents.count(),
+      "left enrichment must never drop an event")
+    assert(streamed.values.exists(_.isEmpty),
+      "event types outside the dimension must survive with NULL stage")
+  }
+
   test("stream-stream interval join equals the batch join and bounds state with watermarks") {
     val tmp = Files.createTempDirectory("graft-stream-ij").toString
     val joined = StreamingOps.viewsBeforePurchase(streamedEvents(tmp), "4 hours", "10 minutes")
