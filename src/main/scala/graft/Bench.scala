@@ -94,7 +94,9 @@ object Bench {
       "q_text_vocab", "q_text_pack",
       // round-7 permanent additions (new execution paths only: Expand
       // rollup, WindowGroupLimit top-N, per-gap sequence explode)
-      "q_text_oov", "q_a5_rollup", "q_w3_topn_group", "q_events_gapfill")
+      "q_text_oov", "q_a5_rollup", "q_w3_topn_group", "q_events_gapfill",
+      // bloom_filter_agg + scalar-subquery runtime filter path
+      "q_j5_bloom_semi")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
