@@ -261,6 +261,16 @@ class PlanSpec extends SparkSpec {
       s"only the vocab aggregation may shuffle — scoring must stay in-row:\n$p")
   }
 
+  test("quantile gate: bounds broadcast back over the corpus — corpus side never shuffles") {
+    val p = plan("q_curate_qgate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-group bounds must broadcast, not shuffle-join the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join expected:\n$p")
+    // the only exchange feeds the grouped quantile aggregation (bounds side)
+    assert(p.linesIterator.count(l => l.contains("- Exchange") && !l.contains("BroadcastExchange")) == 1,
+      s"only the bounds aggregation may shuffle:\n$p")
+  }
+
   test("bloom-pruned semi join: might_contain filters the big side below any exchange") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.execution.FilterExec
