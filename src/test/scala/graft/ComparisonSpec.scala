@@ -367,4 +367,54 @@ class ComparisonSpec extends SparkSpec {
       expCol.collect { case (c, n) if n > 0 => s"prop/$c" }.toSet)
     res.unpersist()
   }
+
+  test("tolerance property: rescue, NULL-poisoning and column blame match the documented model") {
+    // Semantics modeled independently: a row matches iff it is null-safe
+    // identical OR every column predicate holds (string: null-safe eq;
+    // reference-numeric: |s−t| ≤ tol, NULL-POISONED — a NULL beside a value
+    // fails the row). A column is blamed on an unmatched pair only when its
+    // predicate is DEFINITELY false — the NULL-vs-value pair unmatches the
+    // row yet blames no column (the reference's when(!pred, true) fold).
+    val tol = 0.5
+    case class R(id: Long, s: String, num: Option[Double])
+    val base = (1L to 60L).map(k =>
+      R(k, s"s$k", if (k % 7 == 0) None else Some(k + 0.5)))
+    val tgtRows = base.map { r =>
+      if (r.id >= 11 && r.id <= 20) r.copy(num = r.num.map(_ + 0.25)) // within tol
+      else if (r.id >= 21 && r.id <= 30) r.copy(num = r.num.map(_ + 10.0)) // outside tol
+      else if (r.id >= 31 && r.id <= 35) r.copy(num = None) // NULL-poisoning
+      else if (r.id >= 41 && r.id <= 45) r.copy(s = r.s + "_x") // string diff
+      else r
+    }
+    def numPred(a: Option[Double], b: Option[Double]): Option[Boolean] = (a, b) match {
+      case (Some(x), Some(y)) => Some(math.abs(x - y) <= tol)
+      case _ => None // NULL-poisoned
+    }
+    def rowMatched(a: R, b: R): Boolean =
+      (a.s == b.s && a.num == b.num) ||
+        (a.s == b.s && numPred(a.num, b.num).contains(true))
+    val byId = tgtRows.map(r => r.id -> r).toMap
+    val expMatched = base.count(r => rowMatched(r, byId(r.id))).toLong
+    val expColS = base.count(r => !rowMatched(r, byId(r.id)) && r.s != byId(r.id).s).toLong
+    val expColNum = base.count { r =>
+      val t = byId(r.id)
+      !rowMatched(r, t) && numPred(r.num, t.num).contains(false) // definitely false only
+    }.toLong
+    val res = Comparison.compareDataFrames(
+      spark,
+      base.map(r => (r.id, r.s, r.num.map(Double.box).orNull)).toDF("id", "s", "num"),
+      tgtRows.map(r => (r.id, r.s, r.num.map(Double.box).orNull)).toDF("id", "s", "num"),
+      DatasetParams("tolprop", Seq("id"), TestParams(differenceTolerance = tol)))
+    val o = res.overallTestReport.collect().head
+    assert(o.getAs[Long]("matched_count") == expMatched)
+    assert(o.getAs[String]("test_status") == "FAILED")
+    val gotCol = res.colLvlTestReport.collect()
+      .map(r => r.getAs[String]("column_name") ->
+        r.getAs[Number]("unmatched_rows_count").longValue()).toMap
+    assert(gotCol == Map("s" -> expColS, "num" -> expColNum))
+    // sanity on the model itself: every scenario class is non-trivially hit
+    assert(expMatched == 43L && expColS == 5L && expColNum == 8L,
+      s"model degenerate: matched=$expMatched s=$expColS num=$expColNum")
+    res.unpersist()
+  }
 }
