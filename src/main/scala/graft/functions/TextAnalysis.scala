@@ -82,7 +82,8 @@ object TextAnalysis {
 
   /** Canonical document fingerprint: sha256 over whitespace-normalized text.
     * Collapsing runs of whitespace makes the fingerprint robust to
-    * formatting-only edits; use [[Dedup.exactDuplicates]] over it for
+    * formatting-only edits; use
+    * [[graft.operators.Dedup.exactDuplicateGroups]] over it for
     * fingerprint-level dedup.
     */
   def fingerprint(text: Column): Column =

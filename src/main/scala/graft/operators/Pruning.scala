@@ -21,8 +21,8 @@ import org.apache.spark.util.sketch.BloomFilter
   * automatically, but only under narrow conditions (selective filter on
   * the creation side, shuffle-join plan shape, size thresholds). This
   * operator is the explicit, always-on form, built from the same native
-  * codegen'd expressions ([[BloomFilterAggregate]] /
-  * [[BloomFilterMightContain]] — NOT a UDF).
+  * codegen'd expressions (`BloomFilterAggregate` /
+  * `BloomFilterMightContain` — NOT a UDF).
   *
   * Exactness: the Bloom filter has false positives but NO false negatives,
   * and the pruned big side still goes through the exact semi join — so the
