@@ -261,6 +261,13 @@ class PlanSpec extends SparkSpec {
       s"only the vocab aggregation may shuffle — scoring must stay in-row:\n$p")
   }
 
+  test("every catalog query has an oracle — additions cannot silently skip the gate") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
+
   test("quantile gate: bounds broadcast back over the corpus — corpus side never shuffles") {
     val p = plan("q_curate_qgate")
     assert(p.contains("BroadcastHashJoin"),
