@@ -247,6 +247,41 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == Map(1L -> "alice", 2L -> "bob2", 4L -> "dave"))
   }
 
+  test("upsertSink recovers from a crash between the swap renames (.bak fallback)") {
+    val base = Files.createTempDirectory("graft-upsert-crash").toString
+    val in = s"$base/in"; val snap = s"$base/snap"; val ckpt = s"$base/ckpt"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string").add("v", "long").add("op", "string")
+    def feed(rows: Seq[(Long, String, Long, String)]): Unit =
+      rows.toDF("id", "name", "v", "op").repartition(1)
+        .write.mode("append").parquet(in)
+    def run(): Unit = {
+      val q = StreamingOps.upsertSink(
+        spark.readStream.schema(schema).parquet(in),
+        snap, ckpt, Seq("id"), Seq("v"), "op")
+      try q.processAllAvailable() finally q.stop()
+    }
+    feed(Seq((1L, "alice", 100L, "U"), (2L, "bob", 100L, "U")))
+    run()
+    // crash window: live was renamed to .bak, the new live never landed
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(snap),
+      new org.apache.hadoop.fs.Path(snap + ".bak")))
+    // reads fall back to the .bak generation
+    val fallback = StreamingOps.readSnapshot(spark, snap).get
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(fallback == Map(1L -> "alice", 2L -> "bob"))
+    // the restarted sink merges onto the .bak generation and restores live
+    feed(Seq((2L, "bob2", 101L, "U"), (3L, "carol", 101L, "U")))
+    run()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(snap)), "live snapshot restored")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snap + ".bak")), ".bak cleaned up")
+    val state = StreamingOps.readSnapshot(spark, snap).get
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(state == Map(1L -> "alice", 2L -> "bob2", 3L -> "carol"))
+  }
+
   test("mapGroupsWithState running stats (batch-mode execution)") {
     val stats = StreamingOps.userRunningStats(spark, batchEvents.limit(200))
       .collect().map(s => s.user_id -> s.n_events).toMap
