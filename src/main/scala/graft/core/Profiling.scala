@@ -99,8 +99,12 @@ object Profiling {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val width = (hi - lo) / nBins
-    val bin = least(lit(nBins - 1),
-      greatest(lit(0), floor((col(column) - lo) / width).cast("int")))
+    // Clamp on the LongType floor result BEFORE the int cast: a far
+    // out-of-range value (floor > 2^31) would otherwise overflow the cast —
+    // a CAST_OVERFLOW error under ANSI mode rather than the documented
+    // edge-bin clamp.
+    val bin = least(lit(nBins - 1L),
+      greatest(lit(0L), floor((col(column) - lo) / width))).cast("int")
     df.filter(col(column).isNotNull)
       .groupBy(bin.as("bin_no"))
       .agg(count(lit(1)).as("n_rows"))

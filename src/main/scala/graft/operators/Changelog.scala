@@ -71,9 +71,17 @@ object Changelog {
     require(scratch.forall(c => !outCols.contains(c)),
       s"input already has a ${scratch.mkString("/")} column (reserved scratch names) — rename it first")
     val nonKey = outCols.filterNot(keys.contains)
+    // A NULL op would be indistinguishable from "key absent from the
+    // changelog" after the full-outer join: an insert with a NULL op would
+    // fabricate an all-NULL payload row, and an update would be silently
+    // dropped. Fail loudly instead — ops are producer-controlled and a NULL
+    // one is a malformed feed, not a semantics choice.
+    val opGuard = when(col(opCol).isNull,
+        raise_error(lit(s"applyChangelog: NULL in op column '$opCol' — every change row needs an op")))
+      .otherwise(col(opCol))
     val latest = latestByKey(changes, keys, orderCols)
       .select(keys.map(col) :+ struct(nonKey.map(col): _*).as("__chg") :+
-        col(opCol).as("__op"): _*)
+        opGuard.as("__op"): _*)
     snapshot
       .select(keys.map(col) :+ struct(nonKey.map(col): _*).as("__snap"): _*)
       .join(latest, keys, "full_outer")

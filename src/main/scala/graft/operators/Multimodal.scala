@@ -213,9 +213,15 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, w, h, null)
       } finally g.dispose()
-      val out = new java.io.ByteArrayOutputStream()
-      if (ImageIO.write(target, fmt, out) && out.size() > 0) out.toByteArray
-      else { out.reset(); ImageIO.write(target, "png", out); out.toByteArray }
+      // A writer-plugin failure mid-encode must pass the payload through,
+      // not fail the task — same degradation contract as decode(): at scale
+      // some fraction of scraped media is pathological, and one bad payload
+      // must not kill the partition.
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        if (ImageIO.write(target, fmt, out) && out.size() > 0) out.toByteArray
+        else { out.reset(); ImageIO.write(target, "png", out); out.toByteArray }
+      } catch { case _: Throwable => payload }
     }
   }
 

@@ -101,6 +101,18 @@ case class BoundaryBucket(child: Expression, boundaries: Array[Double])
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "boundary_bucket"
 
+  // Without this, a non-double child fails at EXECUTION time (interpreted:
+  // ClassCastException in nullSafeEval; codegen: the generated Java doesn't
+  // compile) instead of analysis time. zorderKey always casts, but the
+  // class is public API.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a DOUBLE child (cast first), got ${child.dataType.simpleString}")
+    }
+
   private def bucketOf(v: Double): Int = {
     val r = java.util.Arrays.binarySearch(boundaries, v)
     if (r >= 0) r + 1 else -(r + 1)

@@ -241,10 +241,17 @@ object StreamingOps {
         val tmp = new org.apache.hadoop.fs.Path(snapshotPath + ".tmp")
         val bak = new org.apache.hadoop.fs.Path(snapshotPath + ".bak")
         merged.write.mode("overwrite").parquet(tmp.toString) // old snap fully read here
-        if (fs.exists(bak)) fs.delete(bak, true)
-        if (fs.exists(live)) fs.rename(live, bak)
-        fs.rename(tmp, live)
-        fs.delete(bak, true)
+        // HDFS-family FileSystems signal rename/delete failure by returning
+        // false, not throwing. A swallowed false here would let foreachBatch
+        // return normally, commit the batch in the checkpoint, and strand the
+        // merged output in .tmp — silent loss. Throw so the batch retries.
+        def must(ok: Boolean, step: String): Unit =
+          if (!ok) throw new java.io.IOException(
+            s"upsertSink snapshot swap failed at: $step (batch will retry)")
+        if (fs.exists(bak)) must(fs.delete(bak, true), s"delete stale $bak")
+        if (fs.exists(live)) must(fs.rename(live, bak), s"rename $live -> $bak")
+        must(fs.rename(tmp, live), s"rename $tmp -> $live")
+        fs.delete(bak, true) // best-effort: a leftover .bak is cleaned next batch
         ()
       }
       .start()

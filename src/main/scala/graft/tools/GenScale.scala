@@ -27,9 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, factorStr) = args
+    val (inDir, outDir, factorStr) = args match {
+      case Array(i, o, f) => (i, o, f)
+      case _ =>
+        System.err.println("usage: GenScale <inDir> <outDir> <factor>")
+        sys.exit(2)
+    }
     val factor = factorStr.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    // The per-replica caesar key is r % 26: at factor 27+ the cipher cycle
+    // repeats and later text replicas become byte-identical to earlier ones,
+    // which would put every doc in a cross-replica clique and scale the
+    // near-dup families quadratically — exactly what the cipher exists to
+    // prevent. Cap rather than silently break the linear-scaling contract.
+    require(factor <= 26,
+      s"factor must be <= 26 (caesar cipher keys repeat beyond that, " +
+        s"collapsing text replicas into exact duplicates), got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,8 +58,11 @@ object GenScale {
       System.err.println(s"[genscale] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }
     /** max(key)+1 — the per-replica shift stride. */
-    def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key).cast("long"))).head().getLong(0) + 1L
+    def stride(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key).cast("long"))).head()
+      require(!row.isNullAt(0), s"stride: column '$key' has no non-null values (empty input table?)")
+      row.getLong(0) + 1L
+    }
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase

@@ -70,4 +70,17 @@ class ChangelogSpec extends SparkSpec {
       .filter(col("id") === 3L).collect()
     assert(rows.length == 1 && rows.head.getAs[String]("name") == "carol2")
   }
+
+  test("a NULL op fails loudly instead of fabricating or dropping rows") {
+    // A NULL op after the full-outer join is indistinguishable from "key
+    // not in the changelog": an insert would surface an all-NULL payload
+    // row, an update would be silently ignored. Must raise, not guess.
+    val chg = Seq((4L, "dave", 40.0, 101L, null.asInstanceOf[String]))
+      .toDF("id", "name", "score", "v", "op")
+    val e = intercept[Exception] {
+      Changelog.applyChangelog(snapshot, chg, Seq("id"), Seq("v"), "op").collect()
+    }
+    assert(e.getMessage.contains("NULL in op column"),
+      s"expected the NULL-op guard to fire, got: ${e.getMessage}")
+  }
 }

@@ -199,6 +199,17 @@ class ComparisonSpec extends SparkSpec {
     assert(cm.isEmpty, "clearComparisonCache must release the memoized runs' frames")
   }
 
+  test("histogram clamps far-out-of-range values into the edge bins (no int overflow)") {
+    import spark.implicits._
+    // 1.7e18 / width overflows Int if clamped after the cast: ANSI mode
+    // would kill the query with CAST_OVERFLOW instead of edge-binning.
+    val df = Seq(-1.0e18, -5.0, 0.5, 3.4, 9.9, 1.7e18).toDF("v")
+    val got = graft.core.Profiling.histogram(df, "v", nBins = 10, lo = 0.0, hi = 10.0)
+      .collect().map(r => r.getAs[Int]("bin_no") -> r.getAs[Long]("n_rows")).toMap
+    assert(got == Map(0 -> 3L, 3 -> 1L, 9 -> 2L),
+      s"low outliers clamp to bin 0, high outliers to bin nBins-1; got $got")
+  }
+
   test("approxProfile matches exact counts within HLL tolerance") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity", "l_returnflag")

@@ -122,4 +122,16 @@ class LayoutSpec extends SparkSpec {
     // (0,0) -> 0; (2,2) -> interleave(10,10) = 1100b = 12; (3,3) -> 1111b = 15
     assert(keys == Seq(0L, 12L, 15L), s"unexpected Morton keys: $keys")
   }
+
+  test("BoundaryBucket rejects a non-double child at analysis time") {
+    val df = Seq(1, 2, 3).toDF("v") // IntegerType — would CCE/codegen-fail at runtime
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.sources.BoundaryBucket(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("v")), Array(1.5))))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("boundary_bucket"),
+      s"expected the type-check failure to name the expression, got: ${e.getMessage}")
+  }
 }
