@@ -4,12 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Reader for the `events` table, whose `ts` column is a parquet
-  * TIMESTAMP(NANOS) — a type Spark's parquet reader rejects outright
-  * ([PARQUET_TYPE_ILLEGAL]). Reading with an explicit LongType schema maps
-  * the INT64 physical values through unchanged; `ts` is then exposed both
-  * as raw nanos (`ts_ns`) and as a microsecond-precision TimestampType
-  * (`ts`, truncated — Spark's native resolution).
+/** Reader for the `events` table. The physical `ts` encoding has shipped in
+  * two generations of the testdata:
+  *
+  *  - **TIMESTAMP(MICROS)** (current) — Spark's native resolution; read
+  *    directly.
+  *  - **raw INT64 epoch-nanos** (legacy TIMESTAMP(NANOS) payloads, and the
+  *    [[graft.tools.GenScale]] output) — a type Spark's parquet reader
+  *    rejects outright ([PARQUET_TYPE_ILLEGAL]); read with an explicit
+  *    LongType schema, which maps the INT64 physical values through
+  *    unchanged, then truncate to µs.
+  *
+  * [[load]] sniffs the footer schema and normalizes both to the same shape:
+  * `ts` as a µs-precision TimestampType plus `ts_ns` as epoch-nanos (the
+  * fixed-point column the exact-arithmetic queries use).
   */
 object Events {
   val rawSchema: StructType = StructType(Seq(
@@ -19,6 +27,8 @@ object Events {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  private val columns = Seq("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
 
   /** Rename raw nanos to `ts_ns` and add the µs-precision `ts`. Applies to
     * batch and streaming frames alike (same plan both ways).
@@ -30,6 +40,23 @@ object Events {
       // must stay exact or window/watermark boundaries drift by ~1µs.
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 
-  def load(spark: SparkSession, sfDir: String): DataFrame =
-    decorate(spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet"))
+  def load(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    // Footer sniff: inferring the schema of a TIMESTAMP(NANOS) file throws,
+    // which is itself the signal to take the raw-long path. µs files load
+    // as TIMESTAMP or (isAdjustedToUTC=false) TIMESTAMP_NTZ; the session
+    // timezone is pinned to UTC, so the NTZ→TIMESTAMP cast is the identity
+    // on the physical µs value — the same instant DuckDB's epoch_ns sees.
+    val native = scala.util.Try(spark.read.parquet(path)).filter(df =>
+      Set[DataType](TimestampType, TimestampNTZType).contains(df.schema("ts").dataType))
+    native match {
+      case scala.util.Success(df) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+          .select(columns.map(col): _*)
+      case _ =>
+        decorate(spark.read.schema(rawSchema).parquet(path))
+          .select(columns.map(col): _*)
+    }
+  }
 }

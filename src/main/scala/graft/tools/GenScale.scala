@@ -103,11 +103,14 @@ object GenScale {
       .withColumn("l_partkey", col("l_partkey") + lit(r * partStride))
       .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppStride)))
 
-    // events' ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects —
-    // read through the raw LongType schema (as Events.load does) and write
-    // plain INT64 nanos back, which the same reader path accepts.
-    val rawEvents = spark.read.schema(graft.sources.Events.rawSchema)
-      .parquet(s"$inDir/events.parquet")
+    // events: normalize whatever physical ts encoding the input carries
+    // (TIMESTAMP(MICROS) or raw INT64 nanos — Events.load sniffs) to plain
+    // INT64 nanos on write, which Events.load reads back as the legacy
+    // layout. Keeping the output in nanos preserves the fixed-point
+    // arithmetic of the exact queries at any scale.
+    val rawEvents = graft.sources.Events.load(spark, inDir)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
     val evStride = stride(rawEvents, "event_id")
     val userStride = stride(rawEvents, "user_id")
     write("events", (0 until factor).map(r => rawEvents
