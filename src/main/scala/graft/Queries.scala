@@ -356,6 +356,19 @@ object Queries {
           count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))),
 
+    // A8: explicit grouping sets — both one-dim marginals plus the grand
+    // total in ONE pass (an Expand of exactly 3 replicas, vs cube's 4),
+    // the shape for dashboard rollups that don't want the fine cells
+    "q_a8_grouping_sets" -> ((s, d) =>
+      ord(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))),
+
     // A7: exact per-group percentiles (linear interpolation). Integer-cent
     // inputs + quarter fractions make the interpolation arithmetic exact in
     // both engines — no float-drift risk in the hash compare. NOTE the
@@ -641,6 +654,16 @@ object Queries {
       Sampling.groupSample(
         docs(s, d).select("doc_id", "lang"), "lang", "doc_id", k = 3, salt = "eval")),
 
+    // weight-proportional sampling: keep docs at fraction·n_chars/1000
+    // (quality/length-weighted corpus draw), summarized per language
+    "q_sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(
+          docs(s, d).select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", fraction = 0.2, refWeight = 1000,
+          salt = "wsamp", granularity = 1000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+
     // end-to-end curation: quality gates + fingerprint dedup + lang tag
     // over a corpus perturbed with exact dups (survive as min-id) and
     // junk rows (fail the quality gates)
@@ -682,6 +705,13 @@ object Queries {
 
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", "lang", threshold = 0.8)),
+
+    // two-stage fuzzy dedup: permissive jaccard candidates (0.5), each
+    // confirmed in-row by Levenshtein <= 100 on the full texts — the DP
+    // cost is paid per candidate pair, never per N²
+    "q_dedup_edit_verify" -> ((s, d) =>
+      Dedup.editVerifiedPairs(docs(s, d), "doc_id", "text", "lang",
+        candidateThreshold = 0.5, maxEdits = 100)),
 
     // benchmark decontamination: every 50th doc is the "eval suite"; the
     // training side is the rest plus leaked eval copies (+300000) that a
@@ -1193,6 +1223,14 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_a8_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
 
     // quantile_cont ≡ Spark percentile: linear interpolation between the
     // two adjacent order statistics; exact on integer cents at quarter
@@ -1708,6 +1746,18 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM b GROUP BY 1""".stripMargin,
 
+    // replicates Sampling.weightedSample: exact integer keep-decision
+    // bucket·refWeight < round(fraction·granularity)·weight, HUGEINT math
+    "q_sample_weighted" ->
+      """WITH kept AS (
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 15)) AS BIGINT)
+        |          % 1000 AS HUGEINT) * 1000
+        |        < 200 * CAST(n_chars AS HUGEINT))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM kept GROUP BY lang""".stripMargin,
+
     // replicates Sampling.groupSample: lowest (hash, key) k per group
     "q_sample_group" ->
       """SELECT doc_id, lang FROM (
@@ -1806,6 +1856,30 @@ object Queries {
         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+
+    // same candidate CTE at 0.5, then texts joined back and the pair kept
+    // iff levenshtein <= 100 (DuckDB and Spark compute the same metric)
+    "q_dedup_edit_verify" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |toks AS (SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |  FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM toks a JOIN toks b
+        |         ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT doc_a, doc_b
+        |  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance
+        |FROM cand JOIN documents ta ON ta.doc_id = doc_a
+        |          JOIN documents tb ON tb.doc_id = doc_b
+        |WHERE levenshtein(ta.text, tb.text) <= 100""".stripMargin,
 
     // replica of decontamination: distinct 3-gram shingles per side,
     // count of distinct shared shingles per training doc, threshold 5

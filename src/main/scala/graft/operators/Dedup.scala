@@ -261,6 +261,40 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Fuzzy near-dup pairs, CONFIRMED by edit distance: generate candidates
+    * cheaply with the blocked [[jaccardPairs]] at a permissive
+    * `candidateThreshold`, then keep only pairs whose full texts are within
+    * `maxEdits` Levenshtein operations — the standard two-stage shape for
+    * template/boilerplate dedup, where token-set overlap alone can't
+    * distinguish "same page, one field changed" from "same vocabulary,
+    * different page".
+    *
+    * Scale: Levenshtein is O(|a|·|b|) per pair, so it must NEVER run on the
+    * full N² — it runs only on the candidate pairs (bounded by the blocked,
+    * df-capped generator), and texts travel only for candidate ids: two
+    * co-partitioned joins ship each candidate's text once, then the DP
+    * scoring is in-row. Spark's `levenshtein` is codegen'd; the integer
+    * distance makes the output engine-exact (DuckDB `levenshtein` computes
+    * the same metric).
+    */
+  def editVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      candidateThreshold: Double,
+      maxEdits: Int,
+      maxDf: Int = 1000): DataFrame = {
+    require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+    val texts = df.select(col(idCol), col(textCol))
+    jaccardPairs(df, idCol, textCol, blockCol, candidateThreshold, maxDf = maxDf)
+      .join(texts.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), "doc_a")
+      .join(texts.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), "doc_b")
+      .withColumn("edit_distance", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("edit_distance") <= maxEdits)
+      .select("doc_a", "doc_b", "edit_distance")
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** Large prime for the universal-hash family h_i(x) = (a_i·x + b_i) mod p. */

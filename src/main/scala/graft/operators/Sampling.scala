@@ -116,6 +116,42 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weight-proportional deterministic Bernoulli sample: keep each row with
+    * probability `min(1, fraction * weight / refWeight)` — e.g. sampling a
+    * corpus proportional to a per-document quality score, where a row at
+    * `refWeight` is kept at exactly `fraction` and heavier rows
+    * proportionally more often (weight ≥ refWeight/fraction ⇒ always kept;
+    * weight 0 ⇒ never).
+    *
+    * The decision is EXACT integer arithmetic on the [[hashBucket]] grid —
+    * `bucket * refWeight < round(fraction*granularity) * weight` in
+    * DECIMAL(38,0) — so there is no float rounding to diverge between
+    * engines, and all [[hashSample]] guarantees carry over: reproducible
+    * under retry/repartitioning, nested in `fraction` AND in `weight`
+    * (raising either only adds rows), and a pure scan-side filter.
+    * At `weight == refWeight` the kept set is exactly
+    * `hashSample(df, keyCol, fraction, salt, granularity)`.
+    *
+    * DuckDB mirror (integer weights):
+    * `(hash60_bucket % granularity) * refWeight < CAST(round(fraction*granularity) AS BIGINT) * weight`
+    * with both products as HUGEINT.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      fraction: Double,
+      refWeight: Long,
+      salt: String = "",
+      granularity: Int = 1000000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    require(refWeight >= 1, s"refWeight must be >= 1, got $refWeight")
+    val dec = "decimal(38,0)"
+    df.filter(
+      hashBucket(col(keyCol), salt, granularity).cast(dec) * lit(refWeight).cast(dec) <
+        lit(math.round(fraction * granularity)).cast(dec) * col(weightCol).cast(dec))
+  }
+
   /** Weighted deterministic corpus mix: each source is hash-sampled at its
     * rate (salted by the SOURCE NAME, so rates are independent across
     * sources even when keys collide) and tagged. Sources must share a

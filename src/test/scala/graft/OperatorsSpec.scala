@@ -91,6 +91,20 @@ class OperatorsSpec extends SparkSpec {
     assert(byPair((1L, 3L)) > 0.7) // word sets barely notice the 1-word swap
   }
 
+  test("editVerifiedPairs confirms jaccard candidates by edit distance") {
+    // strict: only the byte-identical pair survives maxEdits = 0
+    val strict = Dedup.editVerifiedPairs(docs, "doc_id", "text", "lang",
+        candidateThreshold = 0.3, maxEdits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(strict == Set((1L, 2L, 0L)))
+    // loose: the one-word swap ("the" -> "a", distance 3) gets confirmed;
+    // the unrelated doc 4 was never even a candidate
+    val loose = Dedup.editVerifiedPairs(docs, "doc_id", "text", "lang",
+        candidateThreshold = 0.3, maxEdits = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose == Set((1L, 2L, 0L), (1L, 3L, 3L), (2L, 3L, 3L)))
+  }
+
   test("minhash signatures of identical texts are identical; near-dups collide in LSH") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
       .collect().map(r => r.getAs[Long]("doc") -> r.getSeq[Long](1)).toMap

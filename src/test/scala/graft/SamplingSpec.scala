@@ -30,6 +30,29 @@ class SamplingSpec extends SparkSpec {
     assert(overlap > 0.02 && overlap < 0.12, s"salted samples not independent: overlap $overlap")
   }
 
+  test("weightedSample: w=ref reduces to hashSample; keeps scale with weight; 0/NULL never kept") {
+    val weighted = ids
+      .withColumn("w", when(col("id") % 4 === 0, lit(null).cast("long"))
+        .otherwise((col("id") % 3) * 500)) // weights: NULL, 0, 500, 1000
+    // at weight == refWeight the decision is EXACTLY hashSample's
+    val ref = ids.withColumn("w", lit(1000L))
+    val a = Sampling.weightedSample(ref, "id", "w", 0.25, refWeight = 1000, salt = "s")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, "id", 0.25, salt = "s").select("id").as[Long].collect().toSet
+    assert(a == b, "weight==refWeight must reduce to the unweighted sample")
+    val kept = Sampling.weightedSample(weighted, "id", "w", 0.25, refWeight = 1000, salt = "s")
+      .select("id", "w").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(!kept.values.exists(w => w == null || w == 0L), "zero/NULL weight rows must never be kept")
+    // inclusion is nested in the weight: the 500-weight kept set is a
+    // subset of what those same ids would get at weight 1000 (= hashSample)
+    val w500 = kept.collect { case (id, 500L) => id }.toSet
+    assert(w500.subsetOf(b), "halving the weight must only REMOVE rows")
+    // and proportional: ~12.5% of the 500-weight rows vs ~25% at 1000
+    val n500Total = weighted.filter(col("w") === 500L).count()
+    assert(math.abs(w500.size.toDouble / n500Total - 0.125) < 0.04,
+      s"500-weight keep rate ${w500.size.toDouble / n500Total} far from 0.125")
+  }
+
   test("hashSplit is disjoint, exhaustive, and hits the weight grid exactly") {
     val split = Sampling.hashSplit(
       ids, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), granularity = 10)
