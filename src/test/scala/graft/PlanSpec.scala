@@ -315,6 +315,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"a pure filter sample must not shuffle:\n$p")
   }
 
+  test("weighted sampling is a scan-side filter: pruned columns, no exchange before the summary agg") {
+    val raw = graft.operators.Sampling.weightedSample(
+      spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "n_chars"),
+      "doc_id", "n_chars", fraction = 0.2, refWeight = 1000, salt = "wsamp", granularity = 1000)
+    val p = raw.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"weighted sampling must not widen the scan:\n$p")
+    assert(!p.contains("Exchange"), s"the weighted keep-decision is a pure filter — no shuffle:\n$p")
+  }
+
+  test("grouping sets plans one Expand of exactly 3 projections (marginals + total, no fine cells)") {
+    val p = plan("q_a8_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets should plan an Expand:\n$p")
+    // the Expand's Arguments line lists one bracketed projection per
+    // grouping set, each ending in its spark_grouping_id literal — exactly
+    // 3 replicas (two marginals + grand total), not cube's 4
+    val expandArgs = p.linesIterator
+      .dropWhile(!_.trim.startsWith("(2) Expand"))
+      .find(_.trim.startsWith("Arguments:"))
+      .getOrElse(fail(s"no Expand Arguments line:\n$p"))
+    val nReplicas = ", \\d+\\], \\[|, \\d+\\]\\]".r.findAllIn(expandArgs).length
+    assert(nReplicas == 3, s"expected 3 grouping-set replicas, got $nReplicas:\n$expandArgs")
+    // one partial+final aggregate pair around one shuffle, as for cube
+    assert(p.linesIterator.count(_.contains("HashAggregate (")) == 2, s"partial+final agg:\n$p")
+  }
+
   test("repetition stats are a pure in-row projection: no exchange, no generate") {
     val p = Queries.queries("q_text_repetition")(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
