@@ -105,7 +105,10 @@ object Profiling {
     // edge-bin clamp.
     val bin = least(lit(nBins - 1L),
       greatest(lit(0L), floor((col(column) - lo) / width))).cast("int")
-    df.filter(col(column).isNotNull)
+    // NaN is neither clampable nor a real value: it must be dropped like
+    // NULL, not land in bin 0 through floor(NaN). Harmless no-op for
+    // non-floating columns (their double cast is never NaN).
+    df.filter(col(column).isNotNull && !isnan(col(column).cast("double")))
       .groupBy(bin.as("bin_no"))
       .agg(count(lit(1)).as("n_rows"))
       .select(

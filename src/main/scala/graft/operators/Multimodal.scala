@@ -220,8 +220,14 @@ object Multimodal {
       try {
         val out = new java.io.ByteArrayOutputStream()
         if (ImageIO.write(target, fmt, out) && out.size() > 0) out.toByteArray
-        else { out.reset(); ImageIO.write(target, "png", out); out.toByteArray }
-      } catch { case _: Throwable => payload }
+        else {
+          out.reset()
+          // the fallback can ALSO decline (returns false) — then the
+          // original payload passes through, never an empty byte array
+          if (ImageIO.write(target, "png", out) && out.size() > 0) out.toByteArray
+          else payload
+        }
+      } catch { case scala.util.control.NonFatal(_) => payload }
     }
   }
 

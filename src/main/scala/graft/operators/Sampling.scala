@@ -146,6 +146,20 @@ object Sampling {
       granularity: Int = 1000000): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
     require(refWeight >= 1, s"refWeight must be >= 1, got $refWeight")
+    // Integral weights only: casting a fractional score to DECIMAL(38,0)
+    // would silently ROUND it (0.4 -> never kept, 0.6 -> full rate),
+    // turning the advertised proportionality into a step function. Scale
+    // fractional scores onto an integer grid (micro-units) first.
+    val wType = df.schema(weightCol).dataType
+    val integral = wType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral,
+      s"weightCol '$weightCol' must be an integral type for the exact keep-decision, got $wType " +
+        "— multiply fractional scores onto an integer grid (e.g. micro-units) first")
     val dec = "decimal(38,0)"
     df.filter(
       hashBucket(col(keyCol), salt, granularity).cast(dec) * lit(refWeight).cast(dec) <

@@ -42,19 +42,28 @@ object Events {
 
   def load(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
-    // Footer sniff: inferring the schema of a TIMESTAMP(NANOS) file throws,
-    // which is itself the signal to take the raw-long path. µs files load
-    // as TIMESTAMP or (isAdjustedToUTC=false) TIMESTAMP_NTZ; the session
-    // timezone is pinned to UTC, so the NTZ→TIMESTAMP cast is the identity
-    // on the physical µs value — the same instant DuckDB's epoch_ns sees.
-    val native = scala.util.Try(spark.read.parquet(path)).filter(df =>
-      Set[DataType](TimestampType, TimestampNTZType).contains(df.schema("ts").dataType))
-    native match {
+    // Footer sniff: inferring the schema of a TIMESTAMP(NANOS) file throws
+    // ([PARQUET_TYPE_ILLEGAL]-family), which is the signal to take the
+    // raw-long path. µs files load as TIMESTAMP or (isAdjustedToUTC=false)
+    // TIMESTAMP_NTZ; the session timezone is pinned to UTC, so the
+    // NTZ→TIMESTAMP cast is the identity on the physical µs value — the
+    // same instant DuckDB's epoch_ns sees. Any OTHER ts shape is a real
+    // error and must surface: silently routing, say, a renamed-column file
+    // through the explicit LongType schema would fill ts with NULLs and
+    // quietly empty every event query.
+    scala.util.Try(spark.read.parquet(path)) match {
       case scala.util.Success(df) =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
-          .select(columns.map(col): _*)
-      case _ =>
+        df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+          case Some(TimestampType) | Some(TimestampNTZType) =>
+            df.withColumn("ts", col("ts").cast(TimestampType))
+              .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+              .select(columns.map(col): _*)
+          case Some(LongType) => // raw epoch-nanos (GenScale output)
+            decorate(df).select(columns.map(col): _*)
+          case other => throw new IllegalArgumentException(
+            s"$path: expected a timestamp or INT64-nanos 'ts' column, found $other")
+        }
+      case scala.util.Failure(_) => // NANOS footer rejected at inference
         decorate(spark.read.schema(rawSchema).parquet(path))
           .select(columns.map(col): _*)
     }

@@ -248,6 +248,13 @@ object StreamingOps {
         def must(ok: Boolean, step: String): Unit =
           if (!ok) throw new java.io.IOException(
             s"upsertSink snapshot swap failed at: $step (batch will retry)")
+        // Recovery-before-swap: a crash between the two renames left live
+        // absent with .bak as the ONLY committed generation (the one this
+        // batch's merge just read through readSnapshot's fallback). Restore
+        // it to live FIRST — deleting .bak while live is absent would leave
+        // no committed generation at all, and a crash before tmp->live then
+        // loses every key not present in the replayed batch.
+        if (!fs.exists(live) && fs.exists(bak)) must(fs.rename(bak, live), s"restore $bak -> $live")
         if (fs.exists(bak)) must(fs.delete(bak, true), s"delete stale $bak")
         if (fs.exists(live)) must(fs.rename(live, bak), s"rename $live -> $bak")
         must(fs.rename(tmp, live), s"rename $tmp -> $live")

@@ -210,6 +210,15 @@ class ComparisonSpec extends SparkSpec {
       s"low outliers clamp to bin 0, high outliers to bin nBins-1; got $got")
   }
 
+  test("histogram drops NaN and NULL — neither clamps into bin 0") {
+    import spark.implicits._
+    val df = Seq(Some(0.5), Some(Double.NaN), None, Some(9.9)).toDF("v")
+    val got = graft.core.Profiling.histogram(df, "v", nBins = 10, lo = 0.0, hi = 10.0)
+      .collect().map(r => r.getAs[Int]("bin_no") -> r.getAs[Long]("n_rows")).toMap
+    assert(got == Map(0 -> 1L, 9 -> 1L),
+      s"NaN/NULL must be dropped, not counted in an edge bin; got $got")
+  }
+
   test("approxProfile matches exact counts within HLL tolerance") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity", "l_returnflag")

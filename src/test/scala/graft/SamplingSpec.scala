@@ -53,6 +53,14 @@ class SamplingSpec extends SparkSpec {
       s"500-weight keep rate ${w500.size.toDouble / n500Total} far from 0.125")
   }
 
+  test("weightedSample rejects fractional weight columns instead of silently rounding") {
+    val frac = ids.withColumn("w", col("id") / 3.0)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(frac, "id", "w", 0.5, refWeight = 10)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("hashSplit is disjoint, exhaustive, and hits the weight grid exactly") {
     val split = Sampling.hashSplit(
       ids, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), granularity = 10)
