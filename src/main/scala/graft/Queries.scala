@@ -508,6 +508,25 @@ object Queries {
       graft.core.Profiling.histogram(ord(s, d), "o_totalprice",
         nBins = 20, lo = 0.0, hi = 500000.0)),
 
+    // semi-structured extraction: the props JSON column parsed with an
+    // EXPLICIT from_json schema (one codegen'd Jackson parse per row, no
+    // schema-inference scan — the only shape that works at 100 TB), then a
+    // typed aggregation over the extracted field
+    "q_events_json" -> ((s, d) =>
+      graft.sources.Events.load(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "k", org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hi"))),
+
     // CDC changelog merge: state-per-user snapshot from the first 19 days
     // of events, then the remaining days replayed as a changelog where an
     // 'error' event deletes the user and anything else upserts the user's
@@ -1573,6 +1592,17 @@ object Queries {
         |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
         |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // JSON field extraction: DuckDB's ->> on the varchar column ≡ Spark's
+    // from_json(..).k with the explicit one-field schema
+    "q_events_json" ->
+      """WITH e AS (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM e GROUP BY event_type""".stripMargin,
 
     // replicates Changelog.applyChangelog: latest row per user on each side
     // of the cut (row_number ≡ Spark's version-first struct max — the
