@@ -52,10 +52,19 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start"), col("event_type"), col("n_events"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    // append mode only emits windows closed by the watermark; every emitted
-    // window must match batch exactly, and most windows must have closed.
+    // append mode emits EXACTLY the windows closed by the final watermark
+    // (max event time - lateness): assert set equality against the batch
+    // answer restricted to closed windows, not just a nonEmpty subset
+    val maxTs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val watermarkUs = maxTs - 10L * 60 * 1000000 // lateness "10 minutes"
+    val closedBatch = batch.filter { case ((start, _), _) =>
+      start.getTime / 1000 * 1000000 + start.getNanos / 1000 + 3600000000L <= watermarkUs
+    }
     assert(streamed.nonEmpty)
-    streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k differs") }
+    assert(streamed == closedBatch,
+      s"streamed windows must equal batch windows closed by the watermark " +
+        s"(missing ${(closedBatch.keySet -- streamed.keySet).take(3)}, " +
+        s"extra ${(streamed.keySet -- closedBatch.keySet).take(3)})")
   }
 
   test("stream dedup drops re-delivered event_ids within the watermark") {
