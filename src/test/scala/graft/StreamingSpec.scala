@@ -122,12 +122,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("session windows: streaming append and flatMapGroupsWithState agree with batch") {
-    // batch truth: (user, session_start_us, n_events)
-    val batchSessions = StreamingOps.sessionWindows(batchEvents, "8 hours")
-      .select(col("user_id"), unix_micros(col("session_start")), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch truth: (user, session_start_us, n_events) + each session's end,
+    // so the watermark-closed subset is derivable exactly
+    val batchRows = StreamingOps.sessionWindows(batchEvents, "8 hours")
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batchSessions = batchRows.map(s => (s._1, s._2, s._4)).toSet
+    val maxTs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val watermarkUs = maxTs - 60L * 1000000 // lateness "1 minute"
+    val closedBatch = batchRows.filter(_._3 <= watermarkUs).map(s => (s._1, s._2, s._4)).toSet
 
-    // native session_window over the stream (append = watermark-closed only)
+    // native session_window over the stream: append emits EXACTLY the
+    // sessions the final watermark closed (end <= max event - lateness)
     val tmp = Files.createTempDirectory("graft-stream-sess").toString
     val q = StreamingOps.sessionWindows(streamedEvents(tmp), "8 hours", Some("1 minute"))
       .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
@@ -136,8 +143,9 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), unix_micros(col("session_start")), col("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty)
-    assert(streamed.subsetOf(batchSessions),
-      s"stream emitted sessions unknown to batch: ${streamed -- batchSessions}")
+    assert(streamed == closedBatch,
+      s"streamed sessions must equal the watermark-closed batch sessions " +
+        s"(missing ${(closedBatch -- streamed).take(3)}, extra ${(streamed -- closedBatch).take(3)})")
 
     // custom-state twin: every closed session it emits must be a batch
     // session (the per-user trailing session stays open — single batch, no
