@@ -117,10 +117,16 @@ object Bench {
     // JVM died mid-measurement and, because the mirror was written only at
     // the end, the round recorded NO bench number at all. A crash now
     // costs only the in-flight query.
+    // Non-default scale factors mirror to their own file: an sf1 run must
+    // not clobber the driver-facing sf0.1 mirror (which round mirrors are
+    // committed from).
+    val mirrorName =
+      if (sfDir == "/root/testdata/sf0.1") "BENCH_LATEST.json"
+      else s"BENCH_LATEST.${java.nio.file.Paths.get(sfDir).getFileName}.json"
     def mirror(complete: Boolean): Unit = try {
-      val tmp = java.nio.file.Paths.get("BENCH_LATEST.json.tmp")
+      val tmp = java.nio.file.Paths.get(mirrorName + ".tmp")
       java.nio.file.Files.writeString(tmp, render(complete) + "\n")
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LATEST.json"),
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(mirrorName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch { case _: Throwable => () }
