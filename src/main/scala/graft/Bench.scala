@@ -120,9 +120,13 @@ object Bench {
     // Non-default scale factors mirror to their own file: an sf1 run must
     // not clobber the driver-facing sf0.1 mirror (which round mirrors are
     // committed from).
+    // Normalized comparison: a trailing slash / relative path / symlinked
+    // spelling of the default sf0.1 dir must still hit the driver-facing
+    // BENCH_LATEST.json, not silently divert to a per-sf mirror.
+    val sfPath = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
     val mirrorName =
-      if (sfDir == "/root/testdata/sf0.1") "BENCH_LATEST.json"
-      else s"BENCH_LATEST.${java.nio.file.Paths.get(sfDir).getFileName}.json"
+      if (sfPath == java.nio.file.Paths.get("/root/testdata/sf0.1")) "BENCH_LATEST.json"
+      else s"BENCH_LATEST.${sfPath.getFileName}.json"
     def mirror(complete: Boolean): Unit = try {
       val tmp = java.nio.file.Paths.get(mirrorName + ".tmp")
       java.nio.file.Files.writeString(tmp, render(complete) + "\n")

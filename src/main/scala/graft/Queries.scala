@@ -1869,14 +1869,23 @@ object Queries {
         |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM u GROUP BY text HAVING COUNT(*) > 1""".stripMargin,
 
+    // The mirror applies jaccardPairs' df-cap (maxDf=1000) explicitly: a
+    // (lang, shingle) posting list longer than 1000 leaves the similarity
+    // universe — candidates, intersections AND set sizes — exactly as the
+    // Spark operator's prefix filter does. On the test corpus no list hits
+    // the cap, so this filter is a provable no-op there; it keeps the
+    // oracle equivalent on corpora where the cap bites.
     "q_dedup_jaccard" ->
       """WITH w AS (SELECT doc_id, lang,
         |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
         |  FROM documents),
-        |toks AS (SELECT doc_id, lang,
+        |toks0 AS (SELECT doc_id, lang,
         |    unnest(list_distinct(list_transform(range(len(words) - 2),
         |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
         |  FROM w),
+        |toks AS (SELECT t.doc_id, t.lang, t.tok FROM toks0 t
+        |  JOIN (SELECT lang, tok FROM toks0 GROUP BY lang, tok
+        |        HAVING COUNT(*) <= 1000) keep USING (lang, tok)),
         |sizes AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
         |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
         |       FROM toks a JOIN toks b
@@ -1887,16 +1896,20 @@ object Queries {
         |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
 
-    // same candidate CTE at 0.5, then texts joined back and the pair kept
+    // same candidate CTE at 0.5 (including the explicit maxDf=1000 df-cap,
+    // see q_dedup_jaccard), then texts joined back and the pair kept
     // iff levenshtein <= 100 (DuckDB and Spark compute the same metric)
     "q_dedup_edit_verify" ->
       """WITH w AS (SELECT doc_id, lang,
         |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
         |  FROM documents),
-        |toks AS (SELECT doc_id, lang,
+        |toks0 AS (SELECT doc_id, lang,
         |    unnest(list_distinct(list_transform(range(len(words) - 2),
         |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
         |  FROM w),
+        |toks AS (SELECT t.doc_id, t.lang, t.tok FROM toks0 t
+        |  JOIN (SELECT lang, tok FROM toks0 GROUP BY lang, tok
+        |        HAVING COUNT(*) <= 1000) keep USING (lang, tok)),
         |sizes AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
         |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
         |       FROM toks a JOIN toks b
@@ -1948,10 +1961,13 @@ object Queries {
         |w AS (SELECT doc_id, lang,
         |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
         |  FROM aug),
-        |toks AS (SELECT doc_id, lang,
+        |toks0 AS (SELECT doc_id, lang,
         |    unnest(list_distinct(list_transform(range(len(words) - 2),
         |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
         |  FROM w),
+        |toks AS (SELECT t.doc_id, t.lang, t.tok FROM toks0 t
+        |  JOIN (SELECT lang, tok FROM toks0 GROUP BY lang, tok
+        |        HAVING COUNT(*) <= 1000) keep USING (lang, tok)),
         |sizes AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
         |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
         |       FROM toks a JOIN toks b

@@ -17,6 +17,12 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  /** Posting-list segment size for [[jaccardPairs]]' chunked pair emission:
+    * one emission row holds at most PairChunk² pair structs (~2.6×10⁵ at
+    * 512 — a few MB), independent of the caller's `maxDf`.
+    */
+  private val PairChunk = 512
+
   /** Exact duplicate groups over `groupCols`: one row per duplicated value
     * combination, with the lowest id kept as the canonical survivor.
     * Plain hash-aggregation — one shuffle on the group columns, map-side
@@ -120,12 +126,18 @@ object Dedup {
       .join(keptPos, Seq("doc"), "left")
       .withColumn("__keep",
         coalesce(col("__keep"), array().cast("array<int>")))
+      // Linear reassembly: posexplode positions are contiguous 0..n−1 and
+      // `__ls` is sorted by pos, so `__ls[p]` IS the line at position p —
+      // index the kept positions directly (O(1) per element) instead of
+      // scanning `__keep` per line (array_contains made a million-line
+      // pathological document quadratic in-row). Sorting `__keep` restores
+      // original line order: O(n + k log k) per document total.
       .select(
         col("doc"),
         concat_ws("\n",
           transform(
-            filter(col("__ls"), e => array_contains(col("__keep"), e.getField("pos"))),
-            e => e.getField("line"))).as("clean_text"),
+            array_sort(col("__keep")),
+            p => element_at(col("__ls"), p + 1).getField("line"))).as("clean_text"),
         size(col("__keep")).cast("long").as("n_lines_kept"),
         (size(col("__ls")) - size(col("__keep"))).cast("long").as("n_lines_dropped"))
   }
@@ -192,12 +204,11 @@ object Dedup {
     *        hot tokens are not reported; documents whose every token is hot
     *        drop out. At the default cap no test-scale corpus has a hot
     *        token, so the full-space brute-force oracle matches bit-for-bit.
-    *        The cap also bounds the in-row pair emission: a posting row
-    *        expands to at most maxDf·(maxDf−1)/2 pair structs before the
-    *        per-pair count aggregation, so the default (1000) keeps the
-    *        worst single row under ~5×10⁵ structs — executor-safe. (The
-    *        previous 10000 default allowed ~5×10⁷ structs in ONE row, an
-    *        OOM risk the cap exists to prevent.)
+    *        Memory is NOT the cap's job: pair emission is chunked into
+    *        [[PairChunk]]-sized segment rows, so even a caller-raised maxDf
+    *        cannot materialize a posting list's k²/2 pairs in one row — a
+    *        huge cap costs wall-time (the pair count itself), never an
+    *        executor OOM.
     * @param dropObservation optional [[Observation]] reporting
     *        `dropped_tokens` = #(block, token) posting lists the cap
     *        discarded, so operators can alert on corpora where the cap
@@ -242,13 +253,33 @@ object Dedup {
       .select(explode(col("ds")).as("doc"))
       .groupBy("doc")
       .agg(count(lit(1)).as("n"))
+    // Chunked pair emission: the sorted posting list is cut into segments of
+    // `PairChunk` ids and ONE ROW is emitted per (i ≤ j) segment pair — the
+    // in-segment row emits its C(chunk,2) pairs, a cross row the full
+    // chunk_i × chunk_j grid (sortedness keeps a < b across segments). Total
+    // pair count is unchanged (the per-pair count aggregation downstream is
+    // emission-shape-blind), but the WORST SINGLE ROW is now ≤ PairChunk²
+    // structs no matter what `maxDf` a caller passes — previously a raised
+    // cap re-opened the k²/2-structs-in-one-row OOM this bound exists to
+    // prevent. Lists within one chunk take the single-row fast path
+    // unchanged.
+    val nc = ceil(size(col("ds")).cast("double") / PairChunk).cast("int")
     observed
       .where(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+      .select(explode(flatten(transform(sequence(lit(0), nc - 1), i =>
+        transform(sequence(i, nc - 1), j => struct(
+          slice(col("ds"), i * PairChunk + 1, lit(PairChunk)).as("ca"),
+          slice(col("ds"), j * PairChunk + 1, lit(PairChunk)).as("cb"),
+          (i === j).as("same")))))).as("cp"))
       .select(explode(
-        flatten(transform(col("ds"), (x, i) =>
-          transform(
-            slice(col("ds"), i + lit(2), size(col("ds"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        when(col("cp.same"),
+          flatten(transform(col("cp.ca"), (x, k) =>
+            transform(
+              slice(col("cp.ca"), k + lit(2), size(col("cp.ca"))),
+              y => struct(x.as("a"), y.as("b"))))))
+        .otherwise(
+          flatten(transform(col("cp.ca"), x =>
+            transform(col("cp.cb"), y => struct(x.as("a"), y.as("b"))))))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")

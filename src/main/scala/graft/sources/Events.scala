@@ -40,6 +40,18 @@ object Events {
       // must stay exact or window/watermark boundaries drift by ~1µs.
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 
+  /** True iff the inference failure is the specific unsupported-parquet-type
+    * rejection a TIMESTAMP(NANOS) footer produces (Spark 4 raises the
+    * [PARQUET_TYPE_ILLEGAL] / "Illegal Parquet type" family from the footer
+    * converter). Checked down the cause chain because the reader wraps it.
+    */
+  private def isNanosRejection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type") ||
+        m.contains("PARQUET_TYPE_NOT_SUPPORTED") || m.contains("Unsupported parquet type")
+    }
+
   def load(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     // Footer sniff: inferring the schema of a TIMESTAMP(NANOS) file throws
@@ -63,9 +75,16 @@ object Events {
           case other => throw new IllegalArgumentException(
             s"$path: expected a timestamp or INT64-nanos 'ts' column, found $other")
         }
-      case scala.util.Failure(_) => // NANOS footer rejected at inference
+      case scala.util.Failure(e) if isNanosRejection(e) =>
+        // NANOS footer rejected at inference — the legacy-generation signal
         decorate(spark.read.schema(rawSchema).parquet(path))
           .select(columns.map(col): _*)
+      case scala.util.Failure(e) =>
+        // Anything else (corrupt footer, missing file in a glob, IO error)
+        // is a REAL failure: retrying it under the explicit LongType schema
+        // would at best re-fail confusingly and at worst misread — surface
+        // the original exception instead.
+        throw e
     }
   }
 }

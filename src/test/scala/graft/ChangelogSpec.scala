@@ -71,6 +71,61 @@ class ChangelogSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[String]("name") == "carol2")
   }
 
+  test("applyChangelog matches a driver-side model fold on seeded random feeds") {
+    // Model-based property test (the ComparisonSpec pattern): generate a
+    // random (snapshot, changelog) pair per seed, fold the changelog in
+    // plain Scala, and demand frame equality. Deliberately stresses the
+    // interactions the pointwise tests pin one at a time: delete-then-
+    // update at mixed versions, DUPLICATE versions (tie-broken by the
+    // payload struct max — (v, name, score, op) lexicographic with NULL
+    // fields first, matching Spark's struct ordering), NULL payload
+    // columns, inserts, and deletes of absent keys — all at once.
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      def name(pfx: String) = if (rnd.nextInt(8) == 0) null else s"$pfx${rnd.nextInt(4)}"
+      val snap = (0L to 30L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, name("n"), rnd.nextInt(50).toDouble, 100L))
+      val ops = Seq("U", "U", "U", "I", "D") // ~20% deletes; "I" pins "any non-delete op upserts"
+      val chg = (1 to 80).map { _ =>
+        (rnd.nextInt(40).toLong, name("c"), rnd.nextInt(50).toDouble,
+          100L + rnd.nextInt(4), ops(rnd.nextInt(ops.length)))
+      }
+
+      // model: argmax per key over (v, name, score, op) — null-first, field
+      // order = latestByKey's payload struct on the changes frame
+      def lt(a: (Long, String, Double, Long, String), b: (Long, String, Double, Long, String)): Boolean =
+        if (a._4 != b._4) a._4 < b._4
+        else if (a._2 != b._2) {
+          if (a._2 == null) true else if (b._2 == null) false else a._2 < b._2
+        }
+        else if (a._3 != b._3) a._3 < b._3
+        else a._5 < b._5
+      val latest = chg.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.reduce((x, y) => if (lt(x, y)) y else x)
+      }
+      val base = snap.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expected: Set[(Long, Option[String], Double, Long)] =
+        (base.keySet ++ latest.keySet).flatMap { k =>
+          latest.get(k) match {
+            case Some((_, _, _, _, "D")) => None
+            case Some((_, n, s, v, _)) => Some((k, Option(n), s, v))
+            case None => base.get(k).map { case (n, s, v) => (k, Option(n), s, v) }
+          }
+        }
+
+      val got = Changelog.applyChangelog(
+          snap.toDF("id", "name", "score", "v"),
+          chg.toDF("id", "name", "score", "v", "op"),
+          Seq("id"), Seq("v"), "op")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getLong(3)))
+      assert(got.length == got.distinct.length, s"seed=$seed: duplicate keys in output")
+      assert(got.toSet == expected,
+        s"seed=$seed: missing ${(expected -- got.toSet).take(3)}, " +
+          s"extra ${(got.toSet -- expected).take(3)}")
+    }
+  }
+
   test("a NULL op fails loudly instead of fabricating or dropping rows") {
     // A NULL op after the full-outer join is indistinguishable from "key
     // not in the changelog": an insert would surface an all-NULL payload

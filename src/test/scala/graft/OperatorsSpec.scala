@@ -63,6 +63,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == (("", 0L, 1L)))
   }
 
+  test("dropRepeatedLines reassembly is linear: a 100k-line document is no blowup") {
+    // Regression guard for the O(lines × kept) array_contains reassembly:
+    // at 100k lines the quadratic shape costs ~5×10⁹ in-row comparisons
+    // (tens of seconds for ONE row); the indexed reassembly is O(n log n).
+    val n = 100000
+    val own = (0 until n).map(i => f"document one keeps this distinct content line $i%07d")
+    val big = Seq(
+      (1L, own.mkString("\n")),
+      // doc 2: every odd position repeats doc 1's lines, evens are its own
+      (2L, (0 until n).map(i =>
+        if (i % 2 == 0) f"doc two original content at position $i%07d"
+        else own(i)).mkString("\n"))
+    ).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Dedup.dropRepeatedLines(big, "doc_id", "text", minChars = 30)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_dropped")))
+      .toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out(1L)._2 == n && out(1L)._3 == 0, "doc 1 owns every first occurrence")
+    assert(out(1L)._1 == own.mkString("\n"), "doc 1 reassembles byte-identically in order")
+    assert(out(2L)._2 == n / 2 && out(2L)._3 == n / 2)
+    assert(out(2L)._1 ==
+      (0 until n by 2).map(i => f"doc two original content at position $i%07d").mkString("\n"),
+      "doc 2 keeps only its own lines, original order intact")
+    assert(secs < 60, f"reassembly took $secs%.1f s — quadratic regression?")
+  }
+
   test("fingerprint dedup is whitespace-normalization invariant") {
     val messy = Seq(
       (1L, "a b  c"), (2L, "a b c"), (3L, " a b c "), (4L, "a b d")
@@ -89,6 +117,25 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
       .toMap
     assert(byPair((1L, 3L)) > 0.7) // word sets barely notice the 1-word swap
+  }
+
+  test("jaccard chunked pair emission is exact on a posting list wider than one chunk") {
+    // 600 identical docs (> the 512-id emission chunk) sharing every token:
+    // the chunked emission must produce EXACTLY C(600,2) pairs — in-chunk
+    // pairs + cross-chunk grid, no duplicates, none lost — each at
+    // jaccard 1.0, even with maxDf raised far past the default.
+    val n = 600
+    val same = (0 until n).map(i => (i.toLong, "alpha beta gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.jaccardPairs(same, "doc_id", "text", "lang", threshold = 0.9,
+        tokenizer = array_distinct(_), maxDf = 1000000)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    assert(pairs.length == n * (n - 1) / 2,
+      s"expected C($n,2)=${n * (n - 1) / 2} pairs, got ${pairs.length}")
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length, "duplicate pairs emitted")
+    assert(pairs.forall(p => p._1 < p._2), "pair order must stay a < b across chunks")
+    assert(pairs.forall(_._3 == 1.0))
   }
 
   test("editVerifiedPairs confirms jaccard candidates by edit distance") {

@@ -307,6 +307,45 @@ class PlanSpec extends SparkSpec {
       s"survivors must come from an anti-join against the tiny contaminated set:\n$p")
   }
 
+  test("AQE-off: broadcast-dependent plans degrade safely, plan-intrinsic ones hold") {
+    // Several scale claims lean on AQE's runtime broadcast of DERIVED small
+    // sides (a limit'd seen-set, an exploded eval shingle set) whose static
+    // size estimates are unreliable at 100 TB. This pins which properties
+    // are plan-intrinsic vs AQE-dependent — and that correctness NEVER
+    // depends on AQE either way.
+    import org.apache.spark.sql.functions._
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val seen = dd.limit(50)
+      .select(graft.functions.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    def dropSeen() = graft.operators.Dedup.dropSeenDocuments(dd, "text", seen)
+    def decon() = graft.operators.Dedup.decontaminate(
+      dd.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      dd.filter(col("doc_id") % 50 === 0), "text")
+    val onSeen = dropSeen().count()
+    val onDecon = decon().count()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // PLAN-INTRINSIC: the quantile gate's bounds side is a static
+      // aggregation whose size estimate the planner can bound without AQE —
+      // the broadcast survives, no shuffle join appears.
+      val qg = plan("q_curate_qgate")
+      assert(qg.contains("BroadcastHashJoin") && !qg.contains("SortMergeJoin"),
+        s"quantile-gate bounds broadcast must not depend on AQE:\n$qg")
+
+      // AQE-DEPENDENT (documented fallback): the seen-set and eval-shingle
+      // broadcasts are guaranteed at scale only by AQE's runtime sizing;
+      // with AQE off the planner falls back on static estimates — whatever
+      // join it picks, the ANSWER must not change.
+      val offSeen = dropSeen()
+      assert(offSeen.count() == onSeen, "dropSeenDocuments answer changed with AQE off")
+      assert(offSeen.queryExecution.executedPlan.toString.contains("LeftAnti"))
+      val offDecon = decon()
+      assert(offDecon.count() == onDecon, "decontaminate answer changed with AQE off")
+      assert(offDecon.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("hash sampling pushes column pruning to the scan and adds no exchange") {
     val p = Queries.queries("q_sample_hash")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

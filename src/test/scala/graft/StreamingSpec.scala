@@ -55,8 +55,11 @@ class StreamingSpec extends SparkSpec {
     // append mode emits EXACTLY the windows closed by the final watermark
     // (max event time - lateness): assert set equality against the batch
     // answer restricted to closed windows, not just a nonEmpty subset
+    // Spark tracks event-time watermarks in MILLISECONDS (max event time
+    // truncated to ms), so compute on the same grid — a sub-ms component in
+    // max(ts) must not admit a window Spark itself would not close.
     val maxTs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val watermarkUs = maxTs - 10L * 60 * 1000000 // lateness "10 minutes"
+    val watermarkUs = (maxTs / 1000L - 10L * 60 * 1000L) * 1000L // lateness "10 minutes"
     val closedBatch = batch.filter { case ((start, _), _) =>
       start.getTime / 1000 * 1000000 + start.getNanos / 1000 + 3600000000L <= watermarkUs
     }
@@ -129,8 +132,10 @@ class StreamingSpec extends SparkSpec {
         unix_micros(col("session_end")), col("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val batchSessions = batchRows.map(s => (s._1, s._2, s._4)).toSet
+    // same ms-grid truncation as the windowed test: Spark's watermark is
+    // ms-resolution, so derive the closed set from the ms-truncated max
     val maxTs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val watermarkUs = maxTs - 60L * 1000000 // lateness "1 minute"
+    val watermarkUs = (maxTs / 1000L - 60L * 1000L) * 1000L // lateness "1 minute"
     val closedBatch = batchRows.filter(_._3 <= watermarkUs).map(s => (s._1, s._2, s._4)).toSet
 
     // native session_window over the stream: append emits EXACTLY the
