@@ -21,7 +21,7 @@ object Bench {
     * Done here (not via -XX:+AlwaysPreTouch in build.sbt) so only Bench
     * pays the cost — Verify must start fast for the driver's timeout.
     */
-  private def preTouchHeap(): Unit = {
+  private[graft] def preTouchHeap(): Unit = {
     // 95% coverage: a measured run with 60% coverage still lost 10x on the
     // first query whose working set grew into the untouched tail, so leave
     // only the GC's own headroom untouched.
@@ -35,13 +35,19 @@ object Bench {
       .map { tid =>
         val t = new Thread(() => {
           var i = tid
-          while (i < n) {
-            val a = new Array[Byte](chunk)
-            var p = 0
-            while (p < chunk) { a(p) = 1; p += 4096 }
-            hold.add(a)
-            i += math.min(32, Runtime.getRuntime.availableProcessors())
-          }
+          // An allocation failure near the 95% budget just means the heap is
+          // as faulted-in as it gets — stop quietly instead of dying with a
+          // stack trace (the queue holds every chunk until the final clear,
+          // so the last few threads routinely hit the ceiling together).
+          try {
+            while (i < n) {
+              val a = new Array[Byte](chunk)
+              var p = 0
+              while (p < chunk) { a(p) = 1; p += 4096 }
+              hold.add(a)
+              i += math.min(32, Runtime.getRuntime.availableProcessors())
+            }
+          } catch { case _: OutOfMemoryError => () }
         })
         t.start(); t
       }
