@@ -856,6 +856,21 @@ object Queries {
         .toDF()
         .select("media_id", "width", "height", "channels", "n_bytes")),
 
+    // REAL codec through the gate: deterministic constant-gray PNGs are
+    // encoded AND decoded by javax.imageio inside the query, so the oracle
+    // (which computes the same dims/luma closed-form from the id) checks the
+    // actual encode→header-parse→pixel-decode round trip — a wrong width,
+    // channel count, or luma integration breaks the hash. Ids % 50 == 0
+    // carry a truncated payload (PNG magic, no IHDR) and must degrade to
+    // (0,0,0)/zeros, pinning the corrupt-payload contract end-to-end.
+    "q_multimodal_real_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+          s, Multimodal.syntheticPngs(s, docs(s, d), "doc_id"),
+          featureDim = 1, codec = Multimodal.ImageIoCodec)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          element_at(col("features"), 1).as("band_luma"))),
+
     // Streaming-equivalent windowed aggregation (same plan shape the
     // streaming job runs; batch here so the oracle can check it)
     "q_events_window" -> ((s, d) =>
@@ -1158,6 +1173,21 @@ object Queries {
         |  CAST(CASE WHEN nb = 0 THEN 0 ELSE 3 END AS INTEGER) AS channels,
         |  nb AS n_bytes
         |FROM h""".stripMargin,
+    // Closed-form mirror of the real-PNG round trip: syntheticPngs paints a
+    // constant-gray (v = id%256) image of (id%30+1)×(id%17+1), so the
+    // decoded dims are the formulas, channels is 3 (RGB PNG), and the
+    // 1-band mean luminance is exactly v/255 (BT.601 luma of r=g=b=v is v;
+    // float32 rounding absorbs the double-accumulation error). Truncated
+    // payloads (id%50=0) degrade to zeros by the codec contract.
+    "q_multimodal_real_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE doc_id % 30 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE doc_id % 17 + 1 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0.0
+        |       ELSE (doc_id % 256) / 255.0 END AS REAL) AS band_luma
+        |FROM documents""".stripMargin,
+
     "q_s1_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'""".stripMargin,

@@ -231,6 +231,45 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-PNG payload generator for the [[ImageIoCodec]]
+    * oracle query: each id paints a constant-gray w×h image (w = id%30+1,
+    * h = id%17+1, gray level v = id%256) and encodes it as an actual PNG
+    * via `javax.imageio` — so decoding it back exercises the real header
+    * parse and pixel decode, and every decoded property is a CLOSED-FORM
+    * function of the id that an external SQL oracle can compute. Ids
+    * divisible by 50 are truncated to 10 bytes (valid PNG magic, no IHDR):
+    * the documented corrupt-payload degradation to (0,0,0)/zeros.
+    *
+    * Encoding runs partition-local (same shape as the decode path); the
+    * payloads are small by construction (≤ 30×17 px) — this is a
+    * correctness fixture generator, not a data source.
+    */
+  def syntheticPngs(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 30 + 1).toInt
+          val h = (id % 17 + 1).toInt
+          val v = (id % 256).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g2 = img.createGraphics()
+          try { g2.setColor(new java.awt.Color(v, v, v)); g2.fillRect(0, 0, w, h) }
+          finally g2.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          val bytes = out.toByteArray
+          (id, "image", if (id % 50 == 0) bytes.take(10) else bytes)
+        }
+      }
+      .toDF("media_id", "modality", "payload")
+      .withColumn("meta", struct(
+        lit("image/png").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")))
+  }
+
   /** Decoded-metadata record emitted by [[decodeFeatures]]. */
   final case class MediaFeatures(
       media_id: Long,

@@ -139,6 +139,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoCodec.decodeDims(kept(10L)) == ((64, 48, 3)))
   }
 
+  test("syntheticPngs round-trips through ImageIoCodec to the closed-form dims and luma") {
+    // The fixture generator behind q_multimodal_real_decode: every decoded
+    // property must equal its closed-form formula, including the truncated
+    // corrupt payload (id % 50 == 0) degrading to zeros.
+    val ids = Seq(0L, 1L, 37L, 50L, 255L, 256L, 499L).toDF("doc_id")
+    val decoded = Multimodal.decodeFeatures(
+        spark, Multimodal.syntheticPngs(spark, ids, "doc_id"),
+        featureDim = 1, codec = Multimodal.ImageIoCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(1L, 37L, 255L, 256L, 499L)) {
+      val f = decoded(id)
+      assert(f.width == (id % 30 + 1).toInt && f.height == (id % 17 + 1).toInt,
+        s"id $id dims (${f.width},${f.height})")
+      assert(f.channels == 3)
+      assert(f.features.head == ((id % 256) / 255.0).toFloat, s"id $id luma ${f.features.head}")
+    }
+    for (id <- Seq(0L, 50L)) { // truncated: PNG magic, no IHDR
+      val f = decoded(id)
+      assert(f.width == 0 && f.height == 0 && f.channels == 0 && f.features.head == 0f,
+        s"corrupt id $id must degrade to zeros, got $f")
+      assert(f.n_bytes == 10L)
+    }
+  }
+
   test("sampleFrames emits stride-spaced frame numbers") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 1L), stride = 1)
       .select("frame_no").as[Int].collect().sorted.toSeq
