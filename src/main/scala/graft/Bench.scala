@@ -102,7 +102,9 @@ object Bench {
       // rollup, WindowGroupLimit top-N, per-gap sequence explode)
       "q_text_oov", "q_a5_rollup", "q_w3_topn_group", "q_events_gapfill",
       // bloom_filter_agg + scalar-subquery runtime filter path
-      "q_j5_bloom_semi")
+      "q_j5_bloom_semi",
+      // round-8: the javax.imageio encode/decode mapPartitions path
+      "q_multimodal_real_decode")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }

@@ -138,6 +138,20 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall(_._3 == 1.0))
   }
 
+  test("chunked pair emission is exact at the chunk-size boundaries") {
+    // The off-by-one hazards: a list exactly one chunk (512), one over
+    // (513), and one spilling a single element into a third chunk (1025,
+    // whose last chunk has C(1,2)=0 in-chunk pairs and must still cross).
+    for (n <- Seq(511, 512, 513, 1025)) {
+      val same = (0 until n).map(i => (i.toLong, "alpha beta gamma", "en"))
+        .toDF("doc_id", "text", "lang")
+      val got = Dedup.jaccardPairs(same, "doc_id", "text", "lang", threshold = 0.9,
+          tokenizer = array_distinct(_), maxDf = n + 1)
+        .count()
+      assert(got == n.toLong * (n - 1) / 2, s"n=$n: got $got pairs")
+    }
+  }
+
   test("editVerifiedPairs confirms jaccard candidates by edit distance") {
     // strict: only the byte-identical pair survives maxEdits = 0
     val strict = Dedup.editVerifiedPairs(docs, "doc_id", "text", "lang",
