@@ -602,6 +602,25 @@ object Queries {
         .select("doc_id", "n_lines", "dup_line_ratio",
           "dup_2gram_ratio", "dup_3gram_ratio")),
 
+    // corpus-level duplicated 5-token spans (distributed exact-substring
+    // dedup signal); a duplicated passage is injected on a tenth of the
+    // corpus so cross-document spans actually occur beyond natural repeats
+    "q_text_dupspans" -> ((s, d) =>
+      TextAnalysis.duplicatedWindowStats(
+        docs(s, d).select(
+          col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"),
+              lit(" this exact passage was pasted into many documents verbatim")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text", w = 5)
+        .withColumnRenamed("doc", "doc_id")),
+
+    // corpus-relative unigram surprisal (CCNet-style LM quality proxy)
+    "q_text_unigram_ppl" -> ((s, d) =>
+      TextAnalysis.unigramLogProbScore(docs(s, d), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
+
     // context-window chunking: 40-token chunks, 8-token overlap
     "q_text_chunks" -> ((s, d) =>
       TextAnalysis.chunkDocuments(docs(s, d), "doc_id", "text",
@@ -1492,6 +1511,48 @@ object Queries {
         |              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS DOUBLE)
         |            / CAST(len(words) - 2 AS DOUBLE) END AS dup_3gram_ratio
         |FROM b""".stripMargin,
+
+    // replicates duplicatedWindowStats over the passage-augmented corpus:
+    // 5-token rolling windows (order-sensitive, duplicates kept), global
+    // occurrence counts, per-doc duplicated-window stats; docs under 5
+    // tokens emit no windows and no row in either engine
+    "q_text_dupspans" ->
+      """WITH a AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN text || ' this exact passage was pasted into many documents verbatim'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM a),
+        |wins AS (SELECT doc_id, unnest(list_transform(range(len(w) - 4),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS win
+        |  FROM t),
+        |c AS (SELECT win, CAST(COUNT(*) AS BIGINT) AS n FROM wins GROUP BY win)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+        |  CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction
+        |FROM wins JOIN c USING (win)
+        |GROUP BY doc_id""".stripMargin,
+
+    // replicates unigramLogProbScore: per-token surprisal log2(T/C) rounded
+    // to integer micro-bits (pure function of the (C, T) longs), summed
+    // exactly, one division back per doc — summation-order-independent
+    "q_text_unigram_ppl" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq),
+        |costed AS (SELECT tok,
+        |    CAST(round(log2(CAST(t AS DOUBLE) / c) * 1000000) AS BIGINT) AS cost
+        |  FROM freq, tot)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cost) AS DOUBLE) / COUNT(*) / 1000000.0 AS bits_per_token
+        |FROM toks JOIN costed USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     // replicates TextAnalysis.langId: hits = #distinct marker words present;
     // winner = max hits, ties to the lexicographically LAST language; 'und'

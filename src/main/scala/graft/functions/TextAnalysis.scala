@@ -48,17 +48,28 @@ object TextAnalysis {
     * poisoned shingles are dropped from the set rather than silently
     * shortened.
     */
-  def shinglesOfWords(w: Column, n: Int = 3): Column = {
-    require(n >= 1, s"shingle size must be >= 1, got $n")
-    // every component slice has the SAME length m−(n−1): shingle i is
+  def shinglesOfWords(w: Column, n: Int = 3): Column =
+    array_distinct(windowsOfWords(w, n))
+
+  /** ORDERED n-token windows (with duplicates) over an already-split words
+    * array — the positional counterpart of [[shinglesOfWords]], for
+    * operators where occurrence COUNTS matter (duplicated-span detection).
+    * Same zip_with-over-shifted-slices construction and for the same
+    * load-bearing reason (see [[shinglesOfWords]]): a `transform` +
+    * `element_at` shape re-evaluates the inlined words expression per
+    * element.
+    */
+  def windowsOfWords(w: Column, n: Int): Column = {
+    require(n >= 1, s"window size must be >= 1, got $n")
+    // every component slice has the SAME length m−(n−1): window i is
     // (w_i, w_{i+1}, …, w_{i+n−1}) for i = 1..m−n+1; zip_with pads the
     // shorter side with nulls, so unequal slice lengths would fabricate a
-    // null-poisoned phantom shingle
+    // null-poisoned phantom window
     val grams = (2 to n).foldLeft(slice(w, lit(1), size(w) - (n - 1))) { (acc, j) =>
       zip_with(acc, slice(w, lit(j), size(w) - (n - 1)), (a, b) => concat(a, lit(" "), b))
     }
     when(size(w) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(filter(grams, g => g.isNotNull)))
+      .otherwise(filter(grams, g => g.isNotNull))
   }
 
   /** 64-bit hash from the first 16 hex chars of sha256(value): hi 32 bits
@@ -241,6 +252,91 @@ object TextAnalysis {
       .withColumn("dup_2gram_ratio", gramRatio(2))
       .withColumn("dup_3gram_ratio", gramRatio(3))
       .drop("__rep_w")
+  }
+
+  /** Corpus-level duplicated-SPAN stats: per document, how many of its
+    * `w`-token windows occur at least twice anywhere in the corpus (its own
+    * repeats included). This is the distributed form of exact-substring
+    * train-data dedup (suffix-array substring dedup, approximated by
+    * rolling token windows — windows are order-sensitive, so a duplicated
+    * window IS a duplicated w-token substring): line dedup
+    * ([[graft.operators.Dedup.dropRepeatedLines]]) catches copied LINES,
+    * near-dup pairs catch copied DOCUMENTS, and this catches copied
+    * passages that respect neither line nor document boundaries. The
+    * `dup_fraction` output is the standard gate/trim signal.
+    *
+    * Scale design: count-then-probe. The global count aggregates by window
+    * with map-side partial combine (a hot boilerplate window never
+    * concentrates raw rows on one reducer), then the count joins back to
+    * the window stream — the planner broadcasts the count table while it
+    * fits (pinned at test scale) and falls back to a sort-merge join that
+    * AQE can skew-split when it doesn't. The window explode is deliberately
+    * COMPUTED TWICE (once per consumer) rather than checkpointed: the
+    * exploded window table is ~`w`× corpus size, so re-running a narrow
+    * streaming projection is cheaper at scale than materializing it, and
+    * column pruning gives each pass only the columns it needs. (A window
+    * function over `partition by win` would save the join but buffers
+    * whole win-partitions — the hot-window hazard the aggregation avoids.)
+    * Window strings are the join key at test scale for oracle exactness;
+    * at deployment scale substitute `sha2(win, 256)` (or xxhash64 where
+    * cross-engine reproducibility is not needed) to bound shuffle key
+    * width — the counts are hash-invariant. Output: (doc, n_windows,
+    * dup_windows, dup_fraction); documents shorter than `w` tokens have no
+    * windows and emit no row.
+    */
+  def duplicatedWindowStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5): DataFrame = {
+    require(w >= 2, s"window size must be >= 2, got $w")
+    val wins = df.select(
+      col(idCol).as("doc"),
+      explode(windowsOfWords(tokens(col(textCol)), w)).as("win"))
+    val counts = wins.groupBy("win").agg(count(lit(1)).as("__n"))
+    wins.join(counts, "win")
+      .groupBy("doc")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_fraction",
+        col("dup_windows").cast("double") / col("n_windows"))
+  }
+
+  /** Corpus-relative unigram log-probability score (the CCNet-style LM
+    * quality filter, with the corpus itself as the language model): per
+    * document, the mean per-token surprisal `log2(T / C(t))` bits, where
+    * `C(t)` is the token's corpus frequency and `T` the corpus token count.
+    * Low bits-per-token ≈ common, fluent vocabulary; high ≈ rare-token
+    * noise (the tail a perplexity filter trims). A true KenLM n-gram model
+    * drops into the same dataflow by replacing the frequency table.
+    *
+    * Exactness across engines: the per-token surprisal is rounded to
+    * integer MICRO-bits (a pure function of the (C, T) longs), summed
+    * exactly as integers, and divided back once per document — so the
+    * result is independent of summation order and bit-stable in any engine
+    * with an IEEE log2.
+    *
+    * Scale design: same count-then-probe shape as
+    * [[duplicatedWindowStats]] — token-frequency aggregation with map-side
+    * combine, cost table joined back to the token stream (broadcast while
+    * the vocabulary fits, sort-merge beyond), per-doc aggregation last; the
+    * corpus total joins as a broadcast single row. Empty documents tokenize
+    * to [""] which is itself a corpus token, so every document emits a row.
+    */
+  def unigramLogProbScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+    val total = freq.agg(sum(col("__c")).as("__t"))
+    val costed = freq.crossJoin(broadcast(total)).select(
+      col("tok"),
+      round(log2(col("__t").cast("double") / col("__c")) * 1e6).cast("long").as("__cost"))
+    toks.join(costed, "tok")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__cost")).as("__sum"))
+      .select(
+        col("doc"), col("n_tokens"),
+        (col("__sum").cast("double") / col("n_tokens") / lit(1e6)).as("bits_per_token"))
   }
 
   /** Split documents into fixed-size token-window chunks with overlap —

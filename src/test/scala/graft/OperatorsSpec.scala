@@ -91,6 +91,40 @@ class OperatorsSpec extends SparkSpec {
     assert(secs < 60, f"reassembly took $secs%.1f s — quadratic regression?")
   }
 
+  test("duplicatedWindowStats counts cross-document and in-document repeated spans") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // 2 windows, 1st shared with doc 2
+      (2L, "alpha beta gamma delta epsilon eta"),        // 2 windows, 1st shared with doc 1
+      (3L, "one two three four five one two three four five one"), // in-doc repeats
+      (4L, "short text")                                 // < 5 tokens: no windows, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedWindowStats(corpus, "doc_id", "text", w = 5)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows"), r.getAs[Double]("dup_fraction"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    // 7 windows; starts 1 & 6 repeat ("one two three four five") and 2 & 7
+    // ("two three four five one") — 4 duplicated occurrences
+    assert(out(3L) == ((7L, 4L, 4.0 / 7)))
+  }
+
+  test("unigramLogProbScore is the exact micro-bit mean of corpus surprisal") {
+    val corpus = Seq((1L, "aa aa"), (2L, "aa bb")).toDF("doc_id", "text")
+    // corpus: C(aa)=3, C(bb)=1, T=4 — mirror the operator's integer
+    // micro-bit rounding exactly
+    def cost(c: Long) = math.round(math.log(4.0 / c) / math.log(2.0) * 1e6)
+    val out = TextAnalysis.unigramLogProbScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("bits_per_token"))))
+      .toMap
+    assert(out(1L) == ((2L, 2 * cost(3) / 2.0 / 1e6)))
+    assert(out(2L) == ((2L, (cost(3) + cost(1)) / 2.0 / 1e6)))
+    // rare-token doc scores strictly higher — the filter's ordering signal
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
   test("fingerprint dedup is whitespace-normalization invariant") {
     val messy = Seq(
       (1L, "a b  c"), (2L, "a b c"), (3L, " a b c "), (4L, "a b d")

@@ -346,6 +346,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dupspans: count-then-probe — window counts broadcast at test scale, SMJ fallback beyond") {
+    // Default plan: the aggregated count table broadcasts back over the
+    // window stream (no raw-row concentration on a hot window — the count
+    // side partial-combines map-side).
+    val p = plan("q_text_dupspans")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the window-count table must broadcast while it fits:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no non-equi join expected:\n$p")
+    // 100 TB fallback (count table too big to broadcast): a sort-merge
+    // join on the window key — the shape AQE can skew-split — with
+    // exactly three shuffles (probe-by-win, count-by-win, stats-by-doc).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = plan("q_text_dupspans")
+      assert(p2.contains("SortMergeJoin"), s"expected the SMJ fallback:\n$p2")
+      assert(p2.linesIterator.count(l => l.contains("- Exchange") && !l.contains("BroadcastExchange")) == 3,
+        s"exactly three shuffles expected in the no-broadcast shape:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("unigram surprisal: corpus total broadcasts as one row; cost table broadcasts while it fits") {
+    val p = plan("q_text_unigram_ppl")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row corpus total must broadcast under the cost projection:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-token cost table must broadcast back over the token stream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product expected:\n$p")
+  }
+
   test("hash sampling pushes column pruning to the scan and adds no exchange") {
     val p = Queries.queries("q_sample_hash")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
