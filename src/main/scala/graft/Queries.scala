@@ -890,6 +890,24 @@ object Queries {
         .select(col("media_id"), col("width"), col("height"), col("channels"),
           element_at(col("features"), 1).as("band_luma"))),
 
+    // Real AUDIO codec through the gate, same scheme as real_decode: the
+    // query writes a constant-amplitude mono 16-bit WAV per id and decodes
+    // it back through javax.sound — frames/rate/channels from the header
+    // parse, RMS from the PCM decode — all closed-form in the id (RMS is
+    // |v|/32768, exact in float). Ids % 50 == 0 carry a truncated RIFF
+    // header and must degrade to zeros.
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+          s, Multimodal.syntheticWavs(s, docs(s, d), "doc_id"),
+          featureDim = 1, codec = Multimodal.WavCodec)
+        .toDF()
+        .select(
+          col("media_id"),
+          col("width").as("n_frames"),
+          col("height").as("sample_rate"),
+          col("channels"),
+          element_at(col("features"), 1).as("rms"))),
+
     // Streaming-equivalent windowed aggregation (same plan shape the
     // streaming job runs; batch here so the oracle can check it)
     "q_events_window" -> ((s, d) =>
@@ -1205,6 +1223,19 @@ object Queries {
         |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0.0
         |       ELSE (doc_id % 256) / 255.0 END AS REAL) AS band_luma
+        |FROM documents""".stripMargin,
+
+    // Closed-form mirror of the real-WAV round trip (see syntheticWavs):
+    // n = id%400+50 constant-amplitude frames at 8 kHz mono; RMS of a
+    // constant signal is |v|/32768 exactly (power-of-two divisor, 14-bit
+    // amplitude — float-exact); truncated payloads degrade to zeros
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE doc_id % 400 + 50 END AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 8000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0.0
+        |       ELSE abs((doc_id % 1024) - 512) * 32 / 32768.0 END AS REAL) AS rms
         |FROM documents""".stripMargin,
 
     "q_s1_scan_filter" ->

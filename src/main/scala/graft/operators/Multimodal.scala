@@ -231,6 +231,113 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on `javax.sound.sampled` — pure JDK, headless,
+    * offline. The [[MediaCodec]] dims triple is re-read for audio as
+    * **(frames, sampleRate, channels)**: `decodeDims` parses the container
+    * header via `AudioSystem` without decoding samples (the cheap
+    * metadata-profiling path), `features` returns per-band RMS energy in
+    * [0,1] over `dim` equal time bands (16-bit PCM; the shape a real
+    * embedding extractor plugs into), and `resample` decimates frames by
+    * `scale` and re-emits a valid WAV. Undecodable/truncated payloads
+    * degrade to (0,0,0)/zeros/pass-through — the same corrupt-media
+    * contract as [[ImageIoCodec]].
+    */
+  object WavCodec extends MediaCodec {
+    import java.io.ByteArrayInputStream
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    override def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+      if (payload == null || payload.isEmpty) return (0, 0, 0)
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          (ais.getFrameLength.toInt, f.getSampleRate.toInt, f.getChannels)
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => (0, 0, 0) }
+    }
+
+    /** 16-bit little-endian signed PCM samples, channel-averaged per frame;
+      * null for anything the JDK cannot decode to that encoding.
+      */
+    private def pcmFrames(payload: Array[Byte]): Array[Double] = {
+      if (payload == null || payload.isEmpty) return null
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+            f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) return null
+          val bytes = ais.readAllBytes()
+          val ch = f.getChannels
+          val n = bytes.length / (2 * ch)
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var sum = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              sum += ((bytes(o) & 0xFF) | (bytes(o + 1).toInt << 8)).toShort.toDouble
+              c += 1
+            }
+            out(i) = sum / ch
+            i += 1
+          }
+          out
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+
+    /** Per-band RMS amplitude in [0,1] over `dim` equal time bands. */
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val frames = pcmFrames(payload)
+      if (frames == null || frames.isEmpty) return Array.fill(dim)(0f)
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < frames.length) {
+        val band = math.min(dim - 1, i * dim / frames.length)
+        val v = frames(i) / 32768.0
+        sums(band) += v * v
+        counts(band) += 1
+        i += 1
+      }
+      (0 until dim).map(b =>
+        if (counts(b) == 0) 0f else math.sqrt(sums(b) / counts(b)).toFloat).toArray
+    }
+
+    /** Frame decimation: keep every ⌈1/scale⌉-th frame at the same sample
+      * rate (duration scales by ~`scale`), re-emitted as a valid WAV.
+      * Non-PCM-16 or undecodable payloads pass through unchanged.
+      */
+    override def resample(payload: Array[Byte], scale: Double): Array[Byte] = {
+      if (payload == null || payload.isEmpty || scale >= 1.0) return payload
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+            f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) return payload
+          val bytes = ais.readAllBytes()
+          val frameBytes = 2 * f.getChannels
+          val n = bytes.length / frameBytes
+          val stride = math.max(1, math.round(1.0 / scale).toInt)
+          val kept = new java.io.ByteArrayOutputStream()
+          var i = 0
+          while (i < n) { kept.write(bytes, i * frameBytes, frameBytes); i += stride }
+          val keptBytes = kept.toByteArray
+          val out = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(
+              new ByteArrayInputStream(keptBytes), f, keptBytes.length / frameBytes),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          out.toByteArray
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => payload }
+    }
+  }
+
   /** Deterministic REAL-PNG payload generator for the [[ImageIoCodec]]
     * oracle query: each id paints a constant-gray w×h image (w = id%30+1,
     * h = id%17+1, gray level v = id%256) and encodes it as an actual PNG
@@ -267,6 +374,43 @@ object Multimodal {
       .toDF("media_id", "modality", "payload")
       .withColumn("meta", struct(
         lit("image/png").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")))
+  }
+
+  /** Deterministic REAL-WAV payload generator for the [[WavCodec]] oracle
+    * query: each id emits a mono 16-bit PCM WAV at 8 kHz with
+    * `n = id%400+50` frames of the constant sample `v = ((id%1024)−512)·32`
+    * — so the decoded frame count, rate, channels, and RMS amplitude
+    * (|v|/32768, exact in float: v and the power-of-two divisor round-trip
+    * losslessly) are closed-form functions of the id. Ids divisible by 50
+    * are truncated to 10 bytes (RIFF magic, no fmt chunk): the documented
+    * corrupt-payload degradation to zeros.
+    */
+  def syntheticWavs(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (id % 400 + 50).toInt
+          val v = (((id % 1024) - 512) * 32).toInt
+          val data = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(8000).putInt(16000) // rate, byte rate
+            .putShort(2).putShort(16) // block align, bits
+          bb.put("data".getBytes("US-ASCII")).putInt(data)
+          var i = 0
+          while (i < n) { bb.putShort(v.toShort); i += 1 }
+          val bytes = bb.array()
+          (id, "audio", if (id % 50 == 0) bytes.take(10) else bytes)
+        }
+      }
+      .toDF("media_id", "modality", "payload")
+      .withColumn("meta", struct(
+        lit("audio/wav").as("mime"),
         length(col("payload")).cast("long").as("n_bytes")))
   }
 

@@ -163,6 +163,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("syntheticWavs round-trips through WavCodec to the closed-form frames/rate/rms") {
+    val ids = Seq(0L, 1L, 50L, 137L, 512L, 1023L, 1024L).toDF("doc_id")
+    val decoded = Multimodal.decodeFeatures(
+        spark, Multimodal.syntheticWavs(spark, ids, "doc_id"),
+        featureDim = 1, codec = Multimodal.WavCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(1L, 137L, 512L, 1023L, 1024L)) {
+      val f = decoded(id)
+      assert(f.width == (id % 400 + 50).toInt, s"id $id frames ${f.width}")
+      assert(f.height == 8000 && f.channels == 1)
+      val v = math.abs((id % 1024 - 512) * 32)
+      assert(f.features.head == (v / 32768.0).toFloat, s"id $id rms ${f.features.head}")
+    }
+    for (id <- Seq(0L, 50L)) { // truncated RIFF: no fmt chunk
+      val f = decoded(id)
+      assert(f.width == 0 && f.height == 0 && f.channels == 0 && f.features.head == 0f,
+        s"corrupt id $id must degrade to zeros, got $f")
+    }
+  }
+
+  test("WavCodec resample decimates frames and re-emits a decodable WAV") {
+    val wav = Multimodal.syntheticWavs(spark, Seq(137L).toDF("doc_id"), "doc_id")
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val n = (137 % 400 + 50) // 187 frames
+    assert(Multimodal.WavCodec.decodeDims(wav) == ((n, 8000, 1)))
+    val half = Multimodal.WavCodec.resample(wav, 0.5)
+    val (frames2, rate2, ch2) = Multimodal.WavCodec.decodeDims(half)
+    assert(rate2 == 8000 && ch2 == 1)
+    assert(frames2 == (n + 1) / 2, s"expected every 2nd frame kept, got $frames2 of $n")
+    // constant signal: RMS survives decimation exactly
+    assert(Multimodal.WavCodec.features(half, 1).head ==
+      Multimodal.WavCodec.features(wav, 1).head)
+    // garbage passes through untouched
+    val junk = "not audio".getBytes("UTF-8")
+    assert(Multimodal.WavCodec.resample(junk, 0.5).sameElements(junk))
+  }
+
   test("sampleFrames emits stride-spaced frame numbers") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 1L), stride = 1)
       .select("frame_no").as[Int].collect().sorted.toSeq
