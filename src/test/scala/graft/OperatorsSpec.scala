@@ -683,6 +683,111 @@ class OperatorsSpec extends SparkSpec {
     assert(out(35L) == (Some(300L), Some(30L)))
   }
 
+  test("asOfJoin matches a driver-side model on seeded random series (with and without tolerance)") {
+    import graft.operators.Temporal
+    // Model-based property test (the ChangelogSpec pattern): random left
+    // points and right series per seed, as-of fold in plain Scala, exact
+    // multiset equality. Stresses equal-timestamp inclusivity, NULL right
+    // values riding wholesale, keys with no right rows, duplicate left
+    // rows, and tolerance nulling values while keeping rows.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val leftRows = (1 to 60).map(_ =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+      // right unique per (key, rts) — the operator's documented precondition
+      val rightRows = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), Option[Long]]
+      (1 to 40).foreach { _ =>
+        rightRows.getOrElseUpdate(
+          (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong),
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000).toLong))
+      }
+      val left = leftRows.toDF("k", "lts", "p")
+      val right = rightRows.toSeq.map { case ((k, t), v) => (k, t, v) }.toDF("k", "rts", "v")
+
+      def model(tol: Option[Long]): Map[(Long, Long, Long, Option[Long], Option[Long]), Int] =
+        leftRows.map { case (k, lts, p) =>
+          val cand = rightRows.collect { case ((rk, rts), v) if rk == k && rts <= lts => (rts, v) }
+          val matched = if (cand.isEmpty) None else Some(cand.maxBy(_._1))
+          val bounded = matched.filter { case (rts, _) => tol.forall(t => lts - rts <= t) }
+          (k, lts, p, bounded.flatMap(_._2), bounded.map(_._1))
+        }.groupBy(identity).view.mapValues(_.size).toMap
+
+      for (tol <- Seq(None, Some(7L))) {
+        val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts", Seq("v"), tolerance = tol)
+          .collect().map(r => (
+            r.getAs[Long]("k"), r.getAs[Long]("lts"), r.getAs[Long]("p"),
+            Option(r.get(r.fieldIndex("v_asof"))).map(_.asInstanceOf[Long]),
+            Option(r.get(r.fieldIndex("rts_asof"))).map(_.asInstanceOf[Long])))
+          .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+        val want = model(tol)
+        assert(got == want,
+          s"seed=$seed tol=$tol: missing ${(want.keySet -- got.keySet).take(3)}, " +
+            s"extra ${(got.keySet -- want.keySet).take(3)}")
+      }
+    }
+  }
+
+  test("rangeJoin matches the brute-force theta join on seeded random intervals") {
+    import graft.operators.Temporal
+    // Bin-boundary off-by-ones are the hazard here: sweep bin widths that
+    // are smaller than, comparable to, and larger than the interval spans,
+    // against a plain-Scala containment fold. Inverted intervals (end <
+    // start) must drop; both interval ends are inclusive.
+    for (seed <- 1 to 4; binWidth <- Seq(1L, 7L, 64L)) {
+      val rnd = new scala.util.Random(seed)
+      val leftRows = (1 to 50).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(60).toLong, i.toLong))
+      val rightRows = (1 to 30).map { i =>
+        val s = rnd.nextInt(50).toLong
+        val e = if (rnd.nextInt(8) == 0) s - 3 else s + rnd.nextInt(15) // some inverted
+        (rnd.nextInt(4).toLong, s, e, i.toLong)
+      }
+      val got = Temporal.rangeJoin(
+          leftRows.toDF("k", "ts", "lid"), rightRows.toDF("k", "s", "e", "rid"),
+          Seq("k"), "ts", "s", "e", binWidth)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (lk, ts, lid) <- leftRows
+        (rk, s, e, rid) <- rightRows
+        if lk == rk && e >= s && ts >= s && ts <= e
+      } yield (lid, rid)).toSet
+      assert(got == want,
+        s"seed=$seed binWidth=$binWidth: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    }
+  }
+
+  test("funnel matches a driver-side model on seeded random event streams") {
+    import graft.operators.Temporal
+    // Model: t1 = min ts of step 1; t_k = min ts of step k with
+    // ts > t_{k-1} and ts <= t1 + maxSpan; NULL from the first gap on.
+    // One row per entity that performed step 1.
+    val steps = Seq("a", "b", "c")
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 120).map(_ =>
+        (rnd.nextInt(8).toLong, steps(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+      val maxSpan = 20L
+      val byKey = events.groupBy(_._1)
+      val want = byKey.flatMap { case (k, evs) =>
+        val t1 = evs.collect { case (_, "a", t) => t }.minOption
+        t1.map { t0 =>
+          val t2 = evs.collect { case (_, "b", t) if t > t0 && t <= t0 + maxSpan => t }.minOption
+          val t3 = t2.flatMap(p =>
+            evs.collect { case (_, "c", t) if t > p && t <= t0 + maxSpan => t }.minOption)
+          (k, Option(t0), t2, t3)
+        }
+      }.toSet
+      val got = Temporal.funnel(events.toDF("user", "etype", "ts"),
+          "user", "etype", "ts", steps, maxSpan)
+        .collect().map(r => (
+          r.getAs[Long]("user"),
+          Option(r.get(r.fieldIndex("t_a"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("t_b"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("t_c"))).map(_.asInstanceOf[Long]))).toSet
+      assert(got == want,
+        s"seed=$seed: missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    }
+  }
+
   test("funnel: earliest in-order completion, strict ordering, span-bounded") {
     import graft.operators.Temporal
     val events = Seq(
