@@ -842,6 +842,15 @@ object Queries {
       Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3,
         nlist = 16, nprobe = 4, iters = 0, pivotHash = Similarity.shaPivotHash)),
 
+    // product-quantized ADC top-k at iters = 0 with the sha pivot hash:
+    // codebook seeding, encoding argmins, LUT partial dots and the
+    // reconstructed-norm cosine are all integer-exact and replicated in
+    // the DuckDB oracle. Production callers use Lloyd-refined codebooks
+    // (iters > 0) and compose with ivfTopK for candidate pruning.
+    "q_sim_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3,
+        m = 4, ncode = 16, iters = 0, pivotHash = Similarity.shaPivotHash)),
+
     // targetChunkSize 25 exercises the triangle sub-chunking at test scale
     // (sf0.1's 200-row label blocks split into 8 chunks → 36 pair-tasks per
     // block instead of ONE task per label); the output is identical at any
@@ -1171,7 +1180,49 @@ object Queries {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
       |  FROM sc) WHERE rn <= 3""".stripMargin
 
+  /** PQ at iters=0: subspace = pos div 16 (dim 64, m 4); codebook = the 16
+    * sha-pivot corpus rows' subvectors; encode argmin minimizes
+    * |c|² − 2·x·c with ties to the LOWEST code id (the |x|² term is
+    * constant within the argmin — dropped identically in both engines);
+    * ADC score = Σ partial dots / (|q| · |x̂|) with |x̂|² = Σ chosen |c|².
+    * All sums are exact integers (< 2^53), so the doubles agree bit-wise.
+    */
+  private val pqTopKOracleSql: String =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
+      |  FROM embeddings),
+      |es AS (SELECT vec_id, pos // 16 AS subsp, pos, qv FROM e),
+      |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+      |piv AS (SELECT vec_id AS code FROM embeddings WHERE vec_id >= 5
+      |  ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+      |  LIMIT 16),
+      |cb AS (SELECT es.subsp, es.vec_id AS code, es.pos, es.qv FROM es JOIN piv ON piv.code = es.vec_id),
+      |cbn AS (SELECT subsp, code, CAST(SUM(qv * qv) AS BIGINT) AS cn2 FROM cb GROUP BY 1, 2),
+      |cd AS (SELECT a.vec_id, a.subsp, cb.code, CAST(SUM(a.qv * cb.qv) AS BIGINT) AS dot
+      |  FROM es a JOIN cb ON cb.subsp = a.subsp AND cb.pos = a.pos
+      |  WHERE a.vec_id >= 5 GROUP BY 1, 2, 3),
+      |enc AS (SELECT vec_id AS cand_id, subsp, code, cn2 FROM (
+      |  SELECT cd.vec_id, cd.subsp, cd.code, cbn.cn2,
+      |    ROW_NUMBER() OVER (PARTITION BY cd.vec_id, cd.subsp
+      |      ORDER BY cbn.cn2 - 2 * cd.dot ASC, cd.code ASC) AS rn
+      |  FROM cd JOIN cbn ON cbn.subsp = cd.subsp AND cbn.code = cd.code)
+      |  WHERE rn = 1),
+      |lut AS (SELECT q.vec_id AS query_id, cb.subsp, cb.code,
+      |    CAST(SUM(q.qv * cb.qv) AS BIGINT) AS pdot
+      |  FROM es q JOIN cb ON cb.subsp = q.subsp AND cb.pos = q.pos
+      |  WHERE q.vec_id < 5 GROUP BY 1, 2, 3),
+      |sc AS (SELECT lut.query_id, enc.cand_id,
+      |    CAST(SUM(lut.pdot) AS DOUBLE) /
+      |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(SUM(enc.cn2) AS DOUBLE))) AS approx_cosine
+      |  FROM enc JOIN lut ON lut.subsp = enc.subsp AND lut.code = enc.code
+      |  JOIN n nq ON nq.vec_id = lut.query_id
+      |  GROUP BY 1, 2, nq.n2)
+      |SELECT query_id, cand_id, approx_cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, cand_id) AS rn
+      |  FROM sc) WHERE rn <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_sim_pq_topk" -> pqTopKOracleSql,
     // minhash+LSH verified pairs ⊆ brute-force pairs by construction (the
     // verify step recomputes exact Jaccard); equality with the brute-force
     // set additionally asserts full recall at the configured banding.

@@ -383,6 +383,137 @@ object Similarity {
     exactPairTopK(pairs, k)
   }
 
+  // ---- Product quantization (PQ) ANN ----------------------------------
+
+  /** Product-quantized approximate top-k (ADC — asymmetric distance
+    * computation): the embedding is split into `m` equal subspaces, each
+    * subspace learns `ncode` codebook centroids, and every corpus vector is
+    * ENCODED as its per-subspace nearest-centroid ids — `m·log₂(ncode)`
+    * bits per vector (4 subspaces × 16 codes = 2 bytes, vs 256 bytes for a
+    * raw 64-dim float embedding: 128× compression). Queries stay
+    * full-precision: each query precomputes its partial dot product against
+    * every codebook entry (an `m × ncode` lookup table), and a candidate's
+    * approximate dot is just the sum of `m` table lookups over its codes —
+    * no raw vector is ever touched at scoring time. The score is the
+    * approximate cosine `q·x̂ / (|q|·|x̂|)` against the RECONSTRUCTED
+    * candidate `x̂` (per-subspace chosen centroids), so ranking degrades
+    * smoothly with quantization error.
+    *
+    * 100 TB shape: the corpus shuffles only (cand, subspace, code) integer
+    * triples joined against a BROADCAST query LUT (|Q|·m·ncode rows) —
+    * the raw embedding table is read once to encode and never again.
+    * Codebook assignment argmins run as broadcast joins + struct-min
+    * aggregations (no window over the corpus). This module scores every
+    * encoded candidate (cost |Q|·|C|·m lookup rows through a map-side
+    * combined sum); at corpus scale compose with [[ivfTopK]] — IVF cells
+    * prune candidates, PQ codes make the residual scoring cheap — the
+    * standard IVF-PQ layout. `refine > 1` adds the standard re-rank stage:
+    * exact fixed-point cosine over the k·refine ADC survivors only (raw
+    * vectors touched for O(|Q|·k·refine) rows), which recovers most of the
+    * recall the quantization loses.
+    *
+    * Determinism: codebook seeding orders corpus rows by
+    * `(pivotHash(id), id)` and takes the first `ncode` per subspace. With
+    * `iters = 0` and `pivotHash = shaPivotHash` every arithmetic step is
+    * integer-exact (quantized components ≤ 1e7, all sums < 2^53, so the
+    * double-space dots are exact), making the WHOLE encode+ADC pipeline
+    * replicable in external SQL — the catalog oracle. `iters > 0` runs
+    * per-subspace Lloyd refinement (double space) — the production path.
+    * Within the per-(vector, subspace) argmin the |x|² term is constant,
+    * so assignment minimizes `|c|² − 2·x·c` — same argmin, fewer terms —
+    * with ties broken toward the lowest code id in BOTH engines.
+    */
+  def pqTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      m: Int = 4,
+      ncode: Int = 16,
+      iters: Int = 2,
+      refine: Int = 1,
+      pivotHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(m >= 1 && ncode >= 1, s"bad m/ncode: $m/$ncode")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val base = df
+      .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
+      .withColumn("__n2", longDot(col("__qa"), col("__qa")))
+    val corpus = base.filter(!queryPred)
+    val queries = base.filter(queryPred)
+    // (id, __n2, subsp, xv): positional subvector explode
+    def subvecs(rows: DataFrame): DataFrame = rows
+      .select(col(idCol), col("__n2"),
+        posexplode(array((0 until m).map(j => slice(col("__qa"), j * sub + 1, sub)): _*)))
+      .withColumnsRenamed(Map("pos" -> "subsp", "col" -> "xv"))
+    val corpusSub = subvecs(corpus)
+
+    // codebook: (subsp, code, cv double array) — pivot subvectors, then
+    // optional per-subspace Lloyd rounds (vanishing codes allowed, as in
+    // lloydCentroids)
+    val cb0 = subvecs(corpus.orderBy(pivotHash(col(idCol)), col(idCol)).limit(ncode))
+      .select(col("subsp"), col(idCol).cast("long").as("code"),
+        transform(col("xv"), x => x.cast("double")).as("cv"))
+    val cb = (0 until iters).foldLeft(cb0) { (c, _) =>
+      corpusSub
+        .join(broadcast(c), "subsp")
+        .withColumn("__d", doubleDot(col("cv"), col("cv")) -
+          lit(2.0) * doubleDot(col("xv"), col("cv")))
+        .groupBy(col(idCol), col("subsp"))
+        .agg(min(struct(col("__d").as("d"), col("code"), col("xv").as("xv"))).as("b"))
+        .select(col("subsp"), col("b.code").as("code"), posexplode(col("b.xv")))
+        .groupBy(col("subsp"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mu"))
+        .groupBy("subsp", "code")
+        .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("subsp"), col("code"), transform(col("pm"), s => s.getField("mu")).as("cv"))
+    }
+    val cbn = cb.withColumn("__cn2", doubleDot(col("cv"), col("cv")))
+
+    // encode: per (corpus row, subspace) argmin_code |c|² − 2·x·c,
+    // carrying the chosen centroid's |c|² for the reconstructed norm
+    val enc = corpusSub
+      .join(broadcast(cbn), "subsp")
+      .withColumn("__d", col("__cn2") - lit(2.0) * doubleDot(col("xv"), col("cv")))
+      .groupBy(col(idCol), col("subsp"))
+      .agg(min(struct(col("__d").as("d"), col("code"), col("__cn2").as("cn2"))).as("b"))
+      .select(col(idCol).as("cand_id"), col("subsp"),
+        col("b.code").as("code"), col("b.cn2").as("cn2"))
+
+    // query LUT: partial dot against every codebook entry
+    val lut = subvecs(queries)
+      .join(broadcast(cbn), "subsp")
+      .select(col(idCol).as("query_id"), col("subsp"), col("code"),
+        doubleDot(col("xv"), col("cv")).as("pdot"), col("__n2").as("qn2"))
+
+    // ADC: m LUT rows per (query, cand); Σ pdot = approx dot, Σ cn2 = |x̂|²
+    val adc = enc.join(broadcast(lut), Seq("subsp", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("pdot")).as("adot"), max(col("qn2")).as("qn2"), sum(col("cn2")).as("rn2"))
+      .withColumn("approx_cosine",
+        col("adot") / (sqrt(col("qn2").cast("double")) * sqrt(col("rn2"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx_cosine").desc, col("cand_id"))))
+      .filter(col("rn") <= k * refine)
+
+    if (refine <= 1) adc.select("query_id", "cand_id", "approx_cosine")
+    else {
+      // Re-rank (the standard ADC + refinement): exact fixed-point cosine
+      // over only the k·refine ADC survivors per query — raw vectors are
+      // touched for O(k·refine·|Q|) rows, never the corpus. Output carries
+      // the EXACT score as `cosine` (vs `approx_cosine` on the pure-ADC
+      // path).
+      val qv = queries.select(col(idCol).as("query_id"), col("__qa").as("qa"), col("__n2").as("qn"))
+      val cv = corpus.select(col(idCol).as("cand_id"), col("__qa").as("ca"), col("__n2").as("cn"))
+      exactPairTopK(
+        adc.select("query_id", "cand_id").join(qv, "query_id").join(cv, "cand_id"), k)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocks: all pairs of rows
     * sharing `blockCol` (a cluster id, LSH bucket, shard key …) whose cosine
     * similarity meets `threshold`. The quantized array and its norm ride
