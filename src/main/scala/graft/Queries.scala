@@ -702,6 +702,16 @@ object Queries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
 
+    // per-source corpus health report over a corpus with an injected
+    // mirror source (every 10th doc replicated under 'srcX'), so the
+    // cross-source duplication signal actually fires
+    "q_source_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      Curation.sourceReport(
+        dd.unionAll(dd.filter(col("doc_id") % 10 === 0).withColumn("source", lit("srcX"))),
+        "source", "text", "lang")
+    }),
+
     // end-to-end curation: quality gates + fingerprint dedup + lang tag
     // over a corpus perturbed with exact dups (survive as min-id) and
     // junk rows (fail the quality gates)
@@ -1593,6 +1603,29 @@ object Queries {
         |              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS DOUBLE)
         |            / CAST(len(words) - 2 AS DOUBLE) END AS dup_3gram_ratio
         |FROM b""".stripMargin,
+
+    // replicates sourceReport over the mirror-augmented corpus: global
+    // fingerprint occurrence vote, then integer-sum per-source stats with
+    // two final exact divisions
+    "q_source_report" ->
+      """WITH aug AS (
+        |  SELECT source, lang, text FROM documents
+        |  UNION ALL SELECT 'srcX', lang, text FROM documents WHERE doc_id % 10 = 0),
+        |f AS (SELECT source, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS toks,
+        |    sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM aug),
+        |c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY fp)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction,
+        |  CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS mean_doc_tokens
+        |FROM f JOIN c USING (fp)
+        |GROUP BY source""".stripMargin,
 
     // replicates duplicatedWindowStats over the passage-augmented corpus:
     // 5-token rolling windows (order-sensitive, duplicates kept), global

@@ -66,6 +66,43 @@ object Curation {
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
   }
 
+  /** Per-source corpus health report — the keep/reweight/drop decision
+    * surface of corpus curation: one row per `sourceCol` value with doc
+    * and token counts, the number of docs whose normalized fingerprint
+    * appears 2+ times ANYWHERE in the corpus (cross-source duplication —
+    * mirror sites show up as sources with a high `dup_fraction`), distinct
+    * language count, and mean tokens per doc. Every statistic is an
+    * integer sum (or a single final division of two exact integers), so
+    * the report is bit-stable across engines and partitionings.
+    *
+    * Scale: same count-then-probe shape as the duplicated-span detector —
+    * the global fingerprint vote aggregates 64-char sha keys (uniform,
+    * skew-free) with map-side combine and joins back broadcast-or-SMJ;
+    * the final per-source aggregation groups by the (low-cardinality)
+    * source key.
+    */
+  def sourceReport(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      langCol: String): DataFrame = {
+    require(Seq(sourceCol, textCol, langCol).forall(df.columns.contains),
+      s"input needs columns '$sourceCol', '$textCol', '$langCol', has: ${df.columns.mkString(", ")}")
+    val fp = df.select(col(sourceCol).as("source"), col(langCol).as("__lang"),
+      TextAnalysis.tokenCount(col(textCol)).as("__toks"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val counts = fp.groupBy("__fp").agg(count(lit(1)).as("__n"))
+    fp.join(counts, "__fp")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("__lang")).as("n_langs"))
+      .withColumn("dup_fraction", col("n_dup_docs").cast("double") / col("n_docs"))
+      .withColumn("mean_doc_tokens", col("n_tokens").cast("double") / col("n_docs"))
+  }
+
   /** Winsorization-style outlier gate: keep rows whose `valueCol` lies
     * within the `[loQ, hiQ]` quantiles of their group — the "drop the
     * freakishly short and the freakishly long documents per language"

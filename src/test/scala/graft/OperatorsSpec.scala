@@ -91,6 +91,25 @@ class OperatorsSpec extends SparkSpec {
     assert(secs < 60, f"reassembly took $secs%.1f s — quadratic regression?")
   }
 
+  test("sourceReport surfaces cross-source duplication and per-source token stats") {
+    import graft.operators.Curation
+    val corpus = Seq(
+      ("A", "en", "shared mirror text body"),
+      ("A", "en", "unique text in source a"),
+      ("A", "de", "noch ein text"),
+      ("B", "en", "  shared   mirror text body "), // formatting-only copy of A's doc
+      ("B", "en", "")                              // blank: 0 tokens
+    ).toDF("source", "lang", "text")
+    val out = Curation.sourceReport(corpus, "source", "text", "lang")
+      .collect().map(r => r.getAs[String]("source") -> ((
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_docs"),
+        r.getAs[Long]("n_langs"), r.getAs[Double]("mean_doc_tokens"))))
+      .toMap
+    assert(out("A") == ((3L, 12L, 1L, 2L, 4.0)))
+    assert(out("B") == ((2L, 4L, 1L, 1L, 2.0)),
+      "the normalized fingerprint must catch the formatting-only mirror copy")
+  }
+
   test("duplicatedWindowStats counts cross-document and in-document repeated spans") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),       // 2 windows, 1st shared with doc 2

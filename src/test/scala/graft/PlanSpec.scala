@@ -377,6 +377,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian product expected:\n$p")
   }
 
+  test("PQ ADC: codebook and query LUT broadcast; raw vectors never shuffle for scoring") {
+    val p = plan("q_sim_pq_topk")
+    // every join in the pipeline is a broadcast: codebook into encode,
+    // codebook into the LUT, LUT into the encoded corpus
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join or cross product expected anywhere:\n$p")
+    // scoring shuffles only the (cand, subsp, code) aggregation and the
+    // top-k window — the embedding scan feeds encode/LUT via broadcasts
+    assert(p.linesIterator.count(l => l.contains("- Exchange") && !l.contains("BroadcastExchange")) <= 4,
+      s"too many shuffles for the ADC pipeline:\n$p")
+  }
+
   test("hash sampling pushes column pruning to the scan and adds no exchange") {
     val p = Queries.queries("q_sample_hash")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
