@@ -103,8 +103,11 @@ object Bench {
       "q_text_oov", "q_a5_rollup", "q_w3_topn_group", "q_events_gapfill",
       // bloom_filter_agg + scalar-subquery runtime filter path
       "q_j5_bloom_semi",
-      // round-8: the javax.imageio encode/decode mapPartitions path
-      "q_multimodal_real_decode")
+      // round-8: the javax.imageio / javax.sound encode/decode
+      // mapPartitions paths (codec JIT + plugin init must not land inside
+      // a measured run — the unwarmed audio query measured 16.8x at sf1,
+      // its warmed image twin 0.8x)
+      "q_multimodal_real_decode", "q_multimodal_audio")
     warmQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }

@@ -246,8 +246,47 @@ object Multimodal {
     import java.io.ByteArrayInputStream
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
 
+    /** Fast-path RIFF/WAVE chunk parse for plain integer-PCM payloads:
+      * `(audioFormat, channels, sampleRate, bitsPerSample, dataOff,
+      * dataLen)`, or null when the container isn't a well-formed PCM WAV
+      * (then the `AudioSystem` fallback takes over). Exists because
+      * `AudioSystem.getAudioInputStream` goes through the synchronized
+      * provider registry on EVERY call — measured as the dominant,
+      * contention-superlinear cost when 32 executor threads decode tens of
+      * thousands of small payloads (the exact per-row decode shape of a
+      * media corpus scan).
+      */
+    private def wavHeader(p: Array[Byte]): Array[Int] = {
+      def u16(o: Int) = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+      def u32(o: Int) = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+        ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
+      def tag(o: Int, s: String) = p.length >= o + 4 &&
+        p(o) == s(0).toByte && p(o + 1) == s(1).toByte &&
+        p(o + 2) == s(2).toByte && p(o + 3) == s(3).toByte
+      if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+      var off = 12
+      var fmt: Array[Int] = null
+      var data: Array[Int] = null
+      while (off + 8 <= p.length && (fmt == null || data == null)) {
+        val size = u32(off + 4)
+        if (size < 0 || off + 8 + size > p.length) return null
+        if (tag(off, "fmt ") && size >= 16)
+          fmt = Array(u16(off + 8), u16(off + 10), u32(off + 12), u16(off + 22))
+        else if (tag(off, "data")) data = Array(off + 8, size)
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (fmt == null || data == null || fmt(0) != 1 || fmt(1) < 1) null
+      else Array(fmt(0), fmt(1), fmt(2), fmt(3), data(0), data(1))
+    }
+
     override def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
       if (payload == null || payload.isEmpty) return (0, 0, 0)
+      val h = wavHeader(payload)
+      if (h != null) {
+        val frameBytes = h(1) * (h(3) / 8)
+        if (frameBytes <= 0) return (0, 0, 0)
+        return (h(5) / frameBytes, h(2), h(1))
+      }
       try {
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
         try {
@@ -258,35 +297,44 @@ object Multimodal {
     }
 
     /** 16-bit little-endian signed PCM samples, channel-averaged per frame;
-      * null for anything the JDK cannot decode to that encoding.
+      * null for anything not decodable to that encoding. Plain PCM WAVs
+      * read directly from the payload (no stream, no registry); other
+      * containers go through `AudioSystem`.
       */
     private def pcmFrames(payload: Array[Byte]): Array[Double] = {
       if (payload == null || payload.isEmpty) return null
-      try {
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-        try {
-          val f = ais.getFormat
-          if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
-            f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) return null
-          val bytes = ais.readAllBytes()
-          val ch = f.getChannels
-          val n = bytes.length / (2 * ch)
-          val out = new Array[Double](n)
-          var i = 0
-          while (i < n) {
-            var sum = 0.0
-            var c = 0
-            while (c < ch) {
-              val o = (i * ch + c) * 2
-              sum += ((bytes(o) & 0xFF) | (bytes(o + 1).toInt << 8)).toShort.toDouble
-              c += 1
-            }
-            out(i) = sum / ch
-            i += 1
-          }
-          out
-        } finally ais.close()
-      } catch { case scala.util.control.NonFatal(_) => null }
+      val h = wavHeader(payload)
+      val (bytes, ch, off, len) =
+        if (h != null) {
+          if (h(3) != 16) return null
+          (payload, h(1), h(4), h(5))
+        } else {
+          try {
+            val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+            try {
+              val f = ais.getFormat
+              if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+                f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) return null
+              val b = ais.readAllBytes()
+              (b, f.getChannels, 0, b.length)
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => return null }
+        }
+      val n = len / (2 * ch)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var sum = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = off + (i * ch + c) * 2
+          sum += ((bytes(o) & 0xFF) | (bytes(o + 1).toInt << 8)).toShort.toDouble
+          c += 1
+        }
+        out(i) = sum / ch
+        i += 1
+      }
+      out
     }
 
     /** Per-band RMS amplitude in [0,1] over `dim` equal time bands. */

@@ -437,6 +437,8 @@ object Similarity {
     require(m >= 1 && ncode >= 1, s"bad m/ncode: $m/$ncode")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(refine >= 1, s"refine must be >= 1, got $refine")
+    // one-row metadata probe (LocalLimit pushes it to a single file read),
+    // not a data collect: the subvector slicer needs the static dimension
     val dim = df.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
     val sub = dim / m
