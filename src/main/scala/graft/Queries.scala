@@ -546,6 +546,31 @@ object Queries {
         snap, chg, Seq("user_id"), Seq("us", "event_id"), "op")
     }),
 
+    // SCD Type-2 dimension history: per-user event_type state runs with
+    // validity intervals — consecutive same-state rows collapsed, the run
+    // opened by its (us, event_id) version, closed by the next run's
+    // version (NULL while current). One window shuffle; integer/string
+    // outputs only, so the oracle is hash-exact
+    "q_events_scd2" -> ((s, d) => {
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
+          col("event_type"))
+      graft.operators.Changelog.scd2History(
+        ev, Seq("user_id"), Seq("us", "event_id"), Seq("event_type"))
+    }),
+
+    // rolling z-score anomaly flags: each event vs the trailing-50 window
+    // of its user's series, integer-exact ((n·x−S1)² > 9·(n·S2−S1²) on
+    // ×1000 fixed-point values) so the flag is bit-identical cross-engine
+    "q_events_anomaly" -> ((s, d) => {
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
+          col("value"))
+      graft.operators.Temporal.rollingAnomaly(
+        ev, Seq("user_id"), Seq("us", "event_id"), "value",
+        scale = 1000L, lookback = 50, z = 3L, minN = 10)
+    }),
+
     // skew-salted join: semantics invariant to salting, so the oracle is
     // the PLAIN join — the salt is pure execution strategy
     "q_skew_salted_join" -> ((s, d) => {
@@ -1831,6 +1856,38 @@ object Queries {
         |  CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE s.value END AS value
         |FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
         |WHERE c.op IS NULL OR c.op != 'D'""".stripMargin,
+
+    // replicates Changelog.scd2History: lag-suppress unchanged states,
+    // then lead over the SURVIVING rows yields each run's closing version
+    "q_events_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+        |  FROM events),
+        |ch AS (SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS prev_st FROM ev),
+        |runs AS (SELECT user_id, event_id, us, event_type FROM ch
+        |  WHERE prev_st IS DISTINCT FROM event_type),
+        |iv AS (SELECT *,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_event_id
+        |  FROM runs)
+        |SELECT user_id, event_type,
+        |  us AS valid_from_us, event_id AS valid_from_event_id,
+        |  valid_to_us, valid_to_event_id,
+        |  valid_to_us IS NULL AS is_current
+        |FROM iv""".stripMargin,
+
+    // replicates Temporal.rollingAnomaly: trailing ROWS frame excludes the
+    // current row; the z-test is division-free BIGINT arithmetic
+    "q_events_anomaly" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |w AS (SELECT user_id, event_id, us, v,
+        |    count(v) OVER fr AS n, sum(v) OVER fr AS s1, sum(v*v) OVER fr AS s2
+        |  FROM ev WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, us, event_id, v AS v_scaled, n AS win_n,
+        |  (n >= 10 AND (n*v - s1)*(n*v - s1) > 9*(n*s2 - s1*s1)) AS is_anomaly
+        |FROM w""".stripMargin,
 
     // replicates Profiling.profile on orders: n_distinct is COUNT(DISTINCT)
     // (non-null) — all-integer outputs, engine-independent

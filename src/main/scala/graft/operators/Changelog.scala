@@ -90,4 +90,47 @@ object Changelog {
       .select(outCols.map(c =>
         if (keys.contains(c)) col(c) else col(s"__row.$c").as(c)): _*)
   }
+
+  /** SCD Type-2 history build: turn a change stream into validity
+    * intervals — one row per (key, state run), carrying the state, the
+    * version tuple that opened it (`valid_from_<c>`), the version tuple of
+    * the NEXT run (`valid_to_<c>`, NULL while open) and an `is_current`
+    * flag. Consecutive rows whose `stateCols` are unchanged (null-safe)
+    * are collapsed into the run that opened the state, the standard SCD-2
+    * no-op suppression.
+    *
+    * Scale design: ONE shuffle on `keys`; both the change-suppression lag
+    * and the interval lead run over the same (keys, orderCols) window, so
+    * the exchange is planned once and the frames never leave their
+    * partition. No driver actions, no joins — history for a 100 TB change
+    * stream is a single window stage. `(keys ++ orderCols)` must be unique
+    * and `orderCols` non-null, as in [[latestByKey]].
+    */
+  def scd2History(
+      changes: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      stateCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty && orderCols.nonEmpty && stateCols.nonEmpty,
+      "keys, orderCols and stateCols must be non-empty")
+    val all = keys ++ orderCols ++ stateCols
+    require(all.forall(changes.columns.contains),
+      s"missing columns: ${all.filterNot(changes.columns.contains).mkString(", ")}")
+    require(all.distinct.size == all.size, "keys/orderCols/stateCols must be disjoint")
+    val scratch = Seq("__prev", "__next")
+    require(scratch.forall(c => !changes.columns.contains(c)),
+      s"input already has a ${scratch.mkString("/")} column (reserved scratch names) — rename it first")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    val state = struct(stateCols.map(col): _*)
+    changes
+      .select((keys ++ orderCols ++ stateCols).map(col): _*)
+      .withColumn("__prev", lag(state, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> state))
+      .withColumn("__next", lead(struct(orderCols.map(col): _*), 1).over(w))
+      .select(keys.map(col) ++ stateCols.map(col) ++
+        orderCols.map(c => col(c).as(s"valid_from_$c")) ++
+        orderCols.map(c => col(s"__next.$c").as(s"valid_to_$c")) :+
+        col("__next").isNull.as("is_current"): _*)
+  }
 }

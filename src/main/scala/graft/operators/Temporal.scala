@@ -172,6 +172,7 @@ object Temporal {
     val collisions = left.columns.toSeq.intersect(rightCols)
     require(collisions.isEmpty, s"column collision between sides: ${collisions.mkString(", ")}")
     def binOf(c: String): Column = expr(s"CAST(`$c` AS BIGINT) div $binWidth")
+
     val l = left.withColumn("__bin", binOf(leftTs))
     val r = right
       .filter(col(rightEnd) >= col(rightStart))
@@ -192,5 +193,60 @@ object Temporal {
     l.join(r, keys :+ "__bin")
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop("__bin")
+  }
+
+  /** Rolling z-score anomaly flags over a per-key ordered series,
+    * integer-exact so the result is bit-identical in any engine.
+    *
+    * The value is fixed-point-quantized (`floor(value * scale)` — exact on
+    * identical IEEE doubles), then each row is compared against the
+    * TRAILING window of the previous `lookback` rows (the row itself
+    * excluded, so an outlier never masks itself). The textbook test
+    * `|x - mean| > z * stddev` is cleared of division and sqrt by
+    * multiplying through by `n²`:
+    *
+    *   (n·x − S1)² > z² · (n·S2 − S1²)        [S1=Σv, S2=Σv², n=window count]
+    *
+    * which is all BIGINT arithmetic. Rows with fewer than `minN` prior
+    * rows are never flagged (cold start).
+    *
+    * Scale design: ONE shuffle on `keys`; count/sum/sum-of-squares ride a
+    * single ROWS frame over one sort, and the flag is a codegen'd scalar
+    * projection. Overflow bound: |scaled value| up to B needs
+    * `lookback · B² · max(lookback, z²) < 2⁶³` — e.g. B=10⁶, lookback=10³,
+    * z=3 gives 10³·10¹²·10³ = 10¹⁸ < 9.2·10¹⁸. The default scale keeps
+    * typical metric ranges far inside that.
+    */
+  def rollingAnomaly(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      scale: Long = 1000L,
+      lookback: Int = 50,
+      z: Long = 3L,
+      minN: Int = 10): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "keys and orderCols must be non-empty")
+    require(lookback >= 1 && minN >= 1 && z >= 1 && scale >= 1,
+      "lookback, minN, z and scale must be positive")
+    val scratch = Seq("__v", "__n", "__s1", "__s2")
+    require(scratch.forall(c => !df.columns.contains(c)),
+      s"input already has a ${scratch.mkString("/")} column (reserved scratch names) — rename it first")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback.toLong, -1L)
+    val dev = col("__n") * col("__v") - col("__s1")
+    val flagged = df
+      .withColumn("__v", floor(col(valueCol) * scale))
+      .withColumn("__n", count(col("__v")).over(w))
+      .withColumn("__s1", sum(col("__v")).over(w))
+      .withColumn("__s2", sum(col("__v") * col("__v")).over(w))
+    flagged.select(
+      (keys ++ orderCols).map(col) :+
+        col("__v").as("v_scaled") :+
+        col("__n").as("win_n") :+
+        (col("__n") >= minN &&
+          dev * dev > lit(z * z) * (col("__n") * col("__s2") - col("__s1") * col("__s1")))
+          .as("is_anomaly"): _*)
   }
 }
