@@ -439,6 +439,32 @@ object Queries {
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
+    // incremental aggregation maintenance: monthly mergeable partials
+    // (count/sum/min/max on ×100 fixed-point) folded to the per-flag
+    // rollup — the oracle computes the rollup DIRECTLY from the raw rows,
+    // so the green row proves merge-of-partials ≡ one-shot aggregation
+    "q_agg_incremental" -> ((s, d) => {
+      val base = li(s, d).select(
+        col("l_returnflag"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ship_month"),
+        floor(col("l_quantity") * 100).as("qty_scaled"))
+      graft.operators.Incremental.mergeStats(
+        graft.operators.Incremental.partialStats(
+          base, Seq("l_returnflag"), "ship_month", "qty_scaled"),
+        Seq("l_returnflag"))
+    }),
+
+    // small-file compaction planner over a synthetic per-partition file
+    // listing (each doc = one "file" of n_chars bytes, partitioned by
+    // lang): next-fit groups of ~20 kB by the running-sum rule
+    "q_layout_compact" -> ((s, d) =>
+      graft.sources.Layout.planCompaction(
+        docs(s, d).select(
+          col("lang"),
+          concat(lit("doc_"), col("doc_id").cast("string")).as("path"),
+          col("n_chars").as("bytes")),
+        Seq("lang"), "path", "bytes", targetBytes = 20000L)),
+
     // O1: total-order top-k with full tie-break
     "q_o1_topk" -> ((s, d) =>
       ord(s, d)
@@ -673,6 +699,29 @@ object Queries {
     // integer-exact): fraction of char bigrams outside the corpus top-200
     "q_text_oov" -> ((s, d) =>
       TextAnalysis.oovBigramScore(docs(s, d), "doc_id", "text", vocabK = 200)),
+
+    // TF-IDF ranked retrieval: top-25 docs for a 4-term query under the
+    // scaled-integer idf (⌊N·10⁶/df⌋) — exact BIGINT scoring end to end
+    "q_text_rank" -> ((s, d) =>
+      TextAnalysis.rankByTerms(docs(s, d), "doc_id", "text",
+        Seq("join", "vector", "spark", "filter"), k = 25)),
+
+    // PII detection audit: per-doc match counts per class. Synthetic PII is
+    // appended (the corpus contains none), with a second email on every
+    // third doc so the counts actually vary
+    "q_text_pii" -> ((s, d) =>
+      TextAnalysis.piiStats(
+        docs(s, d).select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            lit(" Contact: user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."), (col("doc_id") % 250).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"),
+            lit(" call +1-555-0123-4567 ref 987654321"),
+            when(col("doc_id") % 3 === 0, lit(" cc admin@example.org"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
 
     // text cleaning: emails/URLs are appended so the masking path is
     // actually exercised (the synthetic corpus contains neither)
@@ -1453,6 +1502,29 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
+    // the DIRECT one-shot rollup — proving Incremental.mergeStats ∘
+    // partialStats collapses to the same answer
+    "q_agg_incremental" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(l_quantity) AS BIGINT) AS n_vals,
+        |  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_scaled,
+        |  CAST(MIN(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS min_scaled,
+        |  CAST(MAX(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS max_scaled
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // replicates Layout.planCompaction: running-sum next-fit groups per
+    // lang partition in path order
+    "q_layout_compact" ->
+      """WITH f AS (SELECT lang, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+        |    n_chars AS bytes FROM documents),
+        |w AS (SELECT *, coalesce(sum(bytes) OVER (PARTITION BY lang ORDER BY path
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr FROM f)
+        |SELECT lang, path, bytes,
+        |  CAST(bfr // 20000 AS BIGINT) AS compaction_group,
+        |  bytes >= 20000 AS is_right_sized
+        |FROM w""".stripMargin,
+
     "q_o1_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
@@ -1993,6 +2065,44 @@ object Queries {
         |  CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0.0
         |       ELSE coalesce(sc.n_oov, 0) / CAST(sc.n_bigrams AS DOUBLE) END AS oov_ratio
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc""".stripMargin,
+
+    // replicates rankByTerms: scaled-integer idf = N·10⁶ // df, BIGINT
+    // scoring, (score DESC, doc) top-25
+    "q_text_rank" ->
+      """WITH toks AS (SELECT doc_id AS doc,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('join', 'vector', 'spark', 'filter') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |sc AS (SELECT doc,
+        |    CAST(SUM(tf * ((nd * 1000000) // df)) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n GROUP BY doc)
+        |SELECT doc, score, n_terms FROM sc
+        |ORDER BY score DESC, doc ASC LIMIT 25""".stripMargin,
+
+    // replicates piiStats over the synthetically PII-salted text: same
+    // RE2-safe patterns, non-overlapping match counts
+    "q_text_pii" ->
+      """WITH salted AS (SELECT doc_id,
+        |    text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |         || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |         || ' call +1-555-0123-4567 ref 987654321'
+        |         || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id AS doc,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4s,
+        |  CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{9}\b')) AS BIGINT) AS n_id_numbers,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |       len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
+        |       len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}')) +
+        |       len(regexp_extract_all(t, '\b\d{9}\b')) AS BIGINT) AS pii_total
+        |FROM salted""".stripMargin,
 
     // replicates TextAnalysis.scrub: mask emails, then URLs, then collapse
     // whitespace — same regexes (RE2-safe), same order

@@ -494,6 +494,76 @@ object TextAnalysis {
       .select("doc", "term", "tf", "df")
   }
 
+  /** PII pattern classes for detection/audit. Deliberately RE2-safe (no
+    * backrefs, no lookaround) so the same patterns run under Java regex,
+    * RE2-family engines and the DuckDB oracle with identical
+    * leftmost-non-overlapping match counts; simple greedy quantifiers
+    * avoid the leftmost-first (Java) vs leftmost-longest (RE2) divergence
+    * that alternation-heavy patterns can hit.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4s" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phones" -> "\\+\\d{1,2}-\\d{3}-\\d{3,4}-\\d{4}",
+    "id_numbers" -> "\\b\\d{9}\\b")
+
+  /** PII detection audit: per-document match counts for each
+    * [[piiPatterns]] class plus the total — the measure-before-you-[[scrub]]
+    * half of corpus governance (which docs leak, how much, which class).
+    * Pure codegen'd per-row projection: no shuffle, no UDF, prunes to
+    * (id, text) at the scan.
+    */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val total = piiPatterns.map { case (name, _) => col(s"n_$name") }.reduce(_ + _)
+    df.select(col(idCol).as("doc") +: counts: _*)
+      .withColumn("pii_total", total)
+  }
+
+  /** TF-IDF ranked retrieval: score every document against a bag of query
+    * terms and return the top `k` by summed `tf · idf`, where the idf is
+    * the SCALED-INTEGER `⌊N · idfScale / df⌋` (N = corpus size, df = docs
+    * containing the term). The floor-divided idf trades the textbook log
+    * for exact BIGINT arithmetic, so rankings are bit-identical in any
+    * engine — the monotonic 1/df shape is what the ranking needs, and the
+    * scale keeps three-digit precision ahead of the floor.
+    *
+    * Scale design: the query bag is a literal `isin` filter, so only rows
+    * containing a query term survive the scan-side explode — the shuffles
+    * (tf, df, final score) all run on the FILTERED stream, proportional to
+    * query-term postings, not the corpus. df→tf rejoin is on the ≤|terms|
+    * df frame (broadcast); N arrives via a broadcast 1-row cross join; the
+    * top-k is TakeOrderedAndProject, never a global sort.
+    */
+  def rankByTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      idfScale: Long = 1000000L): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1 && idfScale >= 1, "k and idfScale must be positive")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = df
+      .select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__idf", expr(s"(__n * ${idfScale}L) div df"))
+      .groupBy("doc")
+      .agg(
+        sum(col("tf") * col("__idf")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+
   /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
     * heuristic. Public, well-known high-frequency function words.
     */

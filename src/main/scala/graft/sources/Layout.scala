@@ -86,6 +86,48 @@ object Layout {
       .drop(zc)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction planner: assign each file to a rewrite group of
+    * ~`targetBytes` cumulative size within its table partition — the
+    * planning half of an OPTIMIZE/compact pass, emitted as data so the
+    * rewrite can be driven, audited or resumed as a plain job.
+    *
+    * Files are packed in `pathCol` order (ingest order — compaction should
+    * preserve rough time locality, not re-cluster; use [[writeZordered]]
+    * for that) by the running-sum rule `group = ⌊bytes-before / target⌋`:
+    * next-fit packing, every group ends at or just past the target, and a
+    * single over-target file forms its own group. Also flags files already
+    * at ≥ `targetBytes` (`is_right_sized` — rewriting those wastes IO).
+    *
+    * Scale design: ONE shuffle, windowed per table partition — the window
+    * key is the physical partition, so the frame is the partition's file
+    * LISTING (thousands of rows), never data. At 100 TB the listing for
+    * every partition plans in parallel in one stage; group ids are
+    * deterministic, so re-running the planner after a partial rewrite
+    * yields the same residual plan.
+    */
+  def planCompaction(
+      files: DataFrame,
+      partitionCols: Seq[String],
+      pathCol: String,
+      bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    require((partitionCols :+ pathCol :+ bytesCol).forall(files.columns.contains),
+      "partitionCols, pathCol and bytesCol must exist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(pathCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    require(!files.columns.contains("__before"),
+      "input already has a '__before' column (reserved scratch name) — rename it first")
+    files
+      .withColumn("__before", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .select(
+        (partitionCols :+ pathCol :+ bytesCol).map(col) :+
+          expr(s"__before div ${targetBytes}L").as("compaction_group") :+
+          (col(bytesCol) >= targetBytes).as("is_right_sized"): _*)
+  }
 }
 
 /** Bucket index of `child` within a sorted, broadcast-literal boundary

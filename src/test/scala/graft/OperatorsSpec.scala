@@ -950,4 +950,125 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (1L, "b"), (3L, "d")),
       "dup keys kept once each, null and missing keys dropped")
   }
+
+  test("scd2History collapses no-change runs and chains validity intervals") {
+    val chg = Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "bronze"), // no-change → collapsed
+      (1L, 30L, "silver"), (1L, 40L, "gold"),
+      (2L, 15L, "gold") // single-version key
+    ).toDF("uid", "v", "tier")
+    val h = graft.operators.Changelog
+      .scd2History(chg, Seq("uid"), Seq("v"), Seq("tier"))
+      .collect()
+      .map(r => (r.getAs[Long]("uid"), r.getAs[String]("tier"),
+        r.getAs[Long]("valid_from_v"), r.getAs[Any]("valid_to_v"),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(h == Set(
+      (1L, "bronze", 10L, 30L, false),
+      (1L, "silver", 30L, 40L, false),
+      (1L, "gold", 40L, null, true),
+      (2L, "gold", 15L, null, true)))
+  }
+
+  test("scd2History reopens a state that returns after an intervening change") {
+    val chg = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a")).toDF("uid", "v", "st")
+    val h = graft.operators.Changelog
+      .scd2History(chg, Seq("uid"), Seq("v"), Seq("st"))
+    assert(h.count() == 3, "a→b→a is three runs, not two")
+    assert(h.filter(col("is_current")).select("st").as[String].collect().sameElements(Array("a")))
+  }
+
+  test("rollingAnomaly flags a spike against its trailing window, never itself in later math") {
+    // constant series with one spike: the spike is flagged (window is the
+    // flat history); post-spike rows are NOT flagged (their windows absorb
+    // the spike's variance, and |x-mean| stays small)
+    val rows = (1 to 40).map(i => (1L, i.toLong, if (i == 30) 500.0 else 10.0))
+    val out = graft.operators.Temporal
+      .rollingAnomaly(rows.toDF("uid", "t", "value"), Seq("uid"), Seq("t"), "value",
+        scale = 1000L, lookback = 20, z = 3L, minN = 5)
+    val flagged = out.filter(col("is_anomaly")).select("t").as[Long].collect().toSet
+    assert(flagged == Set(30L), s"only the spike should flag, got $flagged")
+    // cold start: first minN rows can never flag even if wild
+    val cold = graft.operators.Temporal
+      .rollingAnomaly(Seq((1L, 1L, 999.0), (1L, 2L, -999.0)).toDF("uid", "t", "value"),
+        Seq("uid"), Seq("t"), "value", minN = 5)
+    assert(cold.filter(col("is_anomaly")).count() == 0)
+  }
+
+  test("rollingAnomaly never flags a zero-variance window match") {
+    val rows = (1 to 30).map(i => (1L, i.toLong, 7.0))
+    val out = graft.operators.Temporal
+      .rollingAnomaly(rows.toDF("uid", "t", "value"), Seq("uid"), Seq("t"), "value", minN = 3)
+    assert(out.filter(col("is_anomaly")).count() == 0,
+      "x == mean on zero variance must not flag (strict inequality)")
+  }
+
+  test("planCompaction packs next-fit groups per partition and flags right-sized files") {
+    val files = Seq(
+      ("p1", "f01", 6L), ("p1", "f02", 6L), ("p1", "f03", 6L), // 18 → group 0 closes past 10
+      ("p1", "f04", 3L), // before=18 → group 1
+      ("p1", "f05", 25L), // oversized: own group eventually, right_sized
+      ("p2", "f01", 2L) // other partition restarts at group 0
+    ).toDF("part", "path", "bytes")
+    val plan = graft.sources.Layout
+      .planCompaction(files, Seq("part"), "path", "bytes", targetBytes = 10L)
+      .collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("path"),
+        r.getAs[Long]("compaction_group"), r.getAs[Boolean]("is_right_sized"))).toSet
+    assert(plan == Set(
+      ("p1", "f01", 0L, false), ("p1", "f02", 0L, false),
+      ("p1", "f03", 1L, false), // 12 bytes before it → group 1
+      ("p1", "f04", 1L, false), // 18 before → still group 1
+      ("p1", "f05", 2L, true),
+      ("p2", "f01", 0L, false)))
+  }
+
+  test("rankByTerms scores tf·⌊N·scale/df⌋ and breaks score ties by doc id") {
+    val corpus = Seq(
+      (1L, "spark spark spark"), // tf(spark)=3
+      (2L, "spark join"), // tf(spark)=1, tf(join)=1
+      (3L, "join join other words"), // tf(join)=2
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .rankByTerms(corpus, "doc_id", "text", Seq("spark", "join"), k = 3, idfScale = 100L)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("score"), r.getAs[Long]("n_terms")))
+    // N=4; df(spark)=2 → idf=200; df(join)=2 → idf=200; 400-tie → doc asc
+    assert(got.toSeq == Seq((1L, 600L, 1L), (2L, 400L, 2L), (3L, 400L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("piiStats counts each class independently and in-text digit runs don't leak across classes") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d@e.org, ip 10.0.0.1, call +1-555-0123-4567 id 123456789"),
+      (2L, "clean text with number 12345678 only"), // 8 digits: no class hit
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiStats(df, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_ipv4s"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("n_id_numbers"), r.getAs[Long]("pii_total"))).toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 1L, 1L, 5L),
+      (2L, 0L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("Incremental: merge of per-bucket partials equals the one-shot aggregation (sketch incl.)") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      (s"k${i % 3}", i % 12, (rng.nextInt(2000) - 500).toLong)
+    }
+    val df = rows.toDF("key", "bucket", "v")
+    val merged = graft.operators.Incremental.mergeStats(
+      graft.operators.Incremental.partialStats(df, Seq("key"), "bucket", "v", withSketch = true),
+      Seq("key"))
+    val direct = df.groupBy("key").agg(
+      count(lit(1)).as("n_rows"), count(col("v")).as("n_vals"),
+      sum("v").as("sum_scaled"), min("v").as("min_scaled"), max("v").as("max_scaled"),
+      hll_sketch_estimate(hll_sketch_agg(col("v"))).as("approx_distinct"))
+    val m = merged.collect().map(r => r.getAs[String]("key") -> r.toSeq.tail).toMap
+    val d = direct.collect().map(r => r.getAs[String]("key") -> r.toSeq.tail).toMap
+    assert(m == d, s"merged $m != direct $d — partials must merge exactly")
+  }
 }

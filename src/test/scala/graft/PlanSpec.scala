@@ -508,4 +508,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"gap-fill must not plan a span join:\n$p")
     assert(p.contains("Generate"), s"expected the sequence explode:\n$p")
   }
+
+  test("SCD2 history and rolling anomaly are single-shuffle window stages") {
+    for (q <- Seq("q_events_scd2", "q_events_anomaly")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Exchange (")) == 1,
+        s"$q must shuffle exactly once (one window key):\n$p")
+      assert(!p.contains("Join"), s"$q must not plan a join:\n$p")
+    }
+  }
+
+  test("compaction planner windows over the listing with one shuffle, no join") {
+    val p = plan("q_layout_compact")
+    assert(p.linesIterator.count(_.contains("Exchange (")) == 1,
+      s"one shuffle on the partition key:\n$p")
+    assert(!p.contains("Join"), s"planner must not join:\n$p")
+  }
+
+  test("TF-IDF retrieval: term filter at the explode, broadcast df rejoin, top-k heap") {
+    val p = plan("q_text_rank")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df frame (≤|query terms| rows) must broadcast back onto tf:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in retrieval justifies a shuffle join:\n$p")
+  }
+
+  test("incremental partials: map-side combine on raw rows; merge touches state only") {
+    val p = plan("q_agg_incremental")
+    // two aggregations (partial per-bucket, merge per-key), each planned
+    // partial+final → 4 HashAggregates, 2 exchanges, still no join
+    assert(p.linesIterator.count(_.contains("Exchange (")) == 2,
+      s"bucket agg + merge agg, nothing more:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate (")) == 4,
+      s"both aggregations must partial-combine map-side:\n$p")
+    assert(!p.contains("Join"), s"no join in the state fold:\n$p")
+  }
 }
