@@ -863,6 +863,24 @@ object Queries {
         .groupBy("component").agg(count(lit(1)).as("n_members"))
     }),
 
+    // leakage-safe split: near-dup clusters (star pairs hub → hub+100k,
+    // hub+200k over an augmented corpus) land whole in one split — the
+    // contamination guard a per-doc hash split cannot give
+    "q_sample_leakage" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "lang")
+      val tenth = dd.filter(col("doc_id") % 10 === 0)
+      val aug = dd
+        .unionByName(tenth.withColumn("doc_id", col("doc_id") + lit(100000L)))
+        .unionByName(tenth.withColumn("doc_id", col("doc_id") + lit(200000L)))
+      val pairs = tenth
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + lit(100000L)).as("doc_b"))
+        .unionByName(tenth
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + lit(200000L)).as("doc_b")))
+      Sampling.leakageSafeSplit(aug, "doc_id", pairs, "doc_a", "doc_b",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        salt = "lk", granularity = 1000)
+    }),
+
     // incremental ingest dedup: docs with doc_id % 3 != 0 are the "seen"
     // corpus (by fingerprint); the anti-join keeps only genuinely new text
     "q_dedup_incremental" -> ((s, d) => {
@@ -2148,6 +2166,29 @@ object Queries {
         |            WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM b GROUP BY 1""".stripMargin,
+
+    // replicates Sampling.leakageSafeSplit on the star-pair fixture: the
+    // cluster label is the hub (min member id = doc_id % 100000 for
+    // copies), singletons keep their own id; then the split is the
+    // standard hash-bucket rule on the CLUSTER id
+    "q_sample_leakage" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, lang FROM documents WHERE doc_id % 10 = 0),
+        |g AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id >= 100000 THEN doc_id % 100000 ELSE doc_id END AS split_group
+        |  FROM aug),
+        |b AS (SELECT *,
+        |    CAST(concat('0x', substr(sha256(CAST(split_group AS VARCHAR) || ':lk'), 1, 15)) AS BIGINT)
+        |      % 1000 AS bkt
+        |  FROM g)
+        |SELECT doc_id, lang, split_group,
+        |  CASE WHEN bkt < 800 THEN 'train'
+        |       WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     // replicates Sampling.weightedSample: exact integer keep-decision
     // bucket·refWeight < round(fraction·granularity)·weight, HUGEINT math

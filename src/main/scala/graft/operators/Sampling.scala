@@ -184,4 +184,46 @@ object Sampling {
         .withColumn(sourceCol, lit(name))
     }.reduce(_.unionByName(_))
   }
+
+  /** Leakage-safe train/eval split: [[hashSplit]], but hashed on the
+    * NEAR-DUPLICATE CLUSTER id instead of the row key, so every member of
+    * a duplicate cluster lands in the same split. A plain per-document
+    * hash split puts ~`2·p·(1−p)` of each near-dup pair across the
+    * train/eval boundary — eval answers sitting verbatim in train, the
+    * classic contamination bug this operator exists to prevent.
+    *
+    * `pairs` is the upstream near-dup pair list (minhash/simhash/jaccard/
+    * embedding — any of the Dedup family); clusters are its connected
+    * components, labeled by min member id. Rows in no pair keep their own
+    * key as a singleton group, so the split stays disjoint-and-exhaustive
+    * over the whole corpus and membership of untouched rows never changes
+    * when new pairs appear.
+    *
+    * Scale design: the component frame holds only documents that occur in
+    * a pair (the near-dup minority, ≪ corpus), so AQE broadcasts the
+    * cluster-id join and the corpus never shuffles; the split itself is
+    * the usual scan-side hash filter. Emits `groupCol` alongside
+    * `splitCol` for audits.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      keyCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split",
+      groupCol: String = "split_group",
+      granularity: Int = 1000000): DataFrame = {
+    require(!df.columns.contains(groupCol) && !df.columns.contains("component"),
+      s"input already has a '$groupCol'/'component' column — rename it first")
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(keyCol), col("component"))
+    val grouped = df
+      .join(comp, Seq(keyCol), "left")
+      .withColumn(groupCol, coalesce(col("component"), col(keyCol)))
+      .drop("component")
+    hashSplit(grouped, groupCol, weights, salt, splitCol, granularity)
+  }
 }

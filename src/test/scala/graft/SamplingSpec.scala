@@ -147,4 +147,38 @@ class SamplingSpec extends SparkSpec {
     // the repetition feature columns ride along when the gate is on
     assert(gated.columns.contains("dup_3gram_ratio"))
   }
+
+  test("leakageSafeSplit keeps near-dup clusters in one split where a naive split leaks") {
+    val corpus = spark.range(0, 2000).select(col("id").as("doc_id"))
+    // chains a—(a+10000)—(a+20000) for every 5th doc: transitive clusters
+    val fifth = corpus.filter(col("doc_id") % 5 === 0)
+    val aug = corpus
+      .unionByName(fifth.select((col("doc_id") + 10000L).as("doc_id")))
+      .unionByName(fifth.select((col("doc_id") + 20000L).as("doc_id")))
+    val pairs = fifth
+      .select(col("doc_id").as("a"), (col("doc_id") + 10000L).as("b"))
+      .unionByName(fifth
+        .select((col("doc_id") + 10000L).as("a"), (col("doc_id") + 20000L).as("b")))
+    val split = Sampling.leakageSafeSplit(aug, "doc_id", pairs, "a", "b",
+      Seq(("train", 0.9), ("eval", 0.1)), salt = "t")
+    // every cluster resolves to the hub and is split as one unit
+    val leaks = split
+      .withColumn("hub",
+        when(col("doc_id") >= 10000L, col("doc_id") % 10000L).otherwise(col("doc_id")))
+      .groupBy("hub").agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+    assert(leaks.count() == 0, "a cluster crossed the train/eval boundary")
+    assert(split.count() == aug.count(), "split must be exhaustive")
+    // the group label is the min member (hub) for clustered docs
+    val g = split.filter(col("doc_id") === 10000L).select("split_group").as[Long].head()
+    assert(g == 0L)
+    // control: the naive per-doc split DOES leak on this fixture — the
+    // operator is load-bearing, not vacuous
+    val naive = Sampling.hashSplit(aug, "doc_id", Seq(("train", 0.9), ("eval", 0.1)), salt = "t")
+      .withColumn("hub",
+        when(col("doc_id") >= 10000L, col("doc_id") % 10000L).otherwise(col("doc_id")))
+      .groupBy("hub").agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+    assert(naive.count() > 0, "fixture too small to demonstrate naive leakage")
+  }
 }
