@@ -534,6 +534,18 @@ object Queries {
       graft.core.Profiling.histogram(ord(s, d), "o_totalprice",
         nBins = 20, lo = 0.0, hi = 500000.0)),
 
+    // distribution drift: order totalprice shape, pre- vs post-1998 —
+    // per-bin counts and integer-exact ppm proportions (Σ|delta|/2·10⁶ is
+    // the total-variation distance, no log/float in the score)
+    "q_profile_drift" -> ((s, d) => {
+      val o = ord(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      graft.core.Profiling.driftReport(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        "o_totalprice", nBins = 20, lo = 0.0, hi = 500000.0)
+    }),
+
     // semi-structured extraction: the props JSON column parsed with an
     // EXPLICIT from_json schema (one codegen'd Jackson parse per row, no
     // schema-inference scan — the only shape that works at 100 TB), then a
@@ -2001,6 +2013,30 @@ object Queries {
         |    CAST(floor((o_totalprice - 0.0) / 25000.0) AS INTEGER))) AS bin_no
         |  FROM orders WHERE o_totalprice IS NOT NULL)
         |GROUP BY bin_no""".stripMargin,
+
+    // replicates Profiling.driftReport: same histogram grid per side,
+    // full-outer bin align, ppm = n·10⁶ // N (floor), delta = cur − base
+    "q_profile_drift" ->
+      """WITH b AS (SELECT least(19, greatest(0,
+        |      CAST(floor((o_totalprice - 0.0) / 25000.0) AS INTEGER))) AS bin_no,
+        |    CAST(count(*) AS BIGINT) AS n_base
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |c AS (SELECT least(19, greatest(0,
+        |      CAST(floor((o_totalprice - 0.0) / 25000.0) AS INTEGER))) AS bin_no,
+        |    CAST(count(*) AS BIGINT) AS n_cur
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+        |j AS (SELECT coalesce(b.bin_no, c.bin_no) AS bin_no,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM b FULL OUTER JOIN c ON b.bin_no = c.bin_no),
+        |t AS (SELECT *, sum(n_base) OVER () AS tb, sum(n_cur) OVER () AS tc FROM j)
+        |SELECT bin_no, n_base, n_cur,
+        |  CAST((n_base * 1000000) // nullif(tb, 0) AS BIGINT) AS p_base_ppm,
+        |  CAST((n_cur * 1000000) // nullif(tc, 0) AS BIGINT) AS p_cur_ppm,
+        |  CAST((n_cur * 1000000) // nullif(tc, 0)
+        |     - (n_base * 1000000) // nullif(tb, 0) AS BIGINT) AS delta_ppm
+        |FROM t""".stripMargin,
 
     // replicates TextAnalysis.chunkDocuments: starts 1, 1+32, … (stride =
     // 40 − 8); list_slice end is inclusive so end = start + 39

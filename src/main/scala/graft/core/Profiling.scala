@@ -117,4 +117,49 @@ object Profiling {
         (lit(lo) + (col("bin_no") + 1) * lit(width)).as("hi_edge"),
         col("n_rows"))
   }
+
+  /** Distribution drift between two datasets of the same column — the
+    * data-quality twin of the comparison engine: instead of row-by-row
+    * equality, compare SHAPES (yesterday vs today, upstream vs downstream,
+    * train vs serve). Each side is bucketed by the same [[histogram]]
+    * grid; per bin the report carries both counts and the integer-exact
+    * parts-per-million proportions `⌊n·10⁶/N⌋`, plus their signed delta.
+    * `Σ|delta_ppm| / 2·10⁶` is the total-variation distance — an exact
+    * integer drift score with none of the log/float divergence a
+    * PSI/KL-based report would carry across engines.
+    *
+    * Scale design: each side pays exactly its histogram (one scan + one
+    * ≤nBins-group shuffle with map-side combine); everything after — the
+    * full-outer bin align, the totals window, the ppm math — runs on two
+    * ≤nBins-row frames. No join or window ever touches row-level data,
+    * so drifting a 100 TB pair costs two scans.
+    */
+  def driftReport(
+      base: DataFrame,
+      cur: DataFrame,
+      column: String,
+      nBins: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hb = histogram(base, column, nBins, lo, hi)
+      .select(col("bin_no"), col("n_rows").as("n_base"))
+    val hc = histogram(cur, column, nBins, lo, hi)
+      .select(col("bin_no"), col("n_rows").as("n_cur"))
+    // the single-partition window is deliberate: the frame is ≤ nBins rows
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hb.join(hc, Seq("bin_no"), "full_outer")
+      .select(
+        col("bin_no"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("__tb", sum(col("n_base")).over(all))
+      .withColumn("__tc", sum(col("n_cur")).over(all))
+      .select(
+        col("bin_no"), col("n_base"), col("n_cur"),
+        // nullif: an empty side yields NULL proportions, not a div-0 error
+        expr("(n_base * 1000000L) div nullif(__tb, 0L)").as("p_base_ppm"),
+        expr("(n_cur * 1000000L) div nullif(__tc, 0L)").as("p_cur_ppm"))
+      .withColumn("delta_ppm", col("p_cur_ppm") - col("p_base_ppm"))
+  }
 }

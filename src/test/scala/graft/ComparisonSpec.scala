@@ -219,6 +219,29 @@ class ComparisonSpec extends SparkSpec {
       s"NaN/NULL must be dropped, not counted in an edge bin; got $got")
   }
 
+  test("driftReport: identical sides have zero delta; a shifted side shows exact ppm drift") {
+    import spark.implicits._
+    val base = Seq(1.0, 1.0, 3.0, 5.0).toDF("v") // bins 0,0,1,2 of width 2
+    val same = graft.core.Profiling.driftReport(base, base, "v", nBins = 5, lo = 0.0, hi = 10.0)
+      .collect()
+    assert(same.forall(_.getAs[Long]("delta_ppm") == 0L))
+    val cur = Seq(1.0, 3.0, 3.0, 9.0).toDF("v") // bins 0,1,1,4
+    val got = graft.core.Profiling.driftReport(base, cur, "v", nBins = 5, lo = 0.0, hi = 10.0)
+      .collect().map(r => r.getAs[Int]("bin_no") ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_cur"), r.getAs[Long]("delta_ppm"))).toMap
+    assert(got == Map(
+      0 -> (2L, 1L, -250000L), // 500000 → 250000 ppm
+      1 -> (1L, 2L, 250000L),
+      2 -> (1L, 0L, -250000L), // bin only in base: full-outer keeps it
+      4 -> (0L, 1L, 250000L)), // bin only in cur
+      s"got $got")
+    // an empty side degrades to NULL proportions, never a div-0 error
+    val empty = graft.core.Profiling.driftReport(
+      base.filter(org.apache.spark.sql.functions.col("v") < 0),
+      base, "v", nBins = 5, lo = 0.0, hi = 10.0)
+    assert(empty.collect().forall(r => r.isNullAt(r.fieldIndex("p_base_ppm"))))
+  }
+
   test("approxProfile matches exact counts within HLL tolerance") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity", "l_returnflag")
