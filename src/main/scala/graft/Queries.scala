@@ -986,6 +986,22 @@ object Queries {
       Similarity.lshNearDuplicates(embs(s, d), "vec_id", "embedding", threshold = 0.35,
         numPlanes = 8, numTables = 4, weight = Similarity.shaPlaneWeight)),
 
+    // semantic decontamination: every 20th embedding row is the "eval
+    // suite"; the corpus is the rest plus leaked verbatim eval copies
+    // (+500000) — copies bucket with their eval twin in every table
+    // (cosine ≈ 1.0), so they MUST drop; real corpus rows above 0.35
+    // cosine to any eval row drop too, all replicated by the oracle.
+    "q_dedup_semantic" -> ((s, d) => {
+      val ee = embs(s, d).select("vec_id", "embedding", "label")
+      val eval = ee.filter(col("vec_id") % 20 === 0)
+      val corpus = ee.filter(col("vec_id") % 20 =!= 0)
+        .unionByName(eval.withColumn("vec_id", col("vec_id") + lit(500000L)))
+      Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+          eval, "vec_id", "embedding", threshold = 0.35,
+          numPlanes = 8, numTables = 4, weight = Similarity.shaPlaneWeight)
+        .select("vec_id", "label")
+    }),
+
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.attachPayload(docs(s, d), "doc_id", "text")
         .select(
@@ -1198,7 +1214,8 @@ object Queries {
     * parity of sha256("g:pos")'s first hex digit), per-table sign buckets
     * `b`, and squared norms `n`.
     */
-  private def lshOracleCtes(numPlanes: Int, numTables: Int): String = {
+  private def lshOracleCtes(
+      numPlanes: Int, numTables: Int, src: String = "embeddings"): String = {
     val projCols = (0 until numTables * numPlanes).map { g =>
       s"SUM(qv * CASE WHEN CAST(concat('0x', substr(sha256(concat('$g:', CAST(pos AS VARCHAR))), 1, 1)) AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END) AS p$g"
     }.mkString(",\n    ")
@@ -1210,7 +1227,7 @@ object Queries {
     }.mkString("\n  UNION ALL ")
     s"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
-       |  FROM embeddings),
+       |  FROM $src),
        |proj AS (SELECT vec_id,
        |    $projCols
        |  FROM e GROUP BY vec_id),
@@ -1254,6 +1271,35 @@ object Queries {
        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
        |FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.35""".stripMargin
+
+  /** DuckDB replica of the semantic-decontamination pipeline (matching
+    * q_dedup_semantic: eval = vec_id % 20 = 0, corpus = rest + verbatim
+    * leaks at +500000, 8 planes × 4 tables, sha weights, threshold 0.35):
+    * buckets over corpus ∪ eval → corpus×eval same-(table, bucket)
+    * candidates → exact fixed-point cosine → contaminated-id anti-join.
+    * Id classification is closed-form: eval ⇔ (% 20 = 0 ∧ < 500000),
+    * leaked copies ⇔ (% 20 = 0 ∧ ≥ 500000).
+    */
+  private val semanticDecontaminateOracleSql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |corpus AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0
+       |  UNION ALL SELECT vec_id + 500000, embedding, label FROM embeddings WHERE vec_id % 20 = 0),
+       |allv AS (SELECT vec_id, embedding FROM corpus UNION ALL SELECT vec_id, embedding FROM ev),
+       |${lshOracleCtes(numPlanes = 8, numTables = 4, src = "allv")},
+       |cand AS (SELECT DISTINCT c.vec_id AS cid, q.vec_id AS eid
+       |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE (c.vec_id % 20 <> 0 OR c.vec_id >= 500000)
+       |    AND q.vec_id % 20 = 0 AND q.vec_id < 500000),
+       |d AS (SELECT cid, eid, CAST(SUM(ec.qv * eq.qv) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN e ec ON ec.vec_id = cid
+       |  JOIN e eq ON eq.vec_id = eid AND ec.pos = eq.pos
+       |  GROUP BY 1, 2),
+       |cont AS (SELECT DISTINCT cid FROM d
+       |  JOIN n nc ON nc.vec_id = cid JOIN n ne ON ne.vec_id = eid
+       |  WHERE CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(ne.n2 AS DOUBLE))) >= 0.35)
+       |SELECT vec_id, label FROM corpus WHERE vec_id NOT IN (SELECT cid FROM cont)""".stripMargin
 
   /** DuckDB replica of the iters=0 IVF cluster-pruning ANN pipeline
     * (matching q_sim_ivf_topk's parameters: 16 sha-sampled pivots, 4
@@ -1362,6 +1408,8 @@ object Queries {
     "q_sim_lsh_topk" -> lshTopKOracleSql,
 
     "q_dedup_embedding_lsh" -> embeddingLshOracleSql,
+
+    "q_dedup_semantic" -> semanticDecontaminateOracleSql,
 
     "q_sim_ivf_topk" -> ivfTopKOracleSql,
 

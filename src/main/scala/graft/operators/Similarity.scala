@@ -606,14 +606,7 @@ object Similarity {
       numPlanes: Int = 16,
       numTables: Int = 8,
       weight: (Int, Column) => Column = xxPlaneWeight): DataFrame = {
-    val base = df
-      .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
-      .withColumn("__n2", longDot(col("__qa"), col("__qa")))
-    val buckets = lshBuckets(df, idCol, embCol, numPlanes, numTables, weight)
-      .withColumnRenamed("id", "__bucket_id")
-    val e = base.join(buckets, col(idCol) === col("__bucket_id"))
-      .select(col(idCol).as("id"), col("table"), col("bucket"),
-        col("__qa").as("qa"), col("__n2").as("n2"))
+    val e = bucketedQuantized(df, idCol, embCol, numPlanes, numTables, weight)
     e.as("a")
       .join(e.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
@@ -627,6 +620,72 @@ object Similarity {
       // a pair colliding in several tables scores identically each time
       // (exact integer dot), so the dedup is safe after scoring
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** One `(id, table, bucket, qa, n2)` row per (row of `df`) × LSH table:
+    * the quantized array and its squared norm ride each bucket row so any
+    * same-(table, bucket) join can score candidates in-row with the exact
+    * fixed-point dot — the shared candidate-side frame of
+    * [[lshNearDuplicates]] and [[semanticDecontaminate]].
+    */
+  private def bucketedQuantized(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      numPlanes: Int,
+      numTables: Int,
+      weight: (Int, Column) => Column): DataFrame = {
+    val base = df
+      .withColumn("__qa", transform(col(embCol), v => round(v.cast("double") * lit(Q)).cast("long")))
+      .withColumn("__n2", longDot(col("__qa"), col("__qa")))
+    val buckets = lshBuckets(df, idCol, embCol, numPlanes, numTables, weight)
+      .withColumnRenamed("id", "__bucket_id")
+    base.join(buckets, col(idCol) === col("__bucket_id"))
+      .select(col(idCol).as("id"), col("table"), col("bucket"),
+        col("__qa").as("qa"), col("__n2").as("n2"))
+  }
+
+  /** Semantic benchmark decontamination: drop every corpus row whose
+    * embedding has cosine ≥ `threshold` with ANY eval-set embedding — the
+    * embedding-space complement of
+    * [[graft.operators.Dedup.decontaminate]]'s shingle overlap. Paraphrased
+    * or lightly reworded eval leaks share few exact n-gram shingles but
+    * still sit next to the eval point in embedding space; this pass
+    * catches them (and verbatim copies bucket identically in EVERY table,
+    * so recall on exact leaks is 1 at any plane count).
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of rows,
+    * not billions — so its per-table quantized bucket frame BROADCASTS.
+    * The corpus pays its own bucket projection (one id-keyed aggregation),
+    * a broadcast probe join on (table, bucket), the exact fixed-point
+    * cosine in-row on candidates only, and a broadcast anti-join of the
+    * (tiny) contaminated-id set: the corpus text/payload columns are never
+    * shuffled. Probe recall for near-misses is governed by planes/tables
+    * exactly as in [[lshNearDuplicates]] — fewer planes = bigger buckets =
+    * higher recall at higher candidate cost.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalEmbCol: String,
+      threshold: Double,
+      numPlanes: Int = 16,
+      numTables: Int = 8,
+      weight: (Int, Column) => Column = xxPlaneWeight): DataFrame = {
+    val ce = bucketedQuantized(corpus, idCol, embCol, numPlanes, numTables, weight)
+    val ee = bucketedQuantized(eval, evalIdCol, evalEmbCol, numPlanes, numTables, weight)
+      .select(col("table"), col("bucket"), col("qa").as("__eqa"), col("n2").as("__en2"))
+    val contaminated = ce
+      .join(broadcast(ee), Seq("table", "bucket"))
+      .filter(
+        longDot(col("qa"), col("__eqa")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("__en2").cast("double"))) >= threshold)
+      .select(col("id").as(idCol))
+      .distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
   /** In-row cosine via the codegen'd [[graft.functions.DoubleArrayDot]]

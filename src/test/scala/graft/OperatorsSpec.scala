@@ -30,6 +30,26 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("semanticDecontaminate drops verbatim and near eval leaks, keeps dissimilar rows") {
+    val eval = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),       // verbatim leak of eval 1 → drop
+      (11L, Array(0f, 1f, 0f, 0f)),       // orthogonal to both → keep
+      (12L, Array(-1f, 0.01f, 0f, 0f)),   // anti-parallel → keep
+      (13L, Array(0.01f, 0f, 1f, 1f))     // near-leak of eval 2 (cos≈1) → drop
+    ).toDF("vec_id", "embedding")
+    // exhaustive-recall setting at this scale: 1 plane per table = every
+    // pair of same-sign vectors collides somewhere across the 8 tables
+    val kept = Similarity.semanticDecontaminate(
+        corpus, "vec_id", "embedding", eval, "vec_id", "embedding",
+        threshold = 0.9, numPlanes = 1, numTables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L), s"expected {11, 12} survivors, got $kept")
+  }
+
   test("dropSeenDocuments anti-joins on the normalized fingerprint (formatting-invariant)") {
     val incoming = Seq(
       (10L, "the quick brown fox"),

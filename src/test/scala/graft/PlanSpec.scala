@@ -307,6 +307,25 @@ class PlanSpec extends SparkSpec {
       s"survivors must come from an anti-join against the tiny contaminated set:\n$p")
   }
 
+  test("semantic decontamination: eval probe and contaminated-set anti-join broadcast by hint") {
+    // Unlike the shingle decontaminate (whose broadcasts are AQE-sized),
+    // semanticDecontaminate hints BOTH small sides explicitly — the eval
+    // bucket frame and the contaminated-id set are benchmark-suite-sized by
+    // contract — so the property is plan-intrinsic: no AQE, no runtime
+    // materialization needed to see it.
+    import org.apache.spark.sql.functions._
+    val ee = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.operators.Similarity.semanticDecontaminate(
+      ee.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+      ee.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 8, numTables = 4)
+    val p = q.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval bucket frame must broadcast into the probe without AQE:\n$p")
+    assert(p.contains("LeftAnti") && !p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the anti-join (broadcast LeftAnti only):\n$p")
+  }
+
   test("AQE-off: broadcast-dependent plans degrade safely, plan-intrinsic ones hold") {
     // Several scale claims lean on AQE's runtime broadcast of DERIVED small
     // sides (a limit'd seen-set, an exploded eval shingle set) whose static
