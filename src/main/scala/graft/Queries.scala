@@ -840,6 +840,22 @@ object Queries {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", "lang", threshold = 0.8)),
 
+    // excerpt detection: every 25th doc contributes a 40%-prefix excerpt
+    // (+400000) whose shingles are a near-subset of its parent's —
+    // containment ≈ 1 while symmetric jaccard sits near 0.4, below any
+    // dedup threshold. DIV keeps the truncation length integer-exact on
+    // both engines (DuckDB CAST(double AS INT) rounds; Spark truncates).
+    "q_dedup_containment" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text", "lang", "n_chars")
+      val excerpts = dd.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(400000L)).as("doc_id"),
+          expr("substring(text, 1, CAST(n_chars * 2 DIV 5 AS INT))").as("text"),
+          col("lang"))
+      Dedup.containmentPairs(
+        dd.select("doc_id", "text", "lang").unionByName(excerpts),
+        "doc_id", "text", "lang", threshold = 0.9)
+    }),
+
     // two-stage fuzzy dedup: permissive jaccard candidates (0.5), each
     // confirmed in-row by Levenshtein <= 100 on the full texts — the DP
     // cost is paid per candidate pair, never per N²
@@ -2393,6 +2409,34 @@ object Queries {
         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+
+    // same shingle/df-cap machinery as q_dedup_jaccard over the
+    // excerpt-augmented corpus, final score inter / LEAST(na, nb); the
+    // excerpt text is the same integer-exact (n_chars*2)//5-char prefix
+    "q_dedup_containment" ->
+      """WITH u AS (SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 400000,
+        |    substring(text, 1, CAST((n_chars * 2) // 5 AS INT)), lang
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |w AS (SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |  FROM u),
+        |toks0 AS (SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |  FROM w),
+        |toks AS (SELECT t.doc_id, t.lang, t.tok FROM toks0 t
+        |  JOIN (SELECT lang, tok FROM toks0 GROUP BY lang, tok
+        |        HAVING COUNT(*) <= 1000) keep USING (lang, tok)),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM toks a JOIN toks b
+        |         ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+        |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.9""".stripMargin,
 
     // same candidate CTE at 0.5 (including the explicit maxDf=1000 df-cap,
     // see q_dedup_jaccard), then texts joined back and the pair kept

@@ -222,7 +222,55 @@ object Dedup {
       threshold: Double,
       tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_),
       maxDf: Int = 1000,
-      dropObservation: Option[Observation] = None): DataFrame = {
+      dropObservation: Option[Observation] = None): DataFrame =
+    pairIntersections(df, idCol, textCol, blockCol, tokenizer, maxDf, dropObservation)
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Max-containment near-duplicate pairs:
+    * C(A, B) = |A ∩ B| / min(|A|, |B|) — the asymmetric overlap measure
+    * that catches a short document embedded verbatim in a longer one
+    * (excerpts, quoted articles, a README pasted into a larger page).
+    * Symmetric Jaccard structurally misses these: a 100-shingle doc inside
+    * a 10 000-shingle doc scores J ≈ 0.01 but C = 1.0. Same blocked,
+    * df-capped, chunk-emitted machinery (and the same exact-over-the-
+    * capped-token-space semantics) as [[jaccardPairs]] — only the final
+    * ratio differs.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      threshold: Double,
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_),
+      maxDf: Int = 1000,
+      dropObservation: Option[Observation] = None): DataFrame =
+    pairIntersections(df, idCol, textCol, blockCol, tokenizer, maxDf, dropObservation)
+      .withColumn(
+        "containment",
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+
+  /** Shared pairwise-intersection core of [[jaccardPairs]] /
+    * [[containmentPairs]]: `(doc_a, doc_b, inter, na, nb)` for every
+    * within-block document pair sharing ≥ 1 token with df ≤ `maxDf` —
+    * intersection counts AND set sizes both live in the capped token
+    * space, so any ratio derived from them is exact over that space.
+    */
+  private def pairIntersections(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      tokenizer: Column => Column,
+      maxDf: Int,
+      dropObservation: Option[Observation]): DataFrame = {
     // Single tokenize pass: gather each token's (sorted, df-capped) posting
     // list and emit the pair combinations in-row — no self-join, so the
     // tokenize subtree is evaluated once and the only shuffles are the
@@ -284,12 +332,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Fuzzy near-dup pairs, CONFIRMED by edit distance: generate candidates

@@ -30,6 +30,22 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("containmentPairs finds a short doc embedded in a long one that jaccard misses") {
+    val parent = (1 to 40).map(i => s"tok$i").mkString(" ") // 38 shingles
+    val excerpt = (1 to 12).map(i => s"tok$i").mkString(" ") // 10 shingles, all ⊆ parent
+    val corpus = Seq(
+      (1L, parent, "en"),
+      (2L, excerpt, "en"),
+      (3L, (100 to 140).map(i => s"tok$i").mkString(" "), "en") // disjoint
+    ).toDF("doc_id", "text", "lang")
+    val c = Dedup.containmentPairs(corpus, "doc_id", "text", "lang", threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment")))
+    assert(c.toSeq == Seq((1L, 2L, 1.0)), s"expected the excerpt pair only, got ${c.toSeq}")
+    val j = Dedup.jaccardPairs(corpus, "doc_id", "text", "lang", threshold = 0.5).count()
+    assert(j == 0, "jaccard at any dedup threshold must miss the excerpt pair")
+  }
+
   test("semanticDecontaminate drops verbatim and near eval leaks, keeps dissimilar rows") {
     val eval = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
