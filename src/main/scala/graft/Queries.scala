@@ -764,6 +764,13 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // epoch-aware mixture: src0 runs 2.4 epochs (2 full + a 40% extra
+    // slice), src1 half an epoch, src2 exactly one; the other 17 sources
+    // are dropped (a mixture is an explicit contract)
+    "q_sample_epochs" -> ((s, d) =>
+      Sampling.epochMix(docs(s, d).select("doc_id", "source"), "doc_id", "source",
+        Map("src0" -> 2.4, "src1" -> 0.5, "src2" -> 1.0), salt = "mix8")),
+
     // deterministic train/val/test split: per-split counts
     "q_sample_split" -> ((s, d) =>
       Sampling.hashSplit(
@@ -2254,6 +2261,22 @@ object Queries {
         |    AND CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':books'), 1, 15)) AS BIGINT)
         |          % 1000 < 300)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM mix GROUP BY 1""".stripMargin,
+
+    // replicates Sampling.epochMix: ⌊w⌋ full copies + one extra for the
+    // deterministic 40%/50%/0% hash slice (key = id#source, salt mix8,
+    // granularity 1e6); DuckDB range(cnt) unnests to the 0-based epochs
+    "q_sample_epochs" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 1 END
+        |    + CASE WHEN
+        |        CAST(concat('0x', substr(sha256(
+        |          CAST(doc_id AS VARCHAR) || '#' || source || ':mix8'), 1, 15)) AS BIGINT)
+        |          % 1000000 <
+        |        CASE source WHEN 'src0' THEN 400000 WHEN 'src1' THEN 500000 WHEN 'src2' THEN 0 END
+        |      THEN 1 ELSE 0 END AS cnt
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+        |SELECT doc_id, source, CAST(unnest(range(cnt)) AS INT) AS epoch
+        |FROM w WHERE cnt >= 1""".stripMargin,
 
     // replicates Sampling.hashSplit: cumulative bucket thresholds on the
     // granularity grid (0.8/0.1/0.1 at 1000 → 800/900)

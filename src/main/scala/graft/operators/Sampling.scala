@@ -185,6 +185,59 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Epoch-aware mixture materialization: emit each row of source `s`
+    * `epochs(s)` times — the REPETITION half of pre-training data mixing,
+    * where a small high-quality source runs several epochs while a large
+    * crawl runs a fraction of one. A weight w = ⌊w⌋ + f yields ⌊w⌋ full
+    * copies of every document plus one extra copy of the deterministic
+    * [[hash60]] f-slice (the hash key is id#source, so slices are
+    * independent across sources), each copy tagged with a 0-based
+    * `epochCol`:
+    *  - deterministic — no `rand()`; retries/repartitions reproduce the
+    *    exact output, and an external engine can replay the keep-decision;
+    *  - nested — raising 2.3 → 2.5 only ADDS rows (the f-slices of
+    *    [[hashSample]] are nested in f), so budget revisions are
+    *    incremental;
+    *  - sources absent from `epochs` are DROPPED: a mixture is an explicit
+    *    contract, and silently carrying unlisted sources at weight 1 would
+    *    skew the token budget.
+    *
+    * Scale shape: one narrow per-row `explode(sequence)` — no shuffle, no
+    * join; cost is the output volume Σ_s w_s·|s| itself, which is the
+    * point. Downstream training-order shuffles see `epochCol` and can
+    * interleave copies instead of replaying the corpus ⌊w⌋ times.
+    */
+  def epochMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      epochs: Map[String, Double],
+      salt: String = "",
+      granularity: Int = 1000000,
+      epochCol: String = "epoch"): DataFrame = {
+    require(epochs.nonEmpty, "epochMix needs at least one source weight")
+    require(epochs.values.forall(w => w >= 0.0 && !w.isNaN && !w.isInfinite),
+      s"epoch weights must be finite and >= 0: $epochs")
+    require(!df.columns.contains(epochCol),
+      s"input already has a '$epochCol' column — pass a different epochCol")
+    val frac = (w: Double) => math.round((w - math.floor(w)) * granularity)
+    // per-source (full copies, extra-copy threshold) as a when-chain over
+    // the (small, driver-known) mixture map — evaluated scan-side per row
+    val fullCopies = epochs.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(math.floor(w).toInt)).otherwise(acc)
+    }
+    val extraThresh = epochs.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(frac(w))).otherwise(acc)
+    }
+    val bucket = hashBucket(
+      concat(col(idCol).cast("string"), lit("#"), col(sourceCol)), salt, granularity)
+    val n = (fullCopies + when(bucket < extraThresh, 1).otherwise(0)).as("__n")
+    df.withColumn("__n", n)
+      .filter(col("__n") >= 1) // unlisted sources (NULL __n) drop here too
+      .withColumn(epochCol, explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Leakage-safe train/eval split: [[hashSplit]], but hashed on the
     * NEAR-DUPLICATE CLUSTER id instead of the row key, so every member of
     * a duplicate cluster lands in the same split. A plain per-document

@@ -20,6 +20,25 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.size - 2500) < 250, s"sample size ${a.size} far from 2500")
   }
 
+  test("epochMix: ⌊w⌋ or ⌈w⌉ copies per doc, nested in w, unlisted sources dropped") {
+    val corpus = spark.range(0, 1000)
+      .select(col("id"), when(col("id") < 500, "a").otherwise("b").as("source"))
+    val out = Sampling.epochMix(corpus, "id", "source", Map("a" -> 2.4), salt = "t")
+    val perDoc = out.groupBy("id").count().select("count").as[Long].collect()
+    assert(perDoc.forall(c => c == 2 || c == 3), "each doc must appear ⌊w⌋ or ⌈w⌉ times")
+    val total = perDoc.sum
+    assert(math.abs(total - 1200) < 60, s"E[total] = 500·2.4 = 1200, got $total")
+    assert(out.filter(col("source") === "b").count() == 0, "unlisted source must drop")
+    // epochs tag 0..n-1 per doc
+    val epochs = out.filter(col("id") === 0).select("epoch").as[Int].collect().sorted
+    assert(epochs.sameElements(Array.range(0, epochs.length)))
+    // nested: 2.4 → 2.5 only adds (id, epoch) rows
+    val k24 = out.select("id", "epoch").as[(Long, Int)].collect().toSet
+    val k25 = Sampling.epochMix(corpus, "id", "source", Map("a" -> 2.5), salt = "t")
+      .select("id", "epoch").as[(Long, Int)].collect().toSet
+    assert(k24.subsetOf(k25), "raising the weight must only ADD copies")
+  }
+
   test("samples are NESTED in the fraction and independent across salts") {
     val p25 = Sampling.hashSample(ids, "id", 0.25, salt = "s").select("id").as[Long].collect().toSet
     val p50 = Sampling.hashSample(ids, "id", 0.50, salt = "s").select("id").as[Long].collect().toSet
