@@ -718,6 +718,16 @@ object Queries {
       TextAnalysis.rankByTerms(docs(s, d), "doc_id", "text",
         Seq("join", "vector", "spark", "filter"), k = 25)),
 
+    // model-based quality filter: integer "micro-logit" lexicon scored
+    // in-row against the broadcast weights map — keep iff score >= 0
+    "q_text_classify" -> ((s, d) => {
+      import s.implicits._
+      val lexicon = Seq(
+        ("fast", 3L), ("spark", 2L), ("merge", 1L), ("slow", -4L), ("big", -1L))
+        .toDF("term", "weight")
+      TextAnalysis.linearScore(docs(s, d), "doc_id", "text", lexicon)
+    }),
+
     // PII detection audit: per-doc match counts per class. Synthetic PII is
     // appended (the corpus contains none), with a second email on every
     // third doc so the counts actually vary
@@ -2207,6 +2217,18 @@ object Queries {
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n GROUP BY doc)
         |SELECT doc, score, n_terms FROM sc
         |ORDER BY score DESC, doc ASC LIMIT 25""".stripMargin,
+
+    // replicates linearScore: same lexicon as VALUES, token-occurrence
+    // (not distinct) weight sum, docs matching nothing score the bias (0)
+    "q_text_classify" ->
+      """WITH wts(term, weight) AS (VALUES
+        |    ('fast', 3), ('spark', 2), ('merge', 1), ('slow', -4), ('big', -1)),
+        |toks AS (SELECT doc_id AS doc,
+        |    unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT doc, CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS score
+        |  FROM toks LEFT JOIN wts ON tok = term GROUP BY doc)
+        |SELECT doc, score, score >= 0 AS keep FROM sc""".stripMargin,
 
     // replicates piiStats over the synthetically PII-salted text: same
     // RE2-safe patterns, non-overlapping match counts

@@ -564,6 +564,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Linear text-classifier scoring against a supplied `(term, weight)`
+    * lexicon — the fastText/logistic-regression SHAPE of model-based corpus
+    * quality filtering with the model as DATA, not code:
+    * `score(doc) = bias + Σ_token-occurrences w(token)`, `keep = score ≥ 0`.
+    * Weights must be integral (scaled fixed-point — "micro-logits"), so
+    * scores are exact BIGINT sums: bit-identical across engines and
+    * partitionings, and the keep-decision is replicable in SQL.
+    *
+    * Scale shape: a classifier lexicon is ≤ ~1 M terms (a fastText vocab),
+    * so it collapses to ONE map row broadcast to every executor; scoring
+    * is an in-row fold over the token array — no explode, no join, no
+    * per-doc shuffle (the single-row-broadcast pattern of
+    * [[oovBigramScore]]). Only (doc, score, keep) leave the scan.
+    * Tokens are lowercased before the probe; supply a lowercase lexicon.
+    */
+  def linearScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      termCol: String = "term",
+      weightCol: String = "weight",
+      bias: Long = 0L): DataFrame = {
+    val wtype = weights.schema(weightCol).dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType").contains(wtype.toString),
+      s"weightCol '$weightCol' must be integral (scaled fixed-point), got $wtype")
+    val wmap = weights.agg(
+      map_from_entries(collect_list(struct(col(termCol), col(weightCol).cast("long"))))
+        .as("__wmap"))
+    df.select(
+        col(idCol).as("doc"),
+        tokens(lower(coalesce(col(textCol), lit("")))).as("__toks"))
+      .crossJoin(broadcast(wmap))
+      .select(
+        col("doc"),
+        aggregate(col("__toks"), lit(bias),
+          (acc, t) => acc + coalesce(element_at(col("__wmap"), t), lit(0L))).as("score"))
+      .withColumn("keep", col("score") >= 0)
+  }
+
   /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
     * heuristic. Public, well-known high-frequency function words.
     */

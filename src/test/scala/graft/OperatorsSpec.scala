@@ -30,6 +30,20 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("linearScore: occurrence-weighted integer sum, case-folded, NULL text scores the bias") {
+    val lex = Seq(("fast", 3L), ("slow", -4L)).toDF("term", "weight")
+    val corpus = Seq(
+      (1L, "fast fast slow"), // 3+3-4 = 2 → keep
+      (2L, "Slow SLOW"),      // -8 → drop (case-folded probe)
+      (3L, "neutral words"),  // 0 → keep
+      (4L, null.asInstanceOf[String]) // bias (0) → keep
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.linearScore(corpus, "doc_id", "text", lex)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("score"), r.getAs[Boolean]("keep")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, true), (2L, -8L, false), (3L, 0L, true), (4L, 0L, true)))
+  }
+
   test("containmentPairs finds a short doc embedded in a long one that jaccard misses") {
     val parent = (1 to 40).map(i => s"tok$i").mkString(" ") // 38 shingles
     val excerpt = (1 to 12).map(i => s"tok$i").mkString(" ") // 10 shingles, all ⊆ parent

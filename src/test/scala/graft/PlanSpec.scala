@@ -261,6 +261,22 @@ class PlanSpec extends SparkSpec {
       s"only the vocab aggregation may shuffle — scoring must stay in-row:\n$p")
   }
 
+  test("linear classifier: corpus scoring is an in-row fold — zero corpus-side shuffles") {
+    val p = plan("q_text_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row weights map must broadcast under the scoring pass:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no per-token join expected — scoring is an in-row fold:\n$p")
+    // exactly one non-broadcast exchange: the LEXICON's two-phase
+    // collect_list fold (tiny by contract). The corpus side feeds the BNLJ
+    // probe straight from the scan — Scan parquet → Project → join, no
+    // exchange between them.
+    assert(p.linesIterator.count(l => l.contains("- Exchange") && !l.contains("BroadcastExchange")) == 1,
+      s"only the lexicon map-fold may shuffle — corpus scoring must stay in-row:\n$p")
+    assert(p.contains("LocalTableScan") || p.contains("Scan parquet"),
+      s"sanity: plan must show both sides:\n$p")
+  }
+
   test("every catalog query has an oracle — additions cannot silently skip the gate") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
