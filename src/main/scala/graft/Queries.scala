@@ -546,6 +546,18 @@ object Queries {
         "o_totalprice", nBins = 20, lo = 0.0, hi = 500000.0)
     }),
 
+    // cross-source overlap matrix: a synthetic 'mirror' source re-hosts
+    // every 4th document, so (mirror → src_i) and the much larger
+    // (src_i → mirror) containments both appear — plus any natural
+    // cross-source duplicates the corpus already carries
+    "q_profile_overlap" -> ((s, d) => {
+      val dd = docs(s, d)
+      val mirror = dd.filter(col("doc_id") % 4 === 0)
+        .select(col("text"), lit("mirror").as("source"))
+      graft.core.Profiling.sourceOverlap(
+        dd.select("text", "source").unionByName(mirror), "text", "source")
+    }),
+
     // semi-structured extraction: the props JSON column parsed with an
     // EXPLICIT from_json schema (one codegen'd Jackson parse per row, no
     // schema-inference scan — the only shape that works at 100 TB), then a
@@ -682,6 +694,12 @@ object Queries {
     // corpus-relative unigram surprisal (CCNet-style LM quality proxy)
     "q_text_unigram_ppl" -> ((s, d) =>
       TextAnalysis.unigramLogProbScore(docs(s, d), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
+
+    // conditional (bigram) surprisal: word-transition predictability —
+    // junk with a typical unigram mix still scores high here
+    "q_text_bigram_ppl" -> ((s, d) =>
+      TextAnalysis.bigramLogProbScore(docs(s, d), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
 
     // context-window chunking: 40-token chunks, 8-token overlap
@@ -1877,6 +1895,30 @@ object Queries {
         |FROM toks JOIN costed USING (tok)
         |GROUP BY doc_id""".stripMargin,
 
+    // replicates bigramLogProbScore: ctx(w1) = Σ_w c(w1 w), micro-bit
+    // rounded costs, docs with < 2 tokens coalesce to (0, 0.0)
+    "q_text_bigram_ppl" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |bgs AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(words) - 1),
+        |      i -> words[i+1] || ' ' || words[i+2])) AS bg
+        |  FROM w),
+        |freq AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bgs GROUP BY bg),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctxc FROM freq GROUP BY w1),
+        |costed AS (SELECT bg,
+        |    CAST(round(log2(CAST(ctxc AS DOUBLE) / c) * 1000000) AS BIGINT) AS cost
+        |  FROM freq JOIN ctx USING (w1)),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(cost) AS BIGINT) AS s
+        |  FROM bgs JOIN costed USING (bg) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  COALESCE(CAST(sc.s AS DOUBLE) / sc.n_bigrams / 1000000.0, 0.0) AS bits_per_token
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
     // replicates TextAnalysis.langId: hits = #distinct marker words present;
     // winner = max hits, ties to the lexicographically LAST language; 'und'
     // when no marker hits at all
@@ -2118,6 +2160,23 @@ object Queries {
         |  CAST((n_cur * 1000000) // nullif(tc, 0)
         |     - (n_base * 1000000) // nullif(tb, 0) AS BIGINT) AS delta_ppm
         |FROM t""".stripMargin,
+
+    // replicates sourceOverlap over the mirror-augmented corpus: distinct
+    // (normalized-fingerprint, source) pairs, directional containment
+    "q_profile_overlap" ->
+      """WITH u AS (SELECT text, source FROM documents
+        |  UNION ALL SELECT text, 'mirror' FROM documents WHERE doc_id % 4 = 0),
+        |fps AS (SELECT DISTINCT
+        |    sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp, source AS src
+        |  FROM u),
+        |sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_a FROM fps GROUP BY src),
+        |shared AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.src <> b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, n_a,
+        |  CAST(n_shared AS DOUBLE) / n_a AS containment
+        |FROM shared JOIN sizes ON sizes.src = src_a""".stripMargin,
 
     // replicates TextAnalysis.chunkDocuments: starts 1, 1+32, … (stride =
     // 40 − 8); list_slice end is inclusive so end = start + 39

@@ -162,4 +162,38 @@ object Profiling {
         expr("(n_cur * 1000000L) div nullif(__tc, 0L)").as("p_cur_ppm"))
       .withColumn("delta_ppm", col("p_cur_ppm") - col("p_base_ppm"))
   }
+
+  /** Cross-source duplicate-overlap matrix: one row per ORDERED source pair
+    * (src_a, src_b) sharing at least one normalized document fingerprint,
+    * with `containment = |fp(a) ∩ fp(b)| / |fp(a)|` — how much of a's
+    * DISTINCT content also appears in b. The corpus-governance report
+    * behind "source X is mostly a re-crawl of Y" calls: mixture-weight
+    * corrections, crawl-dedup priorities, licensing audits. Directional by
+    * design — a small source fully contained in a big one shows
+    * (small → big) ≈ 1.0 while (big → small) stays near 0.
+    *
+    * Scale shape: only (fingerprint, source) pairs ever shuffle — 64-char
+    * hashes, never text. One distinct, one per-fingerprint source-set fold
+    * (arrays bounded by #sources, not docs), an in-row ordered-pair explode
+    * over that tiny set, and a final (a, b) count joined against the
+    * broadcast per-source distinct counts. No doc×doc join anywhere.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val fps = df.select(
+        graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(sourceCol).as("src"))
+      .distinct()
+    val sizes = fps.groupBy("src").agg(count(lit(1)).as("n_a"))
+    val pairs = fps.groupBy("fp").agg(collect_set(col("src")).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(explode(flatten(transform(col("__ss"), a =>
+        transform(filter(col("__ss"), b => b =!= a),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("src", "src_a")), "src_a")
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_a").cast("double"))
+  }
 }

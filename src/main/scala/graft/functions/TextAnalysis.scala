@@ -339,6 +339,46 @@ object TextAnalysis {
         (col("__sum").cast("double") / col("n_tokens") / lit(1e6)).as("bits_per_token"))
   }
 
+  /** Corpus-relative BIGRAM surprisal in integer micro-bits — the
+    * conditional upgrade of [[unigramLogProbScore]]:
+    * `cost(w₁ w₂) = −log₂(c(w₁ w₂) / ctx(w₁))` with
+    * `ctx(w₁) = Σ_w c(w₁ w)` counting w₁'s occurrences as a bigram
+    * CONTEXT, so every context's conditional distribution sums to exactly
+    * 1. Low bits/token ⇒ word TRANSITIONS predictable from the corpus
+    * (fluent, on-domain); shuffled-word junk scores high even when its
+    * unigram mix is perfectly typical — the signal unigram surprisal
+    * cannot see. Self-scoring: every document bigram is by construction in
+    * the corpus counts, so no smoothing/backoff branch exists (scoring a
+    * foreign corpus against this model would need one). Docs with < 2
+    * tokens emit (0, 0.0).
+    *
+    * Scale shape: the corpus bigram table is the big intermediate — all
+    * shuffles key on hash-uniform bigram/context strings (two aggs + two
+    * equi-joins), micro-bit costs ride as longs, and the per-doc sum is
+    * order-independent (integer), so the score is bit-stable across
+    * partitionings like the unigram version.
+    */
+  def bigramLogProbScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__w"))
+    val bgs = base.select(col("doc"), explode(windowsOfWords(col("__w"), 2)).as("bg"))
+    val freq = bgs.groupBy("bg").agg(count(lit(1)).as("__c"))
+      .withColumn("__w1", split(col("bg"), " ").getItem(0))
+    val ctx = freq.groupBy("__w1").agg(sum(col("__c")).as("__ctx"))
+    val costed = freq.join(ctx, "__w1").select(
+      col("bg"),
+      round(log2(col("__ctx").cast("double") / col("__c")) * 1e6).cast("long").as("__cost"))
+    val scored = bgs.join(costed, "bg")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost")).as("__sum"))
+    base.select(col("doc"))
+      .join(scored, Seq("doc"), "left")
+      .select(
+        col("doc"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__sum").cast("double") / col("n_bigrams") / lit(1e6), lit(0.0))
+          .as("bits_per_token"))
+  }
+
   /** Split documents into fixed-size token-window chunks with overlap —
     * the context-length preprocessing step of a training pipeline. Chunk
     * starts advance by `chunkTokens - overlapTokens`; the final chunk may

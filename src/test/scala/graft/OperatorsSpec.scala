@@ -30,6 +30,35 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("sourceOverlap: directional containment, format-dup texts count once, no-overlap absent") {
+    val corpus = Seq(
+      ("doc one", "big"), ("doc two", "big"), ("doc three", "big"), ("doc four", "big"),
+      ("doc one", "small"), ("doc  one ", "small"), // normalized dup — one distinct fp
+      ("hermit text", "lonely")
+    ).toDF("text", "source")
+    val out = graft.core.Profiling.sourceOverlap(corpus, "text", "source")
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Double]("containment"))).toMap
+    assert(out(("small", "big")) == (1L, 1L, 1.0), s"small is fully contained in big: $out")
+    assert(out(("big", "small")) == (1L, 4L, 0.25), s"big barely overlaps small: $out")
+    assert(out.size == 2, s"lonely shares nothing — must be absent: $out")
+  }
+
+  test("bigramLogProbScore: rare transitions cost more; <2-token docs score (0, 0.0)") {
+    val corpus = Seq(
+      (1L, "x y x y x y x y x y x y x y x y x"), // only the dominant transitions
+      (2L, "x x y y x x y y"),                   // rare transitions (xx, yy)
+      (3L, "z")                                  // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("bits_per_token"))).toMap
+    assert(out(3L) == (0L, 0.0), s"single-token doc must coalesce to zero, got ${out(3L)}")
+    assert(out(1L)._2 < out(2L)._2,
+      s"consistent transitions must be cheaper than rare ones: $out")
+    assert(out(2L)._1 == 7L && out(1L)._1 == 16L)
+  }
+
   test("linearScore: occurrence-weighted integer sum, case-folded, NULL text scores the bias") {
     val lex = Seq(("fast", 3L), ("slow", -4L)).toDF("term", "weight")
     val corpus = Seq(
