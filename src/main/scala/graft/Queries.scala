@@ -969,6 +969,21 @@ object Queries {
       Dedup.dropRepeatedLines(fixture, "doc_id", "text", minChars = 30)
     }),
 
+    // duplicated-SPAN removal (exact-substring dedup): every 3rd doc gets
+    // an 8-token footer — its 4 interior 5-token windows repeat across
+    // docs, so the whole footer vanishes everywhere but the first (min
+    // doc_id) occurrence; boundary windows (original text + footer start)
+    // are unique per doc and keep their tokens
+    "q_text_despans" -> ((s, d) => {
+      val fixture = docs(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" subscribe now for updates delivered straight to you")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dropDuplicatedSpans(fixture, "doc_id", "text", w = 5, minCount = 2)
+    }),
+
     // 48 hashes / 16 bands (3 rows per band): P[candidate | j=0.8] ≈ 0.99999,
     // and the exact-Jaccard verify step removes all false positives — so the
     // output equals the full brute-force pair set (the oracle) at any recall
@@ -2016,6 +2031,44 @@ object Queries {
         |  CAST(any_value(t.n) - count(k.pos) AS BIGINT) AS n_lines_dropped
         |FROM tot t LEFT JOIN keep k ON t.doc = k.doc
         |GROUP BY t.doc""".stripMargin,
+
+    // replicates dropDuplicatedSpans over the footer-salted corpus: 5-token
+    // windows, global count >= 2, first (doc, pos) occurrence canonical,
+    // covered positions unioned per doc, linear complement reassembly
+    "q_text_despans" ->
+      """WITH fix AS (SELECT doc_id AS doc,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' subscribe now for updates delivered straight to you'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tks
+        |  FROM fix),
+        |wins AS (SELECT doc, unnest(range(len(tks) - 4)) AS pos, tks
+        |  FROM tk WHERE len(tks) >= 5),
+        |wtext AS (SELECT doc, pos,
+        |    tks[pos+1] || ' ' || tks[pos+2] || ' ' || tks[pos+3] || ' ' ||
+        |    tks[pos+4] || ' ' || tks[pos+5] AS win
+        |  FROM wins),
+        |v AS (SELECT doc, pos,
+        |    COUNT(*) OVER (PARTITION BY win) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc, pos) AS rn
+        |  FROM wtext),
+        |cover AS (SELECT DISTINCT doc, cpos FROM (
+        |  SELECT doc, unnest(generate_series(pos, pos + 4)) AS cpos
+        |  FROM v WHERE cnt >= 2 AND rn > 1)),
+        |toks AS (SELECT doc, unnest(tks) AS tok,
+        |    generate_subscripts(tks, 1) - 1 AS p FROM tk),
+        |kept AS (SELECT t.doc, t.tok, t.p FROM toks t
+        |  LEFT JOIN cover c ON c.doc = t.doc AND c.cpos = t.p
+        |  WHERE c.cpos IS NULL),
+        |tot AS (SELECT doc, CAST(len(tks) AS BIGINT) AS n FROM tk)
+        |SELECT tot.doc,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text,
+        |  CAST(count(k.p) AS BIGINT) AS n_tokens_kept,
+        |  CAST(any_value(tot.n) - count(k.p) AS BIGINT) AS n_tokens_dropped
+        |FROM tot LEFT JOIN kept k ON tot.doc = k.doc
+        |GROUP BY tot.doc""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT o.o_orderpriority,

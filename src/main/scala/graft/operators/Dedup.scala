@@ -142,6 +142,63 @@ object Dedup {
         (size(col("__ls")) - size(col("__keep"))).cast("long").as("n_lines_dropped"))
   }
 
+  /** Cross-document duplicated-SPAN removal — the acting half of
+    * [[graft.functions.TextAnalysis.duplicatedWindowStats]] and the
+    * distributed form of exact-substring train-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * token covered by a `w`-token window occurring ≥ `minCount` times in
+    * the corpus is removed, EXCEPT in the span's first occurrence (min
+    * (doc, pos)) — one canonical copy of each repeated span survives, every
+    * re-paste (license boilerplate, quoted articles, templated footers)
+    * disappears while the surrounding unique prose stays. Within-document
+    * repetition collapses the same way. Output: one row per input document
+    * — (doc, clean_text, n_tokens_kept, n_tokens_dropped), clean_text
+    * re-joined with single spaces (whitespace-normalized like every
+    * tokenizing operator here).
+    *
+    * Scale design: the first-occurrence vote runs over (doc, pos,
+    * sha256(window)) METADATA — window text never shuffles for voting.
+    * Covered positions aggregate per doc (array bounded by the document's
+    * own token count), and the reassembly joins them back with the corpus
+    * frame — the covered-doc side is the duplicate minority, so AQE
+    * broadcasts it and the corpus never shuffles. Reassembly is linear
+    * per row: `array_except` over the contiguous position range (hash-set
+    * build, no per-token array scan).
+    */
+  def dropDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      minCount: Int = 2): DataFrame = {
+    require(w >= 2, s"window size must be >= 2, got $w")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val wins = base
+      .select(col("doc"), posexplode(TextAnalysis.windowsOfWords(col("__tk"), w)))
+      .select(col("doc"), col("pos"), sha2(col("col"), 256).as("__h"))
+    val cover = wins
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__h")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__h").orderBy(col("doc"), col("pos"))))
+      .filter(col("__cnt") >= minCount && col("__rn") > 1)
+      .select(col("doc"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("cpos"))
+      .groupBy("doc")
+      .agg(collect_set(col("cpos")).as("__cov"))
+    base
+      .join(cover, Seq("doc"), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(
+        col("doc"),
+        concat_ws(" ",
+          transform(
+            array_except(sequence(lit(0), size(col("__tk")) - 1), col("__cov")),
+            p => element_at(col("__tk"), p + 1))).as("clean_text"),
+        (size(col("__tk")) - size(col("__cov"))).cast("long").as("n_tokens_kept"),
+        size(col("__cov")).cast("long").as("n_tokens_dropped"))
+  }
+
   /** Word-set Jaccard near-duplicate pairs (exact, set-similarity join).
     *
     * Classic distributed set-similarity join: explode each document's

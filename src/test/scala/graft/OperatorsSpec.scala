@@ -30,6 +30,26 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("dropDuplicatedSpans: canonical copy survives, re-pastes and self-repetition vanish") {
+    val boiler = "all rights reserved please see terms" // 6 tokens → 2 windows at w=5
+    val corpus = Seq(
+      (1L, s"unique one content here $boiler"),  // canonical (min doc) — keeps boiler
+      (2L, s"other prose entirely different $boiler"), // re-paste — loses boiler
+      (3L, "a b c d e f a b c d e f"), // self-repetition: 2nd "a b c d e f" covered
+      (4L, "nothing shared with anyone at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicatedSpans(corpus, "doc_id", "text", w = 5, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_dropped"))).toMap
+    assert(out(1L)._1 == s"unique one content here $boiler" && out(1L)._2 == 0L,
+      s"first occurrence must keep the span: ${out(1L)}")
+    assert(out(2L)._1 == "other prose entirely different" && out(2L)._2 == 6L,
+      s"re-paste must lose exactly the boilerplate tokens: ${out(2L)}")
+    assert(out(3L)._1 == "a b c d e f" && out(3L)._2 == 6L,
+      s"within-doc repetition must collapse to one copy: ${out(3L)}")
+    assert(out(4L) == ("nothing shared with anyone at all", 0L))
+  }
+
   test("sourceOverlap: directional containment, format-dup texts count once, no-overlap absent") {
     val corpus = Seq(
       ("doc one", "big"), ("doc two", "big"), ("doc three", "big"), ("doc four", "big"),
