@@ -150,6 +150,42 @@ class RecallSpec extends SparkSpec {
     assert(rr >= r0 + 0.2, s"re-ranking must substantially beat pure ADC: $r0 -> $rr")
   }
 
+  test("semanticDecontaminate recall vs exact cosine across (planes, tables) settings") {
+    import spark.implicits._
+    val threshold = 0.9
+    val eval = embCorpus.filter(col("vec_id") % 2 === 0)
+    val corpus = embCorpus.filter(col("vec_id") % 2 =!= 0)
+    val corpusIds = corpus.select("vec_id").as[Long].collect().toSet
+    // exact ground truth: odd (corpus) ids with cosine >= t to any even
+    // (eval) id — from the brute-force all-pairs set, cross-parity pairs
+    val truePairs = pairSet(
+      Similarity.embeddingNearDuplicates(embCorpus, "vec_id", "embedding", "blk", threshold),
+      "id_a", "id_b")
+    val trueCont = truePairs.collect {
+      case (x, y) if (x % 2 == 0) != (y % 2 == 0) => if (x % 2 == 1) x else y
+    }
+    assert(trueCont.size >= 10, s"fixture must exercise the path, got ${trueCont.size}")
+    // fewer planes → bigger buckets → higher recall; more tables → more
+    // chances to collide. PRECISION is structural at every setting: the
+    // exact in-row cosine verify means dropped ⊆ truly-contaminated.
+    // floors pinned just under the deterministic measured recalls
+    // (1.0 / 1.0 / 0.921 on this fixture)
+    val settings = Seq((4, 8, 1.0), (8, 8, 0.95), (16, 4, 0.9))
+    settings.foreach { case (planes, tables, floor) =>
+      val kept = Similarity.semanticDecontaminate(
+          corpus, "vec_id", "embedding", eval, "vec_id", "embedding",
+          threshold, planes, tables)
+        .select("vec_id").as[Long].collect().toSet
+      val dropped = corpusIds -- kept
+      assert(dropped.subsetOf(trueCont),
+        s"($planes,$tables): dropped non-contaminated rows ${dropped -- trueCont}")
+      val recall = (dropped & trueCont).size.toDouble / trueCont.size
+      info(s"($planes,$tables): recall $recall")
+      assert(recall >= floor,
+        s"($planes,$tables): recall $recall below floor $floor (missed ${trueCont -- dropped})")
+    }
+  }
+
   test("hyperplane LSH recall vs exact blocked cosine across (planes, tables) settings") {
     val threshold = 0.9
     val exact = pairSet(
