@@ -454,6 +454,20 @@ object Queries {
         Seq("l_returnflag"))
     }),
 
+    // mergeable quantile state: per-month histogram partials (1000-unit
+    // bins on price cents) folded to p25/p50/p90/p99 bins per returnflag —
+    // the merge law makes the oracle free to bin directly
+    "q_agg_quantile_state" -> ((s, d) => {
+      val base = li(s, d).select(
+        col("l_returnflag"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ship_month"),
+        floor(col("l_extendedprice") * 100).as("price_cents"))
+      graft.operators.Incremental.mergeQuantiles(
+        graft.operators.Incremental.partialQuantiles(
+          base, Seq("l_returnflag"), "ship_month", "price_cents", binWidth = 100000L),
+        Seq("l_returnflag"), Seq(250000L, 500000L, 900000L, 990000L), binWidth = 100000L)
+    }),
+
     // small-file compaction planner over a synthetic per-partition file
     // listing (each doc = one "file" of n_chars bytes, partitioned by
     // lang): next-fit groups of ~20 kB by the running-sum rule
@@ -1656,6 +1670,29 @@ object Queries {
         |  CAST(MIN(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS min_scaled,
         |  CAST(MAX(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS max_scaled
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // replicates partialQuantiles+mergeQuantiles via the merge law (bin
+    // directly): floor-division bins, exact integer ceil thresholds, the
+    // first bin whose cumulative count reaches rank ⌈q·N/10⁶⌉
+    "q_agg_quantile_state" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |bins AS (SELECT l_returnflag,
+        |    (v - ((v % 100000 + 100000) % 100000)) // 100000 AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |    SUM(n) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM bins),
+        |q AS (SELECT c.*, q_ppm FROM c
+        |  CROSS JOIN (VALUES (250000), (500000), (900000), (990000)) AS qs(q_ppm)),
+        |sel AS (SELECT *, (q_ppm * total + 999999) // 1000000 AS thresh FROM q)
+        |SELECT l_returnflag, CAST(q_ppm AS BIGINT) AS q_ppm,
+        |  CAST(bin * 100000 AS BIGINT) AS q_lo_scaled,
+        |  CAST(bin * 100000 + 99999 AS BIGINT) AS q_hi_scaled,
+        |  CAST(total AS BIGINT) AS n_rows
+        |FROM sel WHERE cum >= thresh AND cum - n < thresh""".stripMargin,
 
     // replicates Layout.planCompaction: running-sum next-fit groups per
     // lang partition in path order

@@ -73,4 +73,79 @@ object Incremental {
       else base
     partials.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Floor division on longs, both-engine exact: Spark `div` and DuckDB
+    * `//` both TRUNCATE toward zero, which would give negatives a
+    * double-width bin straddling 0 — so both sides compute
+    * `(v − mod⁺(v, w)) div w` with the non-negative modulus instead
+    * (DuckDB: `(v - ((v % w + w) % w)) // w`). `div` keeps the arithmetic
+    * in exact longs — a double division would silently round past 2⁵³.
+    */
+  private def floorDiv(v: org.apache.spark.sql.Column, w: Long) =
+    call_function("div", v - pmod(v, lit(w)), lit(w))
+
+  /** Mergeable QUANTILE state: fixed-width integer histogram bins — the
+    * exact-merge alternative to a t-digest/KLL sketch. State rows are
+    * `(keys, bucket, bin = ⌊v/binWidth⌋, n)`; merging buckets is plain
+    * bin-count addition, so (unlike every float-centroid sketch) merge
+    * order is irrelevant and partial-then-merge is BIT-IDENTICAL to
+    * one-shot aggregation. Rank error is zero — the reported bin provably
+    * contains the exact rank-`⌈q·N⌉` value — and VALUE resolution is
+    * `binWidth` (choose it like a sketch accuracy knob: value_range /
+    * binWidth bins of state per key×bucket).
+    */
+  def partialQuantiles(
+      df: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      scaledValueCol: String,
+      binWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    df.filter(col(scaledValueCol).isNotNull)
+      .groupBy((keys :+ bucketCol).map(col) :+
+        floorDiv(col(scaledValueCol), binWidth).as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Fold [[partialQuantiles]] state (any bucket mix) into per-`keys`
+    * quantile bins: for each requested quantile q (in ppm, so thresholds
+    * stay exact integers), the bin containing the rank-`⌈q·N/10⁶⌉` value,
+    * reported as the CLOSED scaled-value range `[q_lo_scaled,
+    * q_hi_scaled]`. Cost ∝ state rows: one bin-sum aggregation, one
+    * per-key cumulative window over ≤ range/binWidth bins, and an in-row
+    * quantile explode.
+    */
+  def mergeQuantiles(
+      partials: DataFrame,
+      keys: Seq[String],
+      quantilesPpm: Seq[Long],
+      binWidth: Long): DataFrame = {
+    require(keys.nonEmpty && quantilesPpm.nonEmpty, "keys and quantiles must be non-empty")
+    require(quantilesPpm.forall(q => q >= 0 && q <= 1000000),
+      s"quantiles are ppm in [0, 1000000]: $quantilesPpm")
+    require(Seq("bin", "n").forall(partials.columns.contains),
+      s"not a partialQuantiles frame; need bin, n — has ${partials.columns.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val binned = partials
+      .groupBy((keys :+ "bin").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+    val kw = Window.partitionBy(keys.map(col): _*)
+    val cum = binned
+      .withColumn("__cum", sum(col("n")).over(kw.orderBy(col("bin"))))
+      .withColumn("__total", sum(col("n")).over(kw))
+    cum
+      .select((keys.map(col) :+ col("bin") :+ col("n") :+ col("__cum") :+ col("__total")) :+
+        explode(array(quantilesPpm.map(lit): _*)).as("q_ppm"): _*)
+      // ceil(q·N/1e6) in exact LONG arithmetic (overflow-safe to ~9·10¹²
+      // rows per key); the containing bin is the first whose cumulative
+      // count reaches the threshold
+      .withColumn("__thresh", expr("(q_ppm * __total + 999999) div 1000000"))
+      .filter(col("__cum") >= col("__thresh") && col("__cum") - col("n") < col("__thresh"))
+      .select(
+        (keys.map(col) :+ col("q_ppm") :+
+          (col("bin") * binWidth).as("q_lo_scaled") :+
+          (col("bin") * binWidth + (binWidth - 1)).as("q_hi_scaled") :+
+          col("__total").as("n_rows")): _*)
+  }
 }

@@ -30,6 +30,33 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("mergeQuantiles: merge law holds, reported bin contains the exact rank value, negatives floor") {
+    import graft.operators.Incremental
+    val vals = spark.range(0, 1000)
+      .select(lit("k").as("key"), col("id").as("v"),
+        (col("id") % 3).as("bucket")) // 3 arbitrary ingest buckets
+    val qs = Seq(250000L, 500000L, 990000L)
+    val merged = Incremental.mergeQuantiles(
+      Incremental.partialQuantiles(vals, Seq("key"), "bucket", "v", binWidth = 10L),
+      Seq("key"), qs, binWidth = 10L)
+    val oneShot = Incremental.mergeQuantiles(
+      Incremental.partialQuantiles(vals.withColumn("bucket", lit(0)),
+        Seq("key"), "bucket", "v", binWidth = 10L),
+      Seq("key"), qs, binWidth = 10L)
+    assert(merged.collect().toSet == oneShot.collect().toSet,
+      "partial-then-merge must be bit-identical to one-shot")
+    val m = merged.collect().map(r => r.getAs[Long]("q_ppm") ->
+      (r.getAs[Long]("q_lo_scaled"), r.getAs[Long]("q_hi_scaled"))).toMap
+    // values 0..999: rank ⌈q·1000⌉ (1-indexed) = value ⌈q·1000⌉−1
+    assert(m(500000L) == (490L, 499L) && m(250000L) == (240L, 249L) &&
+      m(990000L) == (980L, 989L), s"rank containment broken: $m")
+    // negatives: floor bins, not truncate-toward-zero (no double-width bin at 0)
+    val neg = Seq(("k", -7L, 0), ("k", -1L, 0), ("k", 3L, 0)).toDF("key", "v", "bucket")
+    val nb = Incremental.partialQuantiles(neg, Seq("key"), "bucket", "v", binWidth = 5L)
+      .select("bin").as[Long].collect().sorted
+    assert(nb.sameElements(Array(-2L, -1L, 0L)), s"floor bins expected, got ${nb.toSeq}")
+  }
+
   test("dropDuplicatedSpans: canonical copy survives, re-pastes and self-repetition vanish") {
     val boiler = "all rights reserved please see terms" // 6 tokens → 2 windows at w=5
     val corpus = Seq(
