@@ -618,6 +618,8 @@ object TextAnalysis {
     * per-doc shuffle (the single-row-broadcast pattern of
     * [[oovBigramScore]]). Only (doc, score, keep) leave the scan.
     * Tokens are lowercased before the probe; supply a lowercase lexicon.
+    * A duplicate term in the lexicon fails fast (Spark's map-key dedup
+    * policy) rather than silently picking one weight.
     */
   def linearScore(
       df: DataFrame,

@@ -277,6 +277,27 @@ class PlanSpec extends SparkSpec {
       s"sanity: plan must show both sides:\n$p")
   }
 
+  test("epochMix is a pure scan-side explode — no shuffle, no join") {
+    val p = plan("q_sample_epochs")
+    assert(p.contains("Generate"), s"the epoch explode must appear:\n$p")
+    assert(!p.contains("- Exchange") && !p.contains("Join"),
+      s"mixture materialization must not shuffle or join:\n$p")
+  }
+
+  test("despans: the vote shuffles window hashes, the corpus reassembly join broadcasts") {
+    // the first-occurrence vote partitions by sha256(window) — window TEXT
+    // never shuffles; the covered-position frame is the duplicate minority,
+    // so AQE broadcasts it back over the corpus
+    import org.apache.spark.sql.functions._
+    val q = Queries.queries("q_text_despans")(spark, sf)
+    q.queryExecution.toRdd.count() // AQE decides the reassembly join at runtime
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"covered-position frame must broadcast into the reassembly:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for reassembly:\n$p")
+  }
+
   test("every catalog query has an oracle — additions cannot silently skip the gate") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
