@@ -391,6 +391,67 @@ object Dedup {
       .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
   }
 
+  /** Cross-DATASET record linkage: Jaccard near-match pairs between TWO
+    * frames — entity resolution across datasets (two crawls, a vendor feed
+    * vs a master catalog) where A–A and B–B pairs must never emit. Same
+    * blocked, df-capped, chunk-emitted machinery as [[jaccardPairs]], but
+    * the per-(block, token) posting lists keep the two sides separate and
+    * pair emission is the CROSS grid (|la| × |lb| per chunk row), never a
+    * triangle. A (block, token) whose COMBINED posting length exceeds
+    * `maxDf` leaves the similarity universe — sizes and intersections both
+    * live in the capped space, so the ratio stays exact over it. Output:
+    * `(a_id, b_id, jaccard)`.
+    */
+  def linkPairs(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      threshold: Double,
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_),
+      maxDf: Int = 1000): DataFrame = {
+    val toks =
+      tokenSets(a, idCol, textCol, Seq(blockCol -> "blk"), tokenizer)
+        .select(lit(0).as("side"), col("doc"), col("blk"), explode(col("__set")).as("tok"))
+        .unionByName(
+          tokenSets(b, idCol, textCol, Seq(blockCol -> "blk"), tokenizer)
+            .select(lit(1).as("side"), col("doc"), col("blk"), explode(col("__set")).as("tok")))
+    // collect_list(when(...)) drops the other side's NULLs — one aggregation
+    // yields both posting lists, sorted for deterministic chunk boundaries
+    val counted = toks
+      .groupBy("blk", "tok")
+      .agg(
+        sort_array(collect_list(when(col("side") === 0, col("doc")))).as("la"),
+        sort_array(collect_list(when(col("side") === 1, col("doc")))).as("lb"))
+      .where(size(col("la")) + size(col("lb")) <= maxDf)
+    val sizesA = counted.select(explode(col("la")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n"))
+    val sizesB = counted.select(explode(col("lb")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n"))
+    val nca = ceil(size(col("la")).cast("double") / PairChunk).cast("int")
+    val ncb = ceil(size(col("lb")).cast("double") / PairChunk).cast("int")
+    counted
+      .where(size(col("la")) >= 1 && size(col("lb")) >= 1)
+      .select(explode(flatten(transform(sequence(lit(0), nca - 1), i =>
+        transform(sequence(lit(0), ncb - 1), j => struct(
+          slice(col("la"), i * PairChunk + 1, lit(PairChunk)).as("ca"),
+          slice(col("lb"), j * PairChunk + 1, lit(PairChunk)).as("cb")))))).as("cp"))
+      .select(explode(
+        flatten(transform(col("cp.ca"), x =>
+          transform(col("cp.cb"), y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizesA.select(col("doc").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizesB.select(col("doc").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Fuzzy near-dup pairs, CONFIRMED by edit distance: generate candidates
     * cheaply with the blocked [[jaccardPairs]] at a permissive
     * `candidateThreshold`, then keep only pairs whose full texts are within

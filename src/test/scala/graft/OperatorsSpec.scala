@@ -30,6 +30,23 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("linkPairs links across frames only — in-frame duplicates never emit") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = Seq(
+      (1L, shared, "en"),
+      (2L, shared, "en"), // exact in-frame duplicate of 1 — must NOT pair with it
+      (3L, "totally different content on this side", "en")
+    ).toDF("doc_id", "text", "lang")
+    val b = Seq(
+      (10L, shared + " iota", "en"), // near-match of 1 and 2
+      (11L, "unrelated text on the b side entirely", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.linkPairs(a, b, "doc_id", "text", "lang", threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L)),
+      s"expected exactly the cross-frame links, got $got")
+  }
+
   test("mergeQuantiles: merge law holds, reported bin contains the exact rank value, negatives floor") {
     import graft.operators.Incremental
     val vals = spark.range(0, 1000)
