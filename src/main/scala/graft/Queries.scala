@@ -1143,6 +1143,14 @@ object Queries {
 
     // Streaming-equivalent windowed aggregation (same plan shape the
     // streaming job runs; batch here so the oracle can check it)
+    // trailing-7-day exact distinct users per active day (rolling WAU):
+    // distinct (day, user) pairs vote into the windows they serve — no
+    // windowed COUNT(DISTINCT), which Spark (and SQL) cannot plan natively
+    "q_events_rolling" -> ((s, d) =>
+      graft.operators.Temporal.rollingDistinct(
+          graft.sources.Events.load(s, d), "ts", "user_id", days = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))),
+
     "q_events_window" -> ((s, d) =>
       graft.sources.Events.load(s, d)
         .groupBy(
@@ -2808,6 +2816,18 @@ object Queries {
         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
         |FROM d
         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35""".stripMargin,
+
+    // replicates rollingDistinct: distinct (day, user) votes into day..day+6,
+    // clipped to observed days, exact COUNT(DISTINCT) per target day
+    "q_events_rolling" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |obs AS (SELECT DISTINCT day FROM daily),
+        |votes AS (SELECT day + CAST(o AS INT) AS obs_day, user_id
+        |  FROM daily CROSS JOIN (SELECT unnest(range(7)) AS o)),
+        |r AS (SELECT obs_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM votes JOIN obs ON obs.day = votes.obs_day GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_active FROM r""".stripMargin,
 
     "q_events_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,

@@ -7,6 +7,42 @@ import org.apache.spark.sql.functions._
 /** Time-series operators Spark has no native plan for. */
 object Temporal {
 
+  /** Trailing-window EXACT distinct actors: for every active day, the
+    * distinct `keyCol` count over the trailing `days` days — rolling
+    * DAU/WAU/MAU-style engagement, computed exactly. Output:
+    * (day, n_active) for each day that actually has events.
+    *
+    * A windowed `COUNT(DISTINCT)` has no native Spark plan (distinct
+    * aggregates can't be window functions), and per-day set-union on the
+    * driver doesn't distribute. Instead: collapse to distinct (day, key)
+    * pairs FIRST (the big map-side-combining dedup — events collapse per
+    * executor before any shuffle), then each surviving pair votes into the
+    * `days` windows it serves via a narrow explode, and one hash
+    * aggregation counts distinct keys per target day. Shuffle volume is
+    * `days × |distinct pairs|` — independent of raw event count, the term
+    * a 100 TB event log actually needs bounded. Target days are clipped to
+    * days observed in the data (no phantom trailing days past the last
+    * event).
+    */
+  def rollingDistinct(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      days: Int = 7): DataFrame = {
+    require(days >= 1, s"days must be >= 1, got $days")
+    val daily = df
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("k"))
+      .where(col("day").isNotNull && col("k").isNotNull)
+      .distinct()
+    val observed = daily.select(col("day").as("obs_day")).distinct()
+    daily
+      .select(explode(sequence(col("day"), date_add(col("day"), days - 1))).as("obs_day"),
+        col("k"))
+      .join(observed, Seq("obs_day"), "left_semi")
+      .groupBy(col("obs_day").as("day"))
+      .agg(countDistinct(col("k")).as("n_active"))
+  }
+
   /** As-of (last-known-value) join: attach to every left row the
     * `valueCols` of the LATEST right row with the same `keys` and
     * `rightTs <= leftTs` (inclusive), plus the matching right timestamp as

@@ -30,6 +30,21 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
   }
 
+  test("rollingDistinct counts trailing-window distinct keys, clipped to observed days") {
+    import graft.operators.Temporal
+    val ev = Seq(
+      ("2026-01-01 10:00:00", 1L), ("2026-01-01 11:00:00", 1L), // dup same day
+      ("2026-01-02 09:00:00", 2L),
+      ("2026-01-10 09:00:00", 1L) // gap: days 3..9 have no events → no rows
+    ).toDF("ts_s", "user_id").select(col("ts_s").cast("timestamp").as("ts"), col("user_id"))
+    val out = Temporal.rollingDistinct(ev, "ts", "user_id", days = 3)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("n_active"))
+      .toMap
+    // day1: {1}; day2: {1 (from day1), 2}; day10: {1}; days 3,4,11,12 not observed → absent
+    assert(out == Map("2026-01-01" -> 1L, "2026-01-02" -> 2L, "2026-01-10" -> 1L),
+      s"got $out")
+  }
+
   test("linkPairs links across frames only — in-frame duplicates never emit") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val a = Seq(
