@@ -43,6 +43,35 @@ object Temporal {
       .agg(countDistinct(col("k")).as("n_active"))
   }
 
+  /** The 100 TB shape of [[rollingDistinct]]: per-day HLL sketches vote
+    * into their trailing windows and union per target day (DataSketches
+    * union = register-wise max, so overlapping days never double-count).
+    * Shuffle volume is `days × |active days| × sketch size` — independent
+    * of the KEY CARDINALITY that makes exact rolling distinct expensive
+    * (a billion distinct users/day ship as ~KB sketches instead of 7×10⁹
+    * exploded pairs). Estimate error is the standard HLL ~1–2%; the spec
+    * pins it against the exact path.
+    */
+  def rollingDistinctApprox(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      days: Int = 7): DataFrame = {
+    require(days >= 1, s"days must be >= 1, got $days")
+    val daily = df
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("k"))
+      .where(col("day").isNotNull && col("k").isNotNull)
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("k")).as("__sk"))
+    val observed = daily.select(col("day").as("obs_day"))
+    daily
+      .select(explode(sequence(col("day"), date_add(col("day"), days - 1))).as("obs_day"),
+        col("__sk"))
+      .join(observed, Seq("obs_day"), "left_semi")
+      .groupBy(col("obs_day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("n_active_approx"))
+  }
+
   /** As-of (last-known-value) join: attach to every left row the
     * `valueCols` of the LATEST right row with the same `keys` and
     * `rightTs <= leftTs` (inclusive), plus the matching right timestamp as

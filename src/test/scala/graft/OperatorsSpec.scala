@@ -45,6 +45,23 @@ class OperatorsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("rollingDistinctApprox tracks the exact path within HLL error on real event data") {
+    import graft.operators.Temporal
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = Temporal.rollingDistinct(ev, "ts", "user_id", days = 7)
+      .select(col("day").cast("string"), col("n_active"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_active")).toMap
+    val approx = Temporal.rollingDistinctApprox(ev, "ts", "user_id", days = 7)
+      .select(col("day").cast("string"), col("n_active_approx"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_active_approx")).toMap
+    assert(approx.keySet == exact.keySet, "both paths must report the same days")
+    exact.foreach { case (d, n) =>
+      val a = approx(d)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"day $d: approx $a vs exact $n — outside 5% HLL band")
+    }
+  }
+
   test("linkPairs links across frames only — in-frame duplicates never emit") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val a = Seq(
