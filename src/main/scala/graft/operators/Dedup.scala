@@ -157,13 +157,18 @@ object Dedup {
     * tokenizing operator here).
     *
     * Scale design: the first-occurrence vote runs over (doc, pos,
-    * sha256(window)) METADATA — window text never shuffles for voting.
-    * Covered positions aggregate per doc (array bounded by the document's
-    * own token count), and the reassembly joins them back with the corpus
-    * frame — the covered-doc side is the duplicate minority, so AQE
-    * broadcasts it and the corpus never shuffles. Reassembly is linear
-    * per row: `array_except` over the contiguous position range (hash-set
-    * build, no per-token array scan).
+    * sha256(window)) METADATA — window text never shuffles for voting —
+    * and it is an AGGREGATION (`count` + `min(struct(doc, pos))` with
+    * map-side combine), not a window function: a boilerplate window
+    * repeated 10⁹ times corpus-wide collapses per executor before the
+    * shuffle, and the count-back equi-join is AQE-skew-splittable, where
+    * a `row_number() over (partition by hash)` would pin the hot hash in
+    * ONE unsplittable sort partition. Covered positions aggregate per doc
+    * (array bounded by the document's own token count), and the
+    * reassembly joins them back with the corpus frame — the covered-doc
+    * side is the duplicate minority, so AQE broadcasts it and the corpus
+    * never shuffles. Reassembly is linear per row: `array_except` over
+    * the contiguous position range (hash-set build, no per-token scan).
     */
   def dropDuplicatedSpans(
       df: DataFrame,
@@ -173,16 +178,20 @@ object Dedup {
       minCount: Int = 2): DataFrame = {
     require(w >= 2, s"window size must be >= 2, got $w")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
     val wins = base
       .select(col("doc"), posexplode(TextAnalysis.windowsOfWords(col("__tk"), w)))
       .select(col("doc"), col("pos"), sha2(col("col"), 256).as("__h"))
+    val meta = wins
+      .groupBy("__h")
+      .agg(
+        count(lit(1)).as("__cnt"),
+        min(struct(col("doc"), col("pos"))).as("__first"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("__h"), col("__first"))
     val cover = wins
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__h")))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy("__h").orderBy(col("doc"), col("pos"))))
-      .filter(col("__cnt") >= minCount && col("__rn") > 1)
+      .join(meta, "__h")
+      .filter(!(col("doc") === col("__first.doc") && col("pos") === col("__first.pos")))
       .select(col("doc"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("cpos"))
       .groupBy("doc")
       .agg(collect_set(col("cpos")).as("__cov"))
