@@ -2274,13 +2274,17 @@ object Queries {
         |FROM t""".stripMargin,
 
     // replicates sourceOverlap over the mirror-augmented corpus: distinct
-    // (normalized-fingerprint, source) pairs, directional containment
+    // (normalized-fingerprint, source) pairs, directional containment.
+    // The maxSources=1000 cap is applied explicitly (21 sources here, so
+    // a provable no-op) to keep the mirror equivalent where the cap bites.
     "q_profile_overlap" ->
       """WITH u AS (SELECT text, source FROM documents
         |  UNION ALL SELECT text, 'mirror' FROM documents WHERE doc_id % 4 = 0),
-        |fps AS (SELECT DISTINCT
+        |fps0 AS (SELECT DISTINCT
         |    sha256(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp, source AS src
         |  FROM u),
+        |keepfp AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 1000),
+        |fps AS (SELECT fps0.* FROM fps0 JOIN keepfp USING (fp)),
         |sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_a FROM fps GROUP BY src),
         |shared AS (SELECT a.src AS src_a, b.src AS src_b,
         |    CAST(COUNT(*) AS BIGINT) AS n_shared

@@ -175,16 +175,32 @@ object Profiling {
     * Scale shape: only (fingerprint, source) pairs ever shuffle — 64-char
     * hashes, never text. One distinct, one per-fingerprint source-set fold
     * (arrays bounded by #sources, not docs), an in-row ordered-pair explode
-    * over that tiny set, and a final (a, b) count joined against the
-    * broadcast per-source distinct counts. No doc×doc join anywhere.
+    * over that set, and a final (a, b) count joined against the broadcast
+    * per-source distinct counts. No doc×doc join anywhere.
+    *
+    * `maxSources` caps the per-fingerprint source set (the df-cap
+    * convention of the dedup family): a fingerprint hosted on more than
+    * `maxSources` sources is universal boilerplate — it carries no
+    * pairwise-overlap signal but would emit k² pair structs from one row
+    * (100 k mirror domains → 10¹⁰ pairs). Capped fingerprints leave the
+    * overlap UNIVERSE entirely — pair counts AND the `n_a` denominators
+    * both live in the capped space, so the ratio stays exact over it.
     */
-  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+  def sourceOverlap(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      maxSources: Int = 1000): DataFrame = {
+    require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
     val fps = df.select(
         graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"),
         col(sourceCol).as("src"))
       .distinct()
-    val sizes = fps.groupBy("src").agg(count(lit(1)).as("n_a"))
-    val pairs = fps.groupBy("fp").agg(collect_set(col("src")).as("__ss"))
+    val srcSets = fps.groupBy("fp").agg(collect_set(col("src")).as("__ss"))
+      .filter(size(col("__ss")) <= maxSources)
+    val sizes = srcSets.select(explode(col("__ss")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n_a"))
+    val pairs = srcSets
       .filter(size(col("__ss")) >= 2)
       .select(explode(flatten(transform(col("__ss"), a =>
         transform(filter(col("__ss"), b => b =!= a),
