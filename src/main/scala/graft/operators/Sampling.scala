@@ -220,6 +220,8 @@ object Sampling {
       s"epoch weights must be finite and >= 0: $epochs")
     require(!df.columns.contains(epochCol),
       s"input already has a '$epochCol' column — pass a different epochCol")
+    require(!df.columns.contains("__n"),
+      "input already has a '__n' column (reserved as this helper's scratch name) — rename it first")
     val frac = (w: Double) => math.round((w - math.floor(w)) * granularity)
     // per-source (full copies, extra-copy threshold) as a when-chain over
     // the (small, driver-known) mixture map — evaluated scan-side per row
