@@ -750,6 +750,12 @@ object Queries {
       TextAnalysis.rankByTerms(docs(s, d), "doc_id", "text",
         Seq("join", "vector", "spark", "filter"), k = 25)),
 
+    // Okapi BM25 top-25 for the same 4-term query as q_text_rank —
+    // length-normalized, tf-saturating, every score an exact integer
+    "q_text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Rank(docs(s, d), "doc_id", "text",
+        Seq("join", "vector", "spark", "filter"), k = 25)),
+
     // model-based quality filter: integer "micro-logit" lexicon scored
     // in-row against the broadcast weights map — keep iff score >= 0
     "q_text_classify" -> ((s, d) => {
@@ -2392,6 +2398,33 @@ object Queries {
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n GROUP BY doc)
         |SELECT doc, score, n_terms FROM sc
         |ORDER BY score DESC, doc ASC LIMIT 25""".stripMargin,
+
+    // replicates bm25Rank (k1=1.2, b=0.75 → 2200/300000/900000 milli
+    // constants): micro-bit idf from exact-integer operands, one HUGEINT
+    // floor-division per (doc, term), (score DESC, doc) top-25
+    "q_text_bm25" ->
+      """WITH base AS (SELECT doc_id AS doc,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |dl AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl FROM base),
+        |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+        |tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        |    (SELECT doc, unnest(tk) AS term FROM base)
+        |  WHERE term IN ('join', 'vector', 'spark', 'filter') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc,
+        |    CAST(ROUND(log2(CAST(2*n - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE) + 1)
+        |      * 1000000) AS BIGINT) AS idf_u,
+        |    tf.tf, dl.dl, t, n
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot JOIN dl ON dl.doc = tf.doc),
+        |ts AS (SELECT doc,
+        |    (CAST(idf_u AS HUGEINT) * tf * 2200 * 1000 * t) //
+        |    (CAST(tf AS HUGEINT) * 1000000 * t + CAST(300000 AS HUGEINT) * t
+        |       + CAST(900000 AS HUGEINT) * dl * n) AS term_score
+        |  FROM sc)
+        |SELECT doc, CAST(SUM(term_score) AS BIGINT) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM ts GROUP BY doc ORDER BY score DESC, doc ASC LIMIT 25""".stripMargin,
 
     // replicates linearScore: same lexicon as VALUES, token-occurrence
     // (not distinct) weight sum, docs matching nothing score the bias (0)

@@ -646,6 +646,75 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= 0)
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones, the Okapi formula) with
+    * every score an exact integer — the length-normalized, saturating
+    * upgrade of [[rankByTerms]]'s bare tf·idf:
+    * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`.
+    * Parameters arrive in MILLI-units (k1 = 1200 ≡ 1.2, b = 750 ≡ 0.75) and
+    * the per-term ratio is computed as one integer floor-division after
+    * multiplying through by 10⁶·T·N-scale factors — no float division
+    * anywhere, so rankings are bit-identical in any engine. The idf is the
+    * standard `log2((N − df + ½)/(df + ½) + 1)` rounded to integer
+    * MICRO-bits (the repo's micro-unit log convention; exact-integer inputs
+    * make the double computation reproducible cross-engine).
+    *
+    * Scale shape: same as [[rankByTerms]] — the query bag is a scan-side
+    * `isin` filter, so tf/df aggregations run on query-term postings only;
+    * the document-length frame is corpus-sized but never shuffles (the
+    * small tf side broadcasts into the dl join); corpus totals (T, N)
+    * arrive as a broadcast single row; top-k is `TakeOrderedAndProject`.
+    * The wide products run in DECIMAL(38,0) (T up to ~10¹³ tokens keeps the
+    * numerator < 10²⁹); the final quotient fits a BIGINT.
+    */
+  def bm25Rank(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1Milli: Int = 1200,
+      bMilli: Int = 750): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, "k must be positive")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"k1Milli >= 0 and bMilli in [0, 1000]: $k1Milli, $bMilli")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val base = df.select(
+      col(idCol).as("doc"),
+      tokens(lower(col(textCol))).as("__tk"))
+    val dl = base.select(col("doc"), size(col("__tk")).cast("long").as("dl"))
+    val totals = dl.agg(
+      sum(col("dl")).as("__t"), count(lit(1)).as("__n"))
+    val tf = base
+      .select(col("doc"), explode(col("__tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dec = "decimal(38,0)"
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(totals))
+      // micro-bit idf from exact-integer operands: (2N−2df+1)/(2df+1) + 1
+      .withColumn("__idf_u",
+        round(log2((lit(2) * col("__n") - lit(2) * col("df") + lit(1)).cast("double") /
+          (lit(2) * col("df") + lit(1)).cast("double") + lit(1.0)) * lit(1e6)).cast("long"))
+      .join(dl, "doc") // small tf side broadcasts; the corpus dl frame never shuffles
+      .withColumn("__num",
+        (col("__idf_u") * col("tf") * lit(1000L + k1Milli)).cast(dec) *
+          lit(1000L).cast(dec) * col("__t").cast(dec))
+      .withColumn("__den",
+        (col("tf").cast(dec) * lit(1000000L).cast(dec) * col("__t").cast(dec)) +
+          (lit(k1Milli.toLong * (1000L - bMilli)).cast(dec) * col("__t").cast(dec)) +
+          (lit(k1Milli.toLong * bMilli).cast(dec) * col("dl").cast(dec) * col("__n").cast(dec)))
+      .withColumn("__term_score", expr("__num div __den"))
+      .groupBy("doc")
+      .agg(
+        sum(col("__term_score")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+
   /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
     * heuristic. Public, well-known high-frequency function words.
     */

@@ -126,6 +126,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ("nothing shared with anyone at all", 0L))
   }
 
+  test("bm25Rank: length normalization and tf saturation order documents correctly") {
+    val fill = (1 to 45).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "x " + (1 to 4).map(i => s"f$i").mkString(" ")), // 1 hit, 5 tokens
+      (2L, "x " + fill),                                    // 1 hit, 46 tokens
+      (3L, ("x " * 10) + fill)                              // 10 hits, 55 tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(corpus, "doc_id", "text", Seq("x"), k = 3)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("score")).toMap
+    assert(out(1L) > out(2L), s"same tf, shorter doc must score higher: $out")
+    assert(out(3L) > out(2L), s"more hits must score higher at similar length: $out")
+    assert(out(3L) < 10 * out(2L), s"tf must saturate, not scale linearly: $out")
+  }
+
   test("sourceOverlap: directional containment, format-dup texts count once, no-overlap absent") {
     val corpus = Seq(
       ("doc one", "big"), ("doc two", "big"), ("doc three", "big"), ("doc four", "big"),
