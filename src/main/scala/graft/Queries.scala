@@ -756,6 +756,29 @@ object Queries {
       TextAnalysis.bm25Rank(docs(s, d), "doc_id", "text",
         Seq("join", "vector", "spark", "filter"), k = 25)),
 
+    // retrieve-then-rerank (the RAG shape): BM25 top-25 lexical candidates,
+    // re-scored by exact fixed-point cosine against a query embedding
+    // (vec_id 0), final top-10 by (cosine DESC, doc). The rerank join
+    // touches 25 rows — candidate generation is the only corpus-scale work
+    "q_text_rerank" -> ((s, d) => {
+      val cand = TextAnalysis.bm25Rank(docs(s, d), "doc_id", "text",
+        Seq("join", "vector", "spark", "filter"), k = 25)
+      val q = 1e8
+      val emb = embs(s, d).select(col("vec_id"),
+        transform(col("embedding"), v => round(v.cast("double") * lit(q)).cast("long")).as("qa"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("qa").as("__qv"))
+      cand.join(emb, cand("doc") === emb("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("doc"), col("score"),
+          (graft.functions.VectorExpressions.longDot(col("qa"), col("__qv")).cast("double") /
+            (sqrt(graft.functions.VectorExpressions.longDot(col("qa"), col("qa")).cast("double")) *
+             sqrt(graft.functions.VectorExpressions.longDot(col("__qv"), col("__qv")).cast("double"))))
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("doc").asc)
+        .limit(10)
+    }),
+
     // model-based quality filter: integer "micro-logit" lexicon scored
     // in-row against the broadcast weights map — keep iff score >= 0
     "q_text_classify" -> ((s, d) => {
@@ -1366,6 +1389,35 @@ object Queries {
     * threshold 0.35): sign buckets → same-(table, bucket) candidate pairs
     * (cross-table distinct) → exact fixed-point cosine → threshold filter.
     */
+  /** Shared CTE block replicating bm25Rank's exact-integer pipeline up to
+    * the top-25 candidate list `cand` (k1=1.2/b=0.75 milli constants) —
+    * used by the q_text_bm25 oracle and as the candidate stage of the
+    * q_text_rerank oracle.
+    */
+  private val bm25CandCtes: String =
+    """base AS (SELECT doc_id AS doc,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+      |  FROM documents),
+      |dlen AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dlen),
+      |tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+      |    (SELECT doc, unnest(tk) AS term FROM base)
+      |  WHERE term IN ('join', 'vector', 'spark', 'filter') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |bsc AS (SELECT tf.doc,
+      |    CAST(ROUND(log2(CAST(2*n - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE) + 1)
+      |      * 1000000) AS BIGINT) AS idf_u,
+      |    tf.tf, dlen.dl, t, n
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot JOIN dlen ON dlen.doc = tf.doc),
+      |ts AS (SELECT doc,
+      |    (CAST(idf_u AS HUGEINT) * tf * 2200 * 1000 * t) //
+      |    (CAST(tf AS HUGEINT) * 1000000 * t + CAST(300000 AS HUGEINT) * t
+      |       + CAST(900000 AS HUGEINT) * dl * n) AS term_score
+      |  FROM bsc),
+      |cand AS (SELECT doc, CAST(SUM(term_score) AS BIGINT) AS score,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM ts GROUP BY doc ORDER BY score DESC, doc ASC LIMIT 25)""".stripMargin
+
   private val embeddingLshOracleSql: String =
     s"""WITH ${lshOracleCtes(numPlanes = 8, numTables = 4)},
        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -2402,29 +2454,26 @@ object Queries {
     // replicates bm25Rank (k1=1.2, b=0.75 → 2200/300000/900000 milli
     // constants): micro-bit idf from exact-integer operands, one HUGEINT
     // floor-division per (doc, term), (score DESC, doc) top-25
-    "q_text_bm25" ->
-      """WITH base AS (SELECT doc_id AS doc,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
-        |  FROM documents),
-        |dl AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl FROM base),
-        |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
-        |tf AS (SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
-        |    (SELECT doc, unnest(tk) AS term FROM base)
-        |  WHERE term IN ('join', 'vector', 'spark', 'filter') GROUP BY 1, 2),
-        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT tf.doc,
-        |    CAST(ROUND(log2(CAST(2*n - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE) + 1)
-        |      * 1000000) AS BIGINT) AS idf_u,
-        |    tf.tf, dl.dl, t, n
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot JOIN dl ON dl.doc = tf.doc),
-        |ts AS (SELECT doc,
-        |    (CAST(idf_u AS HUGEINT) * tf * 2200 * 1000 * t) //
-        |    (CAST(tf AS HUGEINT) * 1000000 * t + CAST(300000 AS HUGEINT) * t
-        |       + CAST(900000 AS HUGEINT) * dl * n) AS term_score
-        |  FROM sc)
-        |SELECT doc, CAST(SUM(term_score) AS BIGINT) AS score,
-        |  CAST(COUNT(*) AS BIGINT) AS n_terms
-        |FROM ts GROUP BY doc ORDER BY score DESC, doc ASC LIMIT 25""".stripMargin,
+    "q_text_bm25" -> s"WITH $bm25CandCtes SELECT doc, score, n_terms FROM cand",
+
+    // BM25 candidates (shared CTEs) re-scored by the exact fixed-point
+    // cosine against embedding 0, (cosine DESC, doc) top-10
+    "q_text_rerank" ->
+      s"""WITH $bm25CandCtes,
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
+         |  FROM embeddings),
+         |n2 AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY 1),
+         |d AS (SELECT c.doc, c.score, CAST(SUM(ec.qv * eq.qv) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN e ec ON ec.vec_id = c.doc
+         |  JOIN e eq ON eq.vec_id = 0 AND eq.pos = ec.pos
+         |  GROUP BY 1, 2)
+         |SELECT doc, score,
+         |  CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cosine
+         |FROM d JOIN n2 nc ON nc.vec_id = doc JOIN n2 nq ON nq.vec_id = 0
+         |ORDER BY cosine DESC, doc ASC LIMIT 10""".stripMargin,
 
     // replicates linearScore: same lexicon as VALUES, token-occurrence
     // (not distinct) weight sum, docs matching nothing score the bias (0)
