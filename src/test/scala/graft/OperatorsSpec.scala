@@ -79,6 +79,46 @@ class OperatorsSpec extends SparkSpec {
       s"expected exactly the cross-frame links, got $got")
   }
 
+  test("linkPairs matches a driver-side brute-force model on a seeded mutated corpus") {
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val aRows = (0 until 30).map { i =>
+      (i.toLong, (0 until 25).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "), "en")
+    }
+    // B = mutated copies of A (i%6 words replaced) + 10 fresh docs —
+    // jaccards straddle the threshold from both sides
+    val bRows = aRows.map { case (i, t, l) =>
+      val w = t.split(" ")
+      (0 until (i % 6).toInt).foreach(_ => w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size)))
+      (1000L + i, w.mkString(" "), l)
+    } ++ (0 until 10).map { i =>
+      (2000L + i, (0 until 25).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "), "en")
+    }
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.split("\\s+")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val threshold = 0.3
+    val expected = (for {
+      (ai, at, _) <- aRows
+      (bi, bt, _) <- bRows
+      sa = shingles(at); sb = shingles(bt)
+      inter = (sa & sb).size
+      if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= threshold
+    } yield (ai, bi, j)).toSet
+    assert(expected.size >= 10 && expected.size < aRows.size * bRows.size,
+      s"fixture must straddle the threshold, got ${expected.size}")
+    val got = Dedup.linkPairs(
+        aRows.toDF("doc_id", "text", "lang"), bRows.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", threshold)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(got == expected, s"model mismatch: extra ${got -- expected}, missing ${expected -- got}")
+  }
+
   test("mergeQuantiles: merge law holds, reported bin contains the exact rank value, negatives floor") {
     import graft.operators.Incremental
     val vals = spark.range(0, 1000)
