@@ -1050,6 +1050,24 @@ object Queries {
       Dedup.minhashNearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.8,
         numHashes = 48, bands = 16)),
 
+    // incremental ingest near-dup: history = non-%7 docs behind a
+    // PERSISTABLE band-bucket index; the new batch (every 7th doc plus
+    // verbatim history leaks at +800000) links against the store only.
+    // 48/16 banding reaches full recall at 0.8 (see q_dedup_minhash), so
+    // the brute-force cross-side oracle matches exactly.
+    "q_dedup_minhash_incr" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val hist = dd.filter(col("doc_id") % 7 =!= 0)
+      val newBatch = dd.filter(col("doc_id") % 7 === 0)
+        .unionByName(dd.filter(col("doc_id") % 35 === 1)
+          .select((col("doc_id") + lit(800000L)).as("doc_id"), col("text")))
+      val store = Dedup.minhashBandBuckets(
+        Dedup.minhashSignatures(hist, "doc_id", "text", numHashes = 48),
+        bands = 16, rowsPerBand = 3)
+      Dedup.incrementalMinhashLinks(newBatch, "doc_id", "text", store, hist,
+        threshold = 0.8, numHashes = 48, bands = 16)
+    }),
+
     // sha-derived token hash (cross-engine reproducible) + 4-segment
     // multi-probe: recall is EXACT for hamming ≤ 3, so the DuckDB oracle
     // replicates the full algorithm closed-form (bit votes → segment
@@ -1564,6 +1582,35 @@ object Queries {
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
 
     "q_dedup_simhash" -> simhashOracleSql,
+
+    // brute-force CROSS-side jaccard (new batch × history) — the incremental
+    // operator's banding reaches full recall at this setting, so equality
+    // with the exhaustive cross set also asserts recall
+    "q_dedup_minhash_incr" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 800000, text FROM documents WHERE doc_id % 35 = 1),
+        |tn AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |  FROM (SELECT doc_id,
+        |      string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |    FROM newb)),
+        |th AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |  FROM (SELECT doc_id,
+        |      string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |    FROM hist)),
+        |sn AS (SELECT doc_id, COUNT(*) n FROM tn GROUP BY doc_id),
+        |sh AS (SELECT doc_id, COUNT(*) n FROM th GROUP BY doc_id),
+        |co AS (SELECT n.doc_id AS new_id, h.doc_id AS hist_id,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tn n JOIN th h ON n.tok = h.tok GROUP BY 1, 2)
+        |SELECT new_id, hist_id,
+        |  CAST(inter AS DOUBLE) / CAST(sn.n + sh.n - inter AS DOUBLE) AS jaccard
+        |FROM co JOIN sn ON sn.doc_id = new_id JOIN sh ON sh.doc_id = hist_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sn.n + sh.n - inter AS DOUBLE) >= 0.8""".stripMargin,
 
     "q_sim_lsh_topk" -> lshTopKOracleSql,
 

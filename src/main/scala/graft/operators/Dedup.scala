@@ -538,11 +538,16 @@ object Dedup {
     * the only shuffle keys are the band buckets, so cost scales with
     * bucket sizes, not corpus².
     */
-  def minhashCandidatePairs(
+  /** The (doc, band, bucket) frame of a signature table — the PERSISTABLE
+    * LSH index: compute it once over a history corpus, save it as a table,
+    * and incremental ingest ([[incrementalMinhashLinks]]) joins new
+    * batches against it without ever touching history text or signatures.
+    */
+  def minhashBandBuckets(
       signatures: DataFrame,
       bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val banded = signatures.select(
+      rowsPerBand: Int): DataFrame =
+    signatures.select(
       col("doc"),
       posexplode(
         array((0 until bands).map(b =>
@@ -550,6 +555,12 @@ object Dedup {
             lit(b).as("band"),
             xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)))
       .select(col("doc"), col("col.band"), col("col.bucket"))
+
+  def minhashCandidatePairs(
+      signatures: DataFrame,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val banded = minhashBandBuckets(signatures, bands, rowsPerBand)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -619,6 +630,67 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Incremental MinHash-LSH ingest dedup: link a NEW batch against an
+    * INDEXED history — the daily shape of near-dup detection at 100 TB.
+    * The history index is `minhashBandBuckets(minhashSignatures(history,
+    * …, numHashes), bands, numHashes/bands)` computed ONCE and persisted;
+    * each ingest batch then pays only its own tokenize + signature pass,
+    * a bucket-keyed equi-join against the store (cost ∝ matching buckets,
+    * never |history|·|batch|), and an exact-Jaccard verify on candidates.
+    * History text is re-tokenized ONLY for docs that appear as candidates
+    * (a semi-join prunes it before the tokenize), so verify cost scales
+    * with candidate count, not history size. Output:
+    * (new_id, hist_id, jaccard) CROSS links only — batch-internal dups
+    * are [[minhashNearDuplicates]]'s job, and the same (numHashes, bands)
+    * must be used on both sides (the signatures are a function of them).
+    */
+  def incrementalMinhashLinks(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      histBuckets: DataFrame,
+      histDf: DataFrame,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
+    require(threshold > 0,
+      s"incrementalMinhashLinks requires threshold > 0 (got $threshold): " +
+        "empty-intersection candidates drop out of the verify count-join")
+    require(numHashes % bands == 0, s"bands must divide numHashes: $numHashes / $bands")
+    val newTok = tokenSets(newDf, idCol, textCol, Seq.empty, tokenizer)
+    val newToks = newTok.select(col("doc"), explode(col("__set")).as("tok"))
+    val hashes = hashParams(numHashes)
+    val x = pmod(hash64(col("tok")), lit(MinhashPrime))
+    val perHash = hashes.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(x * a + b, lit(MinhashPrime))).as(s"h$i")
+    }
+    val sigs = newToks.groupBy("doc")
+      .agg(perHash.head, perHash.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    val nb = minhashBandBuckets(sigs, bands, numHashes / bands)
+      .withColumnRenamed("doc", "new_id")
+    val hb = histBuckets.withColumnRenamed("doc", "hist_id")
+    val cands = nb.join(hb, Seq("band", "bucket")).select("new_id", "hist_id").distinct()
+    val histCand = histDf.join(
+      cands.select(col("hist_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val histTok = tokenSets(histCand, idCol, textCol, Seq.empty, tokenizer)
+    val histToks = histTok.select(col("doc"), explode(col("__set")).as("tok"))
+    cands
+      .join(newToks.select(col("doc").as("new_id"), col("tok")), "new_id")
+      .join(histToks.select(col("doc").as("hist_id"), col("tok")), Seq("hist_id", "tok"))
+      .groupBy("new_id", "hist_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(newTok.select(col("doc").as("new_id"), size(col("__set")).as("na")), "new_id")
+      .join(histTok.select(col("doc").as("hist_id"), size(col("__set")).as("nb")), "hist_id")
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "hist_id", "jaccard")
   }
 
   /** 64-bit SimHash of each document's token multiset: per bit position,

@@ -79,6 +79,28 @@ class OperatorsSpec extends SparkSpec {
       s"expected exactly the cross-frame links, got $got")
   }
 
+  test("incrementalMinhashLinks: new batch links against the persisted index, cross-side only") {
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (4L, "completely different text about spark engines and planning"),
+      (5L, "der hund ist nicht ein tier mit flügeln oder so")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight again"), // copy of 1
+      (101L, "a brand new document that matches nothing in the history"),
+      (102L, "a brand new document that matches nothing in the history")   // batch-internal dup
+    ).toDF("doc_id", "text")
+    val store = Dedup.minhashBandBuckets(
+      Dedup.minhashSignatures(hist, "doc_id", "text", numHashes = 48),
+      bands = 16, rowsPerBand = 3)
+    val got = Dedup.incrementalMinhashLinks(newBatch, "doc_id", "text", store, hist,
+        threshold = 0.9, numHashes = 48, bands = 16)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("hist_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got == Set((100L, 1L, 1.0)),
+      s"expected exactly the planted history link (batch-internal dups are not links): $got")
+  }
+
   test("linkPairs matches a driver-side brute-force model on a seeded mutated corpus") {
     val rnd = new scala.util.Random(99)
     val vocab = (0 until 60).map(i => s"w$i")

@@ -277,6 +277,16 @@ class PlanSpec extends SparkSpec {
       s"sanity: plan must show both sides:\n$p")
   }
 
+  test("bm25: top-k is TakeOrderedAndProject; the corpus dl frame joins without shuffling") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must ship per-partition top-k, not sort the candidates:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the tf side must broadcast into the document-length join — no shuffle join:\n$p")
+    assert(p.contains("isin") || p.contains("IN ("),
+      s"the query bag must filter scan-side:\n$p")
+  }
+
   test("epochMix is a pure scan-side explode — no shuffle, no join") {
     val p = plan("q_sample_epochs")
     assert(p.contains("Generate"), s"the epoch explode must appear:\n$p")
