@@ -34,6 +34,12 @@ import graft.operators.{Dedup, Skew}
   *    vs uncapped (maxDf=10⁶): the df-cap's work saved, and proof the
   *    reported pair set is UNCHANGED (boilerplate-only pairs cannot reach
   *    the 0.8 threshold — the cap drops work, not answers, on this corpus).
+  *  - duplicated-span removal on the same corpus: the license paragraph's
+  *    ~36 interior 5-token windows each occur in ALL docs — the hot-window
+  *    distribution the aggregation-based first-occurrence vote exists for
+  *    (a row_number-over-hash vote would sort every hot occurrence in one
+  *    unsplittable partition). Checked: every non-canonical doc loses the
+  *    full 40-token paragraph.
   *
   * Output: one JSON line + `BENCH_skew.json`, with result-equality checks
   * (salted vs unsalted row counts and sums; capped vs uncapped pair sets).
@@ -184,11 +190,20 @@ object SkewBench {
     require((capped -- uncapped).isEmpty,
       s"the cap INVENTED pairs (must be impossible): ${(capped -- uncapped).take(5)}")
 
+    // ---- duplicated-span removal on the same boilerplate corpus ----
+    measure("despans_boilerplate")(
+      Dedup.dropDuplicatedSpans(documents, "doc_id", "text", w = 5, minCount = 2))
+    val nScrubbed = Dedup.dropDuplicatedSpans(documents, "doc_id", "text", w = 5, minCount = 2)
+      .filter(col("n_tokens_dropped") >= 40).count()
+    require(nScrubbed >= nDocs - 1,
+      s"every non-canonical doc must lose the 40-token license paragraph: $nScrubbed of $nDocs")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"skew_bench","unit":"sec","cases":$qs,""" +
         s""""fixture":{"lineitem_rows":$totalRows,"hot_key_rows":$hotRows,""" +
         s""""docs":$nDocs,"dropped_hot_tokens":$droppedTokens,""" +
+        s""""despans_scrubbed_docs":$nScrubbed,""" +
         s""""pairs_capped":${capped.size},"pairs_uncapped":${uncapped.size},""" +
         s""""boilerplate_only_pairs_suppressed":${(uncapped -- capped).size}},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_skew.json"), json + "\n")
