@@ -948,6 +948,23 @@ object Queries {
       Dedup.linkPairs(a, b, "doc_id", "text", "lang", threshold = 0.7)
     }),
 
+    // entity resolution end-to-end: the q_link_records match pairs feed
+    // connected components, assigning every linked record (both frames)
+    // its cluster's min-id as the master id — the survivorship mapping a
+    // downstream MERGE consumes
+    "q_link_resolve" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text", "lang")
+      val a = dd.filter(col("doc_id") % 2 === 0)
+      val b = dd.filter(col("doc_id") % 2 =!= 0).unionByName(
+        dd.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + lit(700000L)).as("doc_id"),
+          concat(col("text"), lit(" extra trailing words appended")).as("text"),
+          col("lang")))
+      val pairs = Dedup.linkPairs(a, b, "doc_id", "text", "lang", threshold = 0.7)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("node").as("record_id"), col("component").as("master_id"))
+    }),
+
     // two-stage fuzzy dedup: permissive jaccard candidates (0.5), each
     // confirmed in-row by Levenshtein <= 100 on the full texts — the DP
     // cost is paid per candidate pair, never per N²
@@ -2793,6 +2810,49 @@ object Queries {
         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM co JOIN sa ON sa.doc_id = a_id JOIN sb ON sb.doc_id = b_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7""".stripMargin,
+
+    // q_link_records' match pairs + recursive min-label closure — every
+    // linked record maps to its cluster's min id
+    "q_link_resolve" ->
+      """WITH RECURSIVE aa AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |bb AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 <> 0
+        |  UNION ALL SELECT doc_id + 700000,
+        |    text || ' extra trailing words appended', lang
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |t0 AS (
+        |  SELECT 0 AS side, doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))) AS tok
+        |  FROM (SELECT doc_id, lang,
+        |      string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |    FROM aa)
+        |  UNION ALL
+        |  SELECT 1, doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])))
+        |  FROM (SELECT doc_id, lang,
+        |      string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |    FROM bb)),
+        |keep AS (SELECT lang, tok FROM t0 GROUP BY lang, tok HAVING COUNT(*) <= 1000),
+        |t AS (SELECT t0.* FROM t0 JOIN keep USING (lang, tok)),
+        |sa AS (SELECT doc_id, COUNT(*) n FROM t WHERE side = 0 GROUP BY 1),
+        |sb AS (SELECT doc_id, COUNT(*) n FROM t WHERE side = 1 GROUP BY 1),
+        |co AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM t x JOIN t y
+        |    ON x.tok = y.tok AND x.lang = y.lang AND x.side = 0 AND y.side = 1
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id
+        |  FROM co JOIN sa ON sa.doc_id = a_id JOIN sb ON sb.doc_id = b_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7),
+        |e AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |      UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS lbl FROM e
+        |  UNION
+        |  SELECT e.a AS node, r.lbl FROM e JOIN reach r ON r.node = e.b
+        |  WHERE r.lbl < e.a)
+        |SELECT node AS record_id, MIN(lbl) AS master_id
+        |FROM reach GROUP BY node""".stripMargin,
 
     // same shingle/df-cap machinery as q_dedup_jaccard over the
     // excerpt-augmented corpus, final score inter / LEAST(na, nb); the
