@@ -304,6 +304,47 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map(1L -> "alice", 2L -> "bob2", 3L -> "carol"))
   }
 
+  test("streaming ingest dedup: micro-batches link against the persisted history index") {
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("graft-ingest-dedup").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    val histA = "the quick brown fox jumps over the lazy dog tonight again"
+    val histB = "completely different text about spark engines and planning"
+    val hist = Seq((1L, histA), (2L, histB)).toDF("doc_id", "text")
+    // the persisted index: banded once, never recomputed per batch
+    val store = Dedup.minhashBandBuckets(
+      Dedup.minhashSignatures(hist, "doc_id", "text", numHashes = 48),
+      bands = 16, rowsPerBand = 3)
+    store.cache().count()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1).write.mode("append").parquet(in)
+
+    val collected = scala.collection.mutable.Set.empty[(Long, Long)]
+    feed(Seq((100L, histA), (101L, "a fresh document matching nothing in history")))
+    val q = spark.readStream.schema(schema).parquet(in)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= Dedup
+            .incrementalMinhashLinks(batch, "doc_id", "text", store, hist,
+              threshold = 0.9, numHashes = 48, bands = 16)
+            .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("hist_id")))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(collected.toSet == Set((100L, 1L)), s"batch 1 must link its leak: $collected")
+      feed(Seq((102L, histB), (103L, "yet another novel document entirely")))
+      q.processAllAvailable()
+      assert(collected.toSet == Set((100L, 1L), (102L, 2L)),
+        s"each micro-batch links only against the static index: $collected")
+    } finally { q.stop(); store.unpersist() }
+  }
+
   test("mapGroupsWithState running stats (batch-mode execution)") {
     val stats = StreamingOps.userRunningStats(spark, batchEvents.limit(200))
       .collect().map(s => s.user_id -> s.n_events).toMap
