@@ -1205,8 +1205,6 @@ object Queries {
           col("channels"),
           element_at(col("features"), 1).as("rms"))),
 
-    // Streaming-equivalent windowed aggregation (same plan shape the
-    // streaming job runs; batch here so the oracle can check it)
     // trailing-7-day exact distinct users per active day (rolling WAU):
     // distinct (day, user) pairs vote into the windows they serve — no
     // windowed COUNT(DISTINCT), which Spark (and SQL) cannot plan natively
@@ -1215,6 +1213,8 @@ object Queries {
           graft.sources.Events.load(s, d), "ts", "user_id", days = 7)
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))),
 
+    // Streaming-equivalent windowed aggregation (same plan shape the
+    // streaming job runs; batch here so the oracle can check it)
     "q_events_window" -> ((s, d) =>
       graft.sources.Events.load(s, d)
         .groupBy(
@@ -1419,11 +1419,6 @@ object Queries {
        |  FROM sc) WHERE rn <= 3""".stripMargin
   }
 
-  /** DuckDB replica of the LSH-blocked embedding near-dup pipeline
-    * (matching q_dedup_embedding_lsh: 8 planes × 4 tables, sha weights,
-    * threshold 0.35): sign buckets → same-(table, bucket) candidate pairs
-    * (cross-table distinct) → exact fixed-point cosine → threshold filter.
-    */
   /** Shared CTE block replicating bm25Rank's exact-integer pipeline up to
     * the top-25 candidate list `cand` (k1=1.2/b=0.75 milli constants) —
     * used by the q_text_bm25 oracle and as the candidate stage of the
@@ -1453,6 +1448,11 @@ object Queries {
       |    CAST(COUNT(*) AS BIGINT) AS n_terms
       |  FROM ts GROUP BY doc ORDER BY score DESC, doc ASC LIMIT 25)""".stripMargin
 
+  /** DuckDB replica of the LSH-blocked embedding near-dup pipeline
+    * (matching q_dedup_embedding_lsh: 8 planes × 4 tables, sha weights,
+    * threshold 0.35): sign buckets → same-(table, bucket) candidate pairs
+    * (cross-table distinct) → exact fixed-point cosine → threshold filter.
+    */
   private val embeddingLshOracleSql: String =
     s"""WITH ${lshOracleCtes(numPlanes = 8, numTables = 4)},
        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

@@ -192,10 +192,15 @@ object Profiling {
       sourceCol: String,
       maxSources: Int = 1000): DataFrame = {
     require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
+    // NULL text → NULL fingerprint: groupBy would pool every source's null
+    // rows into ONE phantom "shared" fingerprint (and SQL mirrors drop NULL
+    // keys at their equi-joins) — exclude them up front. No distinct here:
+    // collect_set dedups sources per fingerprint with map-side partial
+    // aggregation, so a pre-distinct would only add a second full shuffle.
     val fps = df.select(
         graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"),
         col(sourceCol).as("src"))
-      .distinct()
+      .filter(col("fp").isNotNull)
     val srcSets = fps.groupBy("fp").agg(collect_set(col("src")).as("__ss"))
       .filter(size(col("__ss")) <= maxSources)
     val sizes = srcSets.select(explode(col("__ss")).as("src"))

@@ -699,9 +699,11 @@ object TextAnalysis {
         round(log2((lit(2) * col("__n") - lit(2) * col("df") + lit(1)).cast("double") /
           (lit(2) * col("df") + lit(1)).cast("double") + lit(1.0)) * lit(1e6)).cast("long"))
       .join(dl, "doc") // small tf side broadcasts; the corpus dl frame never shuffles
+      // every factor casts to DECIMAL BEFORE multiplying — a long product
+      // of (idf_u · tf · …) first would silently wrap for pathological tf
       .withColumn("__num",
-        (col("__idf_u") * col("tf") * lit(1000L + k1Milli)).cast(dec) *
-          lit(1000L).cast(dec) * col("__t").cast(dec))
+        col("__idf_u").cast(dec) * col("tf").cast(dec) *
+          lit(1000L + k1Milli).cast(dec) * lit(1000L).cast(dec) * col("__t").cast(dec))
       .withColumn("__den",
         (col("tf").cast(dec) * lit(1000000L).cast(dec) * col("__t").cast(dec)) +
           (lit(k1Milli.toLong * (1000L - bMilli)).cast(dec) * col("__t").cast(dec)) +

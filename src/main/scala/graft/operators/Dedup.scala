@@ -178,7 +178,12 @@ object Dedup {
       minCount: Int = 2): DataFrame = {
     require(w >= 2, s"window size must be >= 2, got $w")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val base = df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    // NULL text coalesces to '' (tokenizes to [""], the repo-wide empty-doc
+    // convention): a NULL __tk would give size = -1 under legacy sizeOfNull
+    // and a DESCENDING position sequence — negative kept-counts downstream
+    val base = df.select(
+      col(idCol).as("doc"),
+      TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("__tk"))
     val wins = base
       .select(col("doc"), posexplode(TextAnalysis.windowsOfWords(col("__tk"), w)))
       .select(col("doc"), col("pos"), sha2(col("col"), 256).as("__h"))
@@ -514,12 +519,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 32,
-      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame =
+    signaturesFromTokens(
+      tokenSets(df, idCol, textCol, Seq.empty, tokenizer)
+        .select(col("doc"), explode(col("__set")).as("tok")),
+      numHashes)
+
+  /** The ONE definition of the signature aggregation over an exploded
+    * (doc, tok) frame. [[incrementalMinhashLinks]]' persisted-index
+    * contract requires batch and history signatures to stay bit-identical
+    * forever, so every signature consumer routes through here — an edit to
+    * the hashing that missed a copy would silently zero incremental recall.
+    * The 64-bit token hash reduces into the prime field FIRST so a·x + b
+    * stays < 2^62 (ANSI mode makes a silent long overflow an error).
+    */
+  private def signaturesFromTokens(toks: DataFrame, numHashes: Int): DataFrame = {
     val hashes = hashParams(numHashes)
-    val toks = tokenSets(df, idCol, textCol, Seq.empty, tokenizer)
-      .select(col("doc"), explode(col("__set")).as("tok"))
-    // Reduce the 64-bit token hash into the prime field FIRST so a·x + b
-    // stays < 2^62 (ANSI mode makes a silent long overflow an error).
     val x = pmod(hash64(col("tok")), lit(MinhashPrime))
     val perHash = hashes.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(x * a + b, lit(MinhashPrime))).as(s"h$i")
@@ -534,14 +549,10 @@ object Dedup {
 
   /** LSH banding over MinHash signatures: split the signature into
     * `bands` bands of `rowsPerBand` hashes, bucket by (band, band-slice
-    * hash), and emit candidate pairs that share any bucket. Sub-quadratic:
-    * the only shuffle keys are the band buckets, so cost scales with
-    * bucket sizes, not corpus².
-    */
-  /** The (doc, band, bucket) frame of a signature table — the PERSISTABLE
-    * LSH index: compute it once over a history corpus, save it as a table,
-    * and incremental ingest ([[incrementalMinhashLinks]]) joins new
-    * batches against it without ever touching history text or signatures.
+    * hash). The (doc, band, bucket) frame is the PERSISTABLE LSH index:
+    * compute it once over a history corpus, save it as a table, and
+    * incremental ingest ([[incrementalMinhashLinks]]) joins new batches
+    * against it without ever touching history text or signatures.
     */
   def minhashBandBuckets(
       signatures: DataFrame,
@@ -556,6 +567,10 @@ object Dedup {
             xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)))
       .select(col("doc"), col("col.band"), col("col.bucket"))
 
+  /** Self-join candidate pairs over the banded buckets: docs sharing ANY
+    * (band, bucket) pair up. Sub-quadratic: the only shuffle keys are the
+    * band buckets, so cost scales with bucket sizes, not corpus².
+    */
   def minhashCandidatePairs(
       signatures: DataFrame,
       bands: Int,
@@ -597,14 +612,7 @@ object Dedup {
     // the exact-verify join.
     val tokenized = tokenSets(df, idCol, textCol, Seq.empty, tokenizer)
     val toks = tokenized.select(col("doc"), explode(col("__set")).as("tok"))
-    val hashes = hashParams(numHashes)
-    val x = pmod(hash64(col("tok")), lit(MinhashPrime))
-    val perHash = hashes.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(x * a + b, lit(MinhashPrime))).as(s"h$i")
-    }
-    val sigs = toks.groupBy("doc")
-      .agg(perHash.head, perHash.tail: _*)
-      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    val sigs = signaturesFromTokens(toks, numHashes)
     val cands = minhashCandidatePairs(sigs, bands, numHashes / bands)
     // Count-based exact verify, no arrays through joins: ship each
     // candidate pair's A-side tokens once, probe the B side on (doc, tok),
@@ -662,14 +670,7 @@ object Dedup {
     require(numHashes % bands == 0, s"bands must divide numHashes: $numHashes / $bands")
     val newTok = tokenSets(newDf, idCol, textCol, Seq.empty, tokenizer)
     val newToks = newTok.select(col("doc"), explode(col("__set")).as("tok"))
-    val hashes = hashParams(numHashes)
-    val x = pmod(hash64(col("tok")), lit(MinhashPrime))
-    val perHash = hashes.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(x * a + b, lit(MinhashPrime))).as(s"h$i")
-    }
-    val sigs = newToks.groupBy("doc")
-      .agg(perHash.head, perHash.tail: _*)
-      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    val sigs = signaturesFromTokens(newToks, numHashes)
     val nb = minhashBandBuckets(sigs, bands, numHashes / bands)
       .withColumnRenamed("doc", "new_id")
     val hb = histBuckets.withColumnRenamed("doc", "hist_id")

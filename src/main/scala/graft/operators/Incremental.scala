@@ -138,9 +138,11 @@ object Incremental {
       .select((keys.map(col) :+ col("bin") :+ col("n") :+ col("__cum") :+ col("__total")) :+
         explode(array(quantilesPpm.map(lit): _*)).as("q_ppm"): _*)
       // ceil(q·N/1e6) in exact LONG arithmetic (overflow-safe to ~9·10¹²
-      // rows per key); the containing bin is the first whose cumulative
-      // count reaches the threshold
-      .withColumn("__thresh", expr("(q_ppm * __total + 999999) div 1000000"))
+      // rows per key), clamped to rank ≥ 1 so q_ppm = 0 selects the MIN
+      // bin instead of matching nothing; the containing bin is the first
+      // whose cumulative count reaches the threshold
+      .withColumn("__thresh",
+        greatest(expr("(q_ppm * __total + 999999) div 1000000"), lit(1L)))
       .filter(col("__cum") >= col("__thresh") && col("__cum") - col("n") < col("__thresh"))
       .select(
         (keys.map(col) :+ col("q_ppm") :+

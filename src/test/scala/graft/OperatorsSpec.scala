@@ -161,6 +161,12 @@ class OperatorsSpec extends SparkSpec {
     // values 0..999: rank ⌈q·1000⌉ (1-indexed) = value ⌈q·1000⌉−1
     assert(m(500000L) == (490L, 499L) && m(250000L) == (240L, 249L) &&
       m(990000L) == (980L, 989L), s"rank containment broken: $m")
+    // q_ppm = 0 selects the MIN bin (rank clamps to 1), not zero rows
+    val q0 = Incremental.mergeQuantiles(
+      Incremental.partialQuantiles(vals, Seq("key"), "bucket", "v", binWidth = 10L),
+      Seq("key"), Seq(0L), binWidth = 10L).collect()
+    assert(q0.length == 1 && q0.head.getAs[Long]("q_lo_scaled") == 0L,
+      s"q=0 must report the min bin: ${q0.toSeq}")
     // negatives: floor bins, not truncate-toward-zero (no double-width bin at 0)
     val neg = Seq(("k", -7L, 0), ("k", -1L, 0), ("k", 3L, 0)).toDF("key", "v", "bucket")
     val nb = Incremental.partialQuantiles(neg, Seq("key"), "bucket", "v", binWidth = 5L)
