@@ -756,6 +756,29 @@ object Queries {
       TextAnalysis.bm25Rank(docs(s, d), "doc_id", "text",
         Seq("join", "vector", "spark", "filter"), k = 25)),
 
+    // end-to-end curation v2, composing the round's operators in ONE plan:
+    // classifier gate (broadcast lexicon, in-row fold) → duplicated-span
+    // removal over the GATED corpus (first-occurrence vote among survivors)
+    // → exact dedup on the CLEANED text (min-id survivor; all-boilerplate
+    // docs collapse to one empty-text canonical) → per-source doc/token
+    // report
+    "q_curate_full" -> ((s, d) => {
+      import s.implicits._
+      val dd = docs(s, d)
+      val lexicon = Seq(
+        ("fast", 3L), ("spark", 2L), ("merge", 1L), ("slow", -4L), ("big", -1L))
+        .toDF("term", "weight")
+      val keptIds = TextAnalysis.linearScore(dd, "doc_id", "text", lexicon)
+        .filter(col("keep")).select(col("doc").as("doc_id"))
+      val gated = dd.join(keptIds, Seq("doc_id"), "left_semi")
+      val cleaned = Dedup.dropDuplicatedSpans(gated, "doc_id", "text", w = 5, minCount = 2)
+        .withColumnRenamed("doc", "doc_id")
+      Dedup.dropExactDuplicates(cleaned, "doc_id", Seq("clean_text"))
+        .join(dd.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens_kept")).as("n_tokens"))
+    }),
+
     // retrieve-then-rerank (the RAG shape): BM25 top-25 lexical candidates,
     // re-scored by exact fixed-point cosine against a query embedding
     // (vec_id 0), final top-10 by (cosine DESC, doc). The rerank join
@@ -2514,6 +2537,54 @@ object Queries {
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n GROUP BY doc)
         |SELECT doc, score, n_terms FROM sc
         |ORDER BY score DESC, doc ASC LIMIT 25""".stripMargin,
+
+    // chains the q_text_classify gate, the q_text_despans machinery (over
+    // the GATED corpus) and a min-id exact dedup on cleaned text into the
+    // per-source report
+    "q_curate_full" ->
+      """WITH wts(term, weight) AS (VALUES
+        |    ('fast', 3), ('spark', 2), ('merge', 1), ('slow', -4), ('big', -1)),
+        |ctoks AS (SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')) AS ctok
+        |  FROM documents),
+        |scored AS (SELECT doc_id, CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS score
+        |  FROM ctoks LEFT JOIN wts ON ctok = term GROUP BY doc_id),
+        |gated AS (SELECT d.doc_id, d.text, d.source FROM documents d
+        |  JOIN scored s ON s.doc_id = d.doc_id AND s.score >= 0),
+        |tk AS (SELECT doc_id AS doc,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tks
+        |  FROM gated),
+        |wins AS (SELECT doc, unnest(range(len(tks) - 4)) AS pos, tks
+        |  FROM tk WHERE len(tks) >= 5),
+        |wtext AS (SELECT doc, pos,
+        |    tks[pos+1] || ' ' || tks[pos+2] || ' ' || tks[pos+3] || ' ' ||
+        |    tks[pos+4] || ' ' || tks[pos+5] AS win
+        |  FROM wins),
+        |v AS (SELECT doc, pos,
+        |    COUNT(*) OVER (PARTITION BY win) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc, pos) AS rn
+        |  FROM wtext),
+        |cover AS (SELECT DISTINCT doc, cpos FROM (
+        |  SELECT doc, unnest(generate_series(pos, pos + 4)) AS cpos
+        |  FROM v WHERE cnt >= 2 AND rn > 1)),
+        |toks AS (SELECT doc, unnest(tks) AS tok2,
+        |    generate_subscripts(tks, 1) - 1 AS p FROM tk),
+        |keptt AS (SELECT t.doc, t.tok2, t.p FROM toks t
+        |  LEFT JOIN cover c ON c.doc = t.doc AND c.cpos = t.p
+        |  WHERE c.cpos IS NULL),
+        |tot AS (SELECT doc FROM tk),
+        |cleaned AS (SELECT tot.doc AS doc_id,
+        |    coalesce(string_agg(k.tok2, ' ' ORDER BY k.p), '') AS clean_text,
+        |    CAST(count(k.p) AS BIGINT) AS n_tokens_kept
+        |  FROM tot LEFT JOIN keptt k ON tot.doc = k.doc
+        |  GROUP BY tot.doc),
+        |dedup AS (SELECT doc_id, n_tokens_kept FROM (
+        |  SELECT c.*, MIN(doc_id) OVER (PARTITION BY clean_text) AS mid FROM cleaned c)
+        |  WHERE doc_id = mid)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(c.n_tokens_kept) AS BIGINT) AS n_tokens
+        |FROM dedup c JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     // replicates bm25Rank (k1=1.2, b=0.75 → 2200/300000/900000 milli
     // constants): micro-bit idf from exact-integer operands, one HUGEINT
