@@ -102,6 +102,16 @@ object Incremental {
       binWidth: Long): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val vType = df.schema(scaledValueCol).dataType
+    val integral = vType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral,
+      s"scaledValueCol '$scaledValueCol' must be integral fixed-point for exact bins, got $vType" +
+        " — scale doubles onto an integer grid (e.g. cents) first")
     df.filter(col(scaledValueCol).isNotNull)
       .groupBy((keys :+ bucketCol).map(col) :+
         floorDiv(col(scaledValueCol), binWidth).as("bin"): _*)

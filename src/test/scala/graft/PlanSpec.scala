@@ -277,6 +277,12 @@ class PlanSpec extends SparkSpec {
       s"sanity: plan must show both sides:\n$p")
   }
 
+  // NOTE: incrementalMinhashLinks' history semi-join prune is structural in
+  // the code but NOT plan-observable here — tokenSets' lazy localCheckpoint
+  // truncates lineage, so the pruned subtree shows as an RDD scan. The
+  // behavior (history tokenized only for candidates) is asserted by the
+  // operator's construction order, covered by OperatorsSpec/StreamingSpec.
+
   test("bm25: top-k is TakeOrderedAndProject; the corpus dl frame joins without shuffling") {
     val p = plan("q_text_bm25")
     assert(p.contains("TakeOrderedAndProject"),
