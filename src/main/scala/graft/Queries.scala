@@ -858,6 +858,20 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // declarative constraint suite over orders — one aggregation pass for
+    // all six checks; o_custkey uniqueness FAILS by design (customers
+    // repeat), the totalprice range check tolerates 100k ppm
+    "q_check_constraints" -> ((s, d) => {
+      import graft.core.Checks._
+      graft.core.Checks.validate(s, ord(s, d), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        Unique(Seq("o_custkey")),
+        InRange("o_totalprice", 0.0, 300000.0, maxViolationPpm = 100000L),
+        AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        MinRows(1000L)))
+    }),
+
     // epoch-aware mixture: src0 runs 2.4 epochs (2 full + a 40% extra
     // slice), src1 half an epoch, src2 exactly one; the other 17 sources
     // are dropped (a mixture is an explicit contract)
@@ -2675,6 +2689,38 @@ object Queries {
         |    AND CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || ':books'), 1, 15)) AS BIGINT)
         |          % 1000 < 300)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM mix GROUP BY 1""".stripMargin,
+
+    // replicates Checks.validate row by row: integer-ppm thresholds,
+    // uniqueness as n - COUNT(DISTINCT), declaration order irrelevant to
+    // the hash compare
+    "q_check_constraints" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+        |r AS (
+        |  SELECT 'not_null' AS "check", 'o_custkey' AS target, n.n,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS v,
+        |    CAST(0 AS BIGINT) AS thr FROM n
+        |  UNION ALL SELECT 'unique', 'o_orderkey', n.n,
+        |    n.n - (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+        |    0 FROM n
+        |  UNION ALL SELECT 'unique', 'o_custkey', n.n,
+        |    n.n - (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+        |    0 FROM n
+        |  UNION ALL SELECT 'in_range', 'o_totalprice', n.n,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     WHERE o_totalprice IS NOT NULL
+        |       AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)),
+        |    100000 FROM n
+        |  UNION ALL SELECT 'accepted_values', 'o_orderstatus', n.n,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O', 'P')),
+        |    0 FROM n
+        |  UNION ALL SELECT 'min_rows', '*', n.n,
+        |    GREATEST(0, 1000 - n.n), 0 FROM n)
+        |SELECT "check", target, n AS n_rows, v AS n_violations,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE v * 1000000 // n END AS BIGINT) AS violation_ppm,
+        |  CASE WHEN "check" = 'min_rows' THEN n >= 1000
+        |       ELSE (CASE WHEN n = 0 THEN 0 ELSE v * 1000000 // n END) <= thr END AS passed
+        |FROM r""".stripMargin,
 
     // replicates Sampling.epochMix: ⌊w⌋ full copies + one extra for the
     // deterministic 40%/50%/0% hash slice (key = id#source, salt mix8,

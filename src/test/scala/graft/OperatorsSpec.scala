@@ -79,6 +79,30 @@ class OperatorsSpec extends SparkSpec {
       s"expected exactly the cross-frame links, got $got")
   }
 
+  test("Checks.validate: one pass, exact ppm thresholds, tolerances and min-rows semantics") {
+    import graft.core.Checks._
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (2L, None, 999.0), (3L, Some("z"), -5.0)
+    ).toDF("id", "status", "v")
+    val out = graft.core.Checks.validate(spark, df, Seq(
+        NotNull("status"),                            // 1/4 null → 250000 ppm → fail
+        NotNull("status", maxViolationPpm = 300000L), // tolerated → pass
+        Unique(Seq("id")),                            // id 2 duplicated → fail
+        InRange("v", 0.0, 100.0),                     // 999 and -5 violate → fail
+        AcceptedValues("status", Seq("a", "b")),      // "z" violates → fail
+        MinRows(4L),                                  // exactly 4 → pass
+        MinRows(5L)))                                 // fail
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_violations"),
+        r.getAs[Long]("violation_ppm"), r.getAs[Boolean]("passed")))
+    assert(out(0) == ("not_null", "status", 1L, 250000L, false))
+    assert(out(1) == ("not_null", "status", 1L, 250000L, true))
+    assert(out(2) == ("unique", "id", 1L, 250000L, false))
+    assert(out(3) == ("in_range", "v", 2L, 500000L, false))
+    assert(out(4) == ("accepted_values", "status", 1L, 250000L, false))
+    assert(out(5) == ("min_rows", "*", 0L, 0L, true))
+    assert(out(6) == ("min_rows", "*", 1L, 250000L, false))
+  }
+
   test("incrementalMinhashLinks: new batch links against the persisted index, cross-side only") {
     val hist = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight again"),
