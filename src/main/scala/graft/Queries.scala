@@ -560,6 +560,17 @@ object Queries {
         "o_totalprice", nBins = 20, lo = 0.0, hi = 500000.0)
     }),
 
+    // schema drift: current drops lang, narrows n_chars to INT and adds a
+    // derived flag — removed/type_changed/added/unchanged all exercised.
+    // Pure metadata (no job); the oracle replays it via DESCRIBE.
+    "q_profile_schema_diff" -> ((s, d) => {
+      val base = docs(s, d)
+      val cur = docs(s, d).drop("lang")
+        .withColumn("n_chars", col("n_chars").cast("int"))
+        .withColumn("is_long", col("n_chars") > 500)
+      graft.core.Profiling.schemaDiff(s, base, cur)
+    }),
+
     // cross-source overlap matrix: a synthetic 'mirror' source re-hosts
     // every 4th document, so (mirror → src_i) and the much larger
     // (src_i → mirror) containments both appear — plus any natural
@@ -2431,6 +2442,27 @@ object Queries {
         |  CAST((n_cur * 1000000) // nullif(tc, 0)
         |     - (n_base * 1000000) // nullif(tb, 0) AS BIGINT) AS delta_ppm
         |FROM t""".stripMargin,
+
+    // replays schemaDiff via DESCRIBE on both shapes, DuckDB type names
+    // mapped onto Spark DDL (VARCHAR→STRING, INTEGER→INT)
+    "q_profile_schema_diff" ->
+      """WITH bt AS (SELECT column_name AS col,
+        |    CASE column_type WHEN 'VARCHAR' THEN 'STRING'
+        |      WHEN 'INTEGER' THEN 'INT' ELSE column_type END AS t
+        |  FROM (DESCRIBE SELECT * FROM documents)),
+        |ct AS (SELECT column_name AS col,
+        |    CASE column_type WHEN 'VARCHAR' THEN 'STRING'
+        |      WHEN 'INTEGER' THEN 'INT' ELSE column_type END AS t
+        |  FROM (DESCRIBE SELECT doc_id, text, source,
+        |    CAST(n_chars AS INT) AS n_chars,
+        |    CAST(n_chars AS INT) > 500 AS is_long FROM documents))
+        |SELECT COALESCE(bt.col, ct.col) AS "column",
+        |  bt.t AS base_type, ct.t AS cur_type,
+        |  CASE WHEN bt.col IS NULL THEN 'added'
+        |       WHEN ct.col IS NULL THEN 'removed'
+        |       WHEN bt.t = ct.t THEN 'unchanged'
+        |       ELSE 'type_changed' END AS change
+        |FROM bt FULL OUTER JOIN ct ON bt.col = ct.col""".stripMargin,
 
     // replicates sourceOverlap over the mirror-augmented corpus: distinct
     // (normalized-fingerprint, source) pairs, directional containment.

@@ -163,6 +163,35 @@ object Profiling {
       .withColumn("delta_ppm", col("p_cur_ppm") - col("p_base_ppm"))
   }
 
+  /** Schema drift between two frames: one row per column in either schema —
+    * (column, base_type, cur_type, change ∈ added|removed|type_changed|
+    * unchanged), types as Spark DDL strings. A pure METADATA operation
+    * (schemas live on the driver; no job runs) — the cheap gate to run
+    * BEFORE a full comparison or profile: a renamed or re-typed column
+    * explains a hash mismatch in O(1) instead of O(data). Column order
+    * follows the base schema, then added columns in current-schema order;
+    * matching is by exact name (case-sensitive, like DataFrame resolution
+    * under the default caseSensitive=false still preserves the declared
+    * spelling here).
+    */
+  def schemaDiff(spark: SparkSession, base: DataFrame, cur: DataFrame): DataFrame = {
+    val b = base.schema.fields.map(f => f.name -> f.dataType.sql)
+    val c = cur.schema.fields.map(f => f.name -> f.dataType.sql)
+    val cMap = c.toMap
+    val bNames = b.map(_._1).toSet
+    val rows = b.map { case (name, bt) =>
+      cMap.get(name) match {
+        case None => (name, bt, null: String, "removed")
+        case Some(ct) if ct == bt => (name, bt, ct, "unchanged")
+        case Some(ct) => (name, bt, ct, "type_changed")
+      }
+    } ++ c.collect { case (name, ct) if !bNames.contains(name) =>
+      (name, null: String, ct, "added")
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("column", "base_type", "cur_type", "change")
+  }
+
   /** Cross-source duplicate-overlap matrix: one row per ORDERED source pair
     * (src_a, src_b) sharing at least one normalized document fingerprint,
     * with `containment = |fp(a) ∩ fp(b)| / |fp(a)|` — how much of a's
