@@ -1879,7 +1879,7 @@ object Queries {
         |  FROM bins),
         |q AS (SELECT c.*, q_ppm FROM c
         |  CROSS JOIN (VALUES (250000), (500000), (900000), (990000)) AS qs(q_ppm)),
-        |sel AS (SELECT *, (q_ppm * total + 999999) // 1000000 AS thresh FROM q)
+        |sel AS (SELECT *, GREATEST((q_ppm * total + 999999) // 1000000, 1) AS thresh FROM q)
         |SELECT l_returnflag, CAST(q_ppm AS BIGINT) AS q_ppm,
         |  CAST(bin * 100000 AS BIGINT) AS q_lo_scaled,
         |  CAST(bin * 100000 + 99999 AS BIGINT) AS q_hi_scaled,
@@ -2271,7 +2271,7 @@ object Queries {
         |      ELSE text END AS text
         |  FROM documents),
         |tk AS (SELECT doc,
-        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tks
+        |    string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS tks
         |  FROM fix),
         |wins AS (SELECT doc, unnest(range(len(tks) - 4)) AS pos, tks
         |  FROM tk WHERE len(tks) >= 5),
@@ -2598,7 +2598,7 @@ object Queries {
         |gated AS (SELECT d.doc_id, d.text, d.source FROM documents d
         |  JOIN scored s ON s.doc_id = d.doc_id AND s.score >= 0),
         |tk AS (SELECT doc_id AS doc,
-        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tks
+        |    string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS tks
         |  FROM gated),
         |wins AS (SELECT doc, unnest(range(len(tks) - 4)) AS pos, tks
         |  FROM tk WHERE len(tks) >= 5),
@@ -2732,10 +2732,12 @@ object Queries {
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS v,
         |    CAST(0 AS BIGINT) AS thr FROM n
         |  UNION ALL SELECT 'unique', 'o_orderkey', n.n,
-        |    n.n - (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+        |    n.n - (SELECT CAST(COUNT(*) AS BIGINT)
+        |           FROM (SELECT DISTINCT o_orderkey FROM orders)),
         |    0 FROM n
         |  UNION ALL SELECT 'unique', 'o_custkey', n.n,
-        |    n.n - (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+        |    n.n - (SELECT CAST(COUNT(*) AS BIGINT)
+        |           FROM (SELECT DISTINCT o_custkey FROM orders)),
         |    0 FROM n
         |  UNION ALL SELECT 'in_range', 'o_totalprice', n.n,
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
@@ -2751,7 +2753,7 @@ object Queries {
         |SELECT "check", target, n AS n_rows, v AS n_violations,
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE v * 1000000 // n END AS BIGINT) AS violation_ppm,
         |  CASE WHEN "check" = 'min_rows' THEN n >= 1000
-        |       ELSE (CASE WHEN n = 0 THEN 0 ELSE v * 1000000 // n END) <= thr END AS passed
+        |       ELSE v * 1000000 <= thr * n END AS passed
         |FROM r""".stripMargin,
 
     // replicates Sampling.epochMix: ⌊w⌋ full copies + one extra for the

@@ -70,8 +70,7 @@ object Checks {
           sum(when(col(col0).isNotNull &&
             (col(col0) < lit(lo) || col(col0) > lit(hi)), 1L).otherwise(0L))
         case AcceptedValues(col0, values, _) =>
-          sum(when(col(col0).isNotNull &&
-            !col(col0).isin(values.map(_.asInstanceOf[Any]): _*), 1L).otherwise(0L))
+          sum(when(col(col0).isNotNull && !col(col0).isin(values: _*), 1L).otherwise(0L))
         case MinRows(_) => lit(0L) // evaluated against __n driver-side
       }
       coalesce(viol, lit(0L)).cast("long").as(s"__c$i")
@@ -86,11 +85,14 @@ object Checks {
         case _: AcceptedValues => ("accepted_values", row.getAs[Long](s"__c$i"))
         case MinRows(min) => ("min_rows", math.max(0L, min - n))
       }
-      // integer ppm: exact, engine-reproducible threshold comparison
+      // reported ppm floors for readability, but the VERDICT cross-multiplies
+      // (violations·10⁶ ≤ threshold·n) — a floored ppm of 0 would let a
+      // strict (threshold 0) check pass with up to n/10⁶ real violations
+      // on billion-row frames, exactly the scale this library targets
       val ppm = if (n == 0) 0L else violations * 1000000L / n
       val passed = c match {
         case MinRows(min) => n >= min
-        case _ => ppm <= c.maxViolationPpm
+        case _ => violations * 1000000L <= c.maxViolationPpm * n
       }
       (name, c.target, n, violations, ppm, passed)
     }

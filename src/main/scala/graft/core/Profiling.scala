@@ -177,6 +177,15 @@ object Profiling {
   def schemaDiff(spark: SparkSession, base: DataFrame, cur: DataFrame): DataFrame = {
     val b = base.schema.fields.map(f => f.name -> f.dataType.sql)
     val c = cur.schema.fields.map(f => f.name -> f.dataType.sql)
+    // a name-keyed diff is ambiguous over duplicate names (legal in Spark
+    // after joins) — the map lookup would silently report the LAST
+    // duplicate's type; refuse instead of reporting a wrong diff
+    Seq("base" -> b, "current" -> c).foreach { case (side, fields) =>
+      val dups = fields.groupBy(_._1).collect { case (n, fs) if fs.size > 1 => n }
+      require(dups.isEmpty,
+        s"$side schema has duplicate column names (${dups.mkString(", ")}) — " +
+          "disambiguate (alias) before diffing")
+    }
     val cMap = c.toMap
     val bNames = b.map(_._1).toSet
     val rows = b.map { case (name, bt) =>

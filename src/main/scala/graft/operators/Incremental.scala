@@ -102,7 +102,14 @@ object Incremental {
       binWidth: Long): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
-    val vType = df.schema(scaledValueCol).dataType
+    // resolve like col() does (exact name first, else case-insensitive) —
+    // a bare df.schema(name) lookup is case-SENSITIVE and would reject
+    // case-mismatched names the query itself resolves fine
+    val vType = df.schema.fields.find(_.name == scaledValueCol)
+      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(scaledValueCol)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$scaledValueCol' not found in ${df.columns.mkString(", ")}"))
+      .dataType
     val integral = vType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
