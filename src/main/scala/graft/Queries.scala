@@ -1380,19 +1380,33 @@ object Queries {
   /** DuckDB replica of the sha-token-hash simhash pipeline: per token,
     * hi/lo = first/second 8 hex chars of sha256 as unsigned 32-bit ints
     * (exactly [[TextAnalysis.shaHash64]]'s packing); 64 bit-vote sums;
-    * 4 16-bit segments; pairs equal on any segment; hamming ≤ 3.
-    * Generated by loop so the 64 vote terms stay in lockstep with the
+    * `numBlocks` near-equal bit blocks (sizes from
+    * [[Dedup.simhashBlockSizes]], the SAME helper the operator uses);
+    * candidates = pairs whose blocks agree on some
+    * (numBlocks − maxHamming)-combination — the operator's Manku-style
+    * probe tables, replicated as an OR over per-combination conjunctions;
+    * hamming ≤ maxHamming. Generated by loop so vote terms, block
+    * boundaries AND the combination list stay in lockstep with the
     * operator's bit numbering (bit i = bit i−32 of hi for i ≥ 32).
     */
   private val simhashOracleSql: String = {
+    val numBlocks = 6
+    val maxHamming = 3
     val votes = (0 until 64).map { i =>
       val (src, sh) = if (i < 32) ("lo", i) else ("hi", i - 32)
       s"SUM(CASE WHEN ($src // ${1L << sh}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
     }.mkString(",\n    ")
-    val segs = (0 until 4).map { k =>
-      (0 until 16).map(j => s"(CASE WHEN b${16 * k + j} > 0 THEN ${1 << j} ELSE 0 END)")
+    val sizes = Dedup.simhashBlockSizes(numBlocks)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val segs = (0 until numBlocks).map { k =>
+      (0 until sizes(k)).map(j => s"(CASE WHEN b${offsets(k) + j} > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString("(", " + ", s") AS seg$k")
     }.mkString(",\n    ")
+    val hamming = (0 until numBlocks)
+      .map(k => s"bit_count(xor(a.seg$k, b.seg$k))").mkString(" + ")
+    val probe = (0 until numBlocks).combinations(numBlocks - maxHamming)
+      .map(c => c.map(k => s"a.seg$k = b.seg$k").mkString("(", " AND ", ")"))
+      .mkString("\n       OR ")
     s"""WITH toks AS (SELECT doc_id,
        |    unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
        |  FROM documents),
@@ -1408,11 +1422,10 @@ object Queries {
        |  FROM votes)
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.seg0, b.seg0)) + bit_count(xor(a.seg1, b.seg1))
-       |       + bit_count(xor(a.seg2, b.seg2)) + bit_count(xor(a.seg3, b.seg3)) AS INTEGER) AS hamming
+       |    CAST($hamming AS INTEGER) AS hamming
        |  FROM segs a JOIN segs b ON a.doc_id < b.doc_id
-       |   AND (a.seg0 = b.seg0 OR a.seg1 = b.seg1 OR a.seg2 = b.seg2 OR a.seg3 = b.seg3))
-       |WHERE hamming <= 3""".stripMargin
+       |   AND ($probe))
+       |WHERE hamming <= $maxHamming""".stripMargin
   }
 
   /** DuckDB replica of the sha-plane-weight multi-table LSH ANN pipeline
@@ -2160,7 +2173,7 @@ object Queries {
         |    CAST(SUM(cost) AS BIGINT) AS s
         |  FROM bgs JOIN costed USING (bg) GROUP BY doc_id)
         |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  COALESCE(CAST(sc.s AS DOUBLE) / sc.n_bigrams / 1000000.0, 0.0) AS bits_per_token
+        |  COALESCE(CAST(sc.s AS DOUBLE) / sc.n_bigrams / 1000000.0, 0.0) AS bits_per_bigram
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // replicates TextAnalysis.langId: hits = #distinct marker words present;
@@ -2751,7 +2764,8 @@ object Queries {
         |  UNION ALL SELECT 'min_rows', '*', n.n,
         |    GREATEST(0, 1000 - n.n), 0 FROM n)
         |SELECT "check", target, n AS n_rows, v AS n_violations,
-        |  CAST(CASE WHEN n = 0 THEN 0 ELSE v * 1000000 // n END AS BIGINT) AS violation_ppm,
+        |  CAST(CASE WHEN "check" = 'min_rows' THEN v * 1000000 // 1000
+        |            WHEN n = 0 THEN 0 ELSE v * 1000000 // n END AS BIGINT) AS violation_ppm,
         |  CASE WHEN "check" = 'min_rows' THEN n >= 1000
         |       ELSE v * 1000000 <= thr * n END AS passed
         |FROM r""".stripMargin,

@@ -88,8 +88,15 @@ object Checks {
       // reported ppm floors for readability, but the VERDICT cross-multiplies
       // (violations·10⁶ ≤ threshold·n) — a floored ppm of 0 would let a
       // strict (threshold 0) check pass with up to n/10⁶ real violations
-      // on billion-row frames, exactly the scale this library targets
-      val ppm = if (n == 0) 0L else violations * 1000000L / n
+      // on billion-row frames, exactly the scale this library targets.
+      // MinRows divides by the REQUIRED minimum, not the actual row count:
+      // missing·10⁶/actual can exceed 10⁶ (MinRows(1000) on 1 row would
+      // report 999 000 000 "ppm"), while missing·10⁶/min is a true
+      // fraction-of-requirement in [0, 10⁶]
+      val ppm = c match {
+        case MinRows(min) => if (min == 0) 0L else violations * 1000000L / min
+        case _ => if (n == 0) 0L else violations * 1000000L / n
+      }
       val passed = c match {
         case MinRows(min) => n >= min
         case _ => violations * 1000000L <= c.maxViolationPpm * n

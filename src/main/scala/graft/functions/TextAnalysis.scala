@@ -352,6 +352,12 @@ object TextAnalysis {
     * foreign corpus against this model would need one). Docs with < 2
     * tokens emit (0, 0.0).
     *
+    * The score column is `bits_per_bigram` — the summed cost divides by
+    * `n_bigrams` (token TRANSITIONS, = n_tokens − 1 per doc), NOT by
+    * n_tokens as [[unigramLogProbScore]]'s `bits_per_token` does. The
+    * distinct name keeps thresholds tuned on one scorer from being
+    * silently applied to the other.
+    *
     * Scale shape: the corpus bigram table is the big intermediate — all
     * shuffles key on hash-uniform bigram/context strings (two aggs + two
     * equi-joins), micro-bit costs ride as longs, and the per-doc sum is
@@ -376,7 +382,7 @@ object TextAnalysis {
         col("doc"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("__sum").cast("double") / col("n_bigrams") / lit(1e6), lit(0.0))
-          .as("bits_per_token"))
+          .as("bits_per_bigram"))
   }
 
   /** Split documents into fixed-size token-window chunks with overlap —

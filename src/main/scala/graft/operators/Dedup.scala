@@ -726,39 +726,71 @@ object Dedup {
           .as("simhash"))
   }
 
-  /** Hamming-distance near-dup pairs over SimHash, multi-probe blocked:
-    * the 64-bit simhash is split into `numSegments` equal bit segments and
-    * candidates are generated per segment (pairs equal on ANY segment),
-    * the standard Manku/Jain/Sarma multi-table scheme.
+  /** Near-equal split of the 64 simhash bits into `numBlocks` blocks (the
+    * first 64 % numBlocks blocks get one extra bit); block b occupies bits
+    * [offset(b), offset(b)+size(b)) counted from the LSB. Shared with the
+    * DuckDB oracle generator so the two stay in bit-for-bit lockstep.
+    */
+  private[graft] def simhashBlockSizes(numBlocks: Int): Seq[Int] = {
+    val base = 64 / numBlocks
+    val rem = 64 % numBlocks
+    (0 until numBlocks).map(b => if (b < rem) base + 1 else base)
+  }
+
+  /** Hamming-distance near-dup pairs over SimHash, blocked-combination
+    * multi-probe (Manku/Jain/Sarma, WWW'07 §3): the 64-bit simhash is
+    * split into `numBlocks` near-equal bit blocks and one probe table is
+    * built per COMBINATION of `numBlocks − maxHamming` blocks, keyed on
+    * the concatenation of those blocks' bits. Candidates are pairs equal
+    * in ANY table; survivors are verified on full 64-bit Hamming distance.
     *
-    * Recall is EXACT whenever `maxHamming < numSegments`: a pair differing
-    * in ≤ numSegments−1 bits cannot differ in every segment (pigeonhole),
-    * so it collides in at least one probe table. The round-1 single-prefix
-    * variant both missed prefix-differing near-dups and funneled the whole
-    * corpus through 2^16 blocks; segments multiply table count by
-    * `numSegments` (cheap narrow explode, no extra scan) while each
-    * segment's blocks stay hash-uniform.
+    * Recall is EXACT for any `maxHamming < numBlocks`: a pair within
+    * Hamming `maxHamming` has differing bits in at most `maxHamming`
+    * blocks, so at least `numBlocks − maxHamming` blocks are IDENTICAL
+    * (pigeonhole) — and some table is keyed on exactly a subset of those,
+    * so the pair collides there. Precision is exact by the verify filter.
+    *
+    * Why combinations and not single blocks (the r1–r8 scheme, one table
+    * per 16-bit segment): single-segment keys put ~N/2¹⁶ docs in every
+    * bucket, so per-bucket pair emission grows QUADRATICALLY with corpus
+    * size — at 10⁹ docs that is ~15 k docs and ~10⁸ candidate pairs per
+    * bucket. Concatenating `numBlocks − maxHamming` blocks widens the key
+    * to ~64·(numBlocks−maxHamming)/numBlocks bits (default 6 blocks,
+    * maxHamming 3 → C(6,3) = 20 tables with 31–33-bit keys): buckets
+    * shrink by ~2¹⁵–2¹⁷ for a 5× row-count increase in a narrow
+    * (doc, simhash, tbl, key) explode — the scale trade that keeps
+    * candidate generation linear until corpora approach 2·key-bits docs.
+    * Raising `numBlocks` widens coverage of larger `maxHamming` at the
+    * cost of C(numBlocks, numBlocks−maxHamming) tables with narrower keys.
     */
   def simhashNearDuplicates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      numSegments: Int = 4,
+      numBlocks: Int = 6,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    require(numSegments >= 2 && 64 % numSegments == 0,
-      s"numSegments must be ≥2 and divide 64, got $numSegments")
-    val segBits = 64 / numSegments
-    val segMask = (1L << segBits) - 1
+    require(numBlocks >= 2 && numBlocks <= 32,
+      s"numBlocks must be in [2, 32], got $numBlocks")
+    require(maxHamming >= 1 && maxHamming < numBlocks,
+      s"exact recall needs 1 <= maxHamming < numBlocks, got $maxHamming/$numBlocks")
+    val sizes = simhashBlockSizes(numBlocks)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def block(b: Int): Column =
+      shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(lit((1L << sizes(b)) - 1))
+    // all (numBlocks − maxHamming)-subsets; each packs its blocks' bits
+    // into one long key (total bits < 64: a proper subset of the blocks)
+    val combos = (0 until numBlocks).combinations(numBlocks - maxHamming).toSeq
     val sh = simhash(df, idCol, textCol, tokenHash)
-    val segs = sh.select(
+    val keyed = sh.select(
       col("doc"), col("simhash"),
-      posexplode(array((0 until numSegments).map(k =>
-        shiftrightunsigned(col("simhash"), k * segBits).bitwiseAND(lit(segMask))): _*)))
-      .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
-    segs.as("a")
-      .join(segs.as("b"),
-        col("a.seg_idx") === col("b.seg_idx") && col("a.seg") === col("b.seg") &&
+      posexplode(array(combos.map(c =>
+        c.foldLeft(lit(0L): Column)((acc, b) =>
+          shiftleft(acc, sizes(b)).bitwiseOR(block(b)))): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "key"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
       .select(
         col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),

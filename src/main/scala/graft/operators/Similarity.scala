@@ -658,9 +658,10 @@ object Similarity {
     * not billions — so its per-table quantized bucket frame BROADCASTS.
     * The corpus pays its own bucket projection (one id-keyed aggregation),
     * a broadcast probe join on (table, bucket), the exact fixed-point
-    * cosine in-row on candidates only, and a broadcast anti-join of the
-    * (tiny) contaminated-id set: the corpus text/payload columns are never
-    * shuffled. Probe recall for near-misses is governed by planes/tables
+    * cosine in-row on candidates only, and an anti-join of the
+    * contaminated-id set (AQE-sized — it scales with contamination, so it
+    * gets no unconditional broadcast hint): the corpus text/payload columns
+    * are never shuffled. Probe recall for near-misses is governed by planes/tables
     * exactly as in [[lshNearDuplicates]] — fewer planes = bigger buckets =
     * higher recall at higher candidate cost.
     */
@@ -685,7 +686,11 @@ object Similarity {
           (sqrt(col("n2").cast("double")) * sqrt(col("__en2").cast("double"))) >= threshold)
       .select(col("id").as(idCol))
       .distinct()
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    // No broadcast hint on the anti-join side: the contaminated set scales
+    // with corpus CONTAMINATION (a dirty corpus or a low threshold can make
+    // it arbitrarily large), not with the small-by-contract eval suite — let
+    // AQE size it at runtime, exactly as the shingle decontaminate does.
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** In-row cosine via the codegen'd [[graft.functions.DoubleArrayDot]]

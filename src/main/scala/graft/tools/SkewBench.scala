@@ -191,10 +191,14 @@ object SkewBench {
       s"the cap INVENTED pairs (must be impossible): ${(capped -- uncapped).take(5)}")
 
     // ---- duplicated-span removal on the same boilerplate corpus ----
-    measure("despans_boilerplate")(
-      Dedup.dropDuplicatedSpans(documents, "doc_id", "text", w = 5, minCount = 2))
-    val nScrubbed = Dedup.dropDuplicatedSpans(documents, "doc_id", "text", w = 5, minCount = 2)
-      .filter(col("n_tokens_dropped") >= 40).count()
+    // Build the frame ONCE: measure() times it, then the scrub check counts
+    // over the SAME frame — a from-scratch rebuild would re-plan and verify
+    // a different run than the one measured. NOT cached: persisting before
+    // measure() would let the warm pass populate the cache and the timed
+    // pass read it back, timing the cache instead of the operator.
+    val despans = Dedup.dropDuplicatedSpans(documents, "doc_id", "text", w = 5, minCount = 2)
+    measure("despans_boilerplate")(despans)
+    val nScrubbed = despans.filter(col("n_tokens_dropped") >= 40).count()
     require(nScrubbed >= nDocs - 1,
       s"every non-canonical doc must lose the 40-token license paragraph: $nScrubbed of $nDocs")
 

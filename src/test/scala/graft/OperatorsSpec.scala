@@ -100,7 +100,10 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) == ("in_range", "v", 2L, 500000L, false))
     assert(out(4) == ("accepted_values", "status", 1L, 250000L, false))
     assert(out(5) == ("min_rows", "*", 0L, 0L, true))
-    assert(out(6) == ("min_rows", "*", 1L, 250000L, false))
+    // min_rows ppm is relative to the REQUIRED minimum (1 missing of 5 →
+    // 200 000), not the actual count (which would read 250 000 here and
+    // overflow past 10⁶ on tiny frames)
+    assert(out(6) == ("min_rows", "*", 1L, 200000L, false))
   }
 
   test("incrementalMinhashLinks: new batch links against the persisted index, cross-side only") {
@@ -254,7 +257,7 @@ class OperatorsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = TextAnalysis.bigramLogProbScore(corpus, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc") ->
-        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("bits_per_token"))).toMap
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("bits_per_bigram"))).toMap
     assert(out(3L) == (0L, 0.0), s"single-token doc must coalesce to zero, got ${out(3L)}")
     assert(out(1L)._2 < out(2L)._2,
       s"consistent transitions must be cheaper than rare ones: $out")
