@@ -66,6 +66,11 @@ object Queries {
   private val cmpCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), graft.core.ComparisonResult]
 
+  // Memory-sink names must be unique among ACTIVE streaming queries; a
+  // per-invocation sequence keeps repeated catalog runs in one session from
+  // colliding (stopped queries may linger in the registry briefly).
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def memoizedCompare(s: SparkSession, d: String, scenario: String)(
       build: => graft.core.ComparisonResult): graft.core.ComparisonResult =
     cmpCache.getOrElseUpdate((System.identityHashCode(s), d, scenario), build)
@@ -191,6 +196,37 @@ object Queries {
       if (fs.exists(loc)) fs.delete(loc, true)
       load(s, d, "region").write.mode("overwrite").saveAsTable("graft_region_t")
       s.read.table("graft_region_t").select("r_regionkey", "r_name")
+    }),
+
+    // S3/S4 sink loop, hash-checked: orders goes OUT through both
+    // production writers — writePartitioned (hive-style dirs on
+    // o_orderstatus, the partition-pruning layout) and writeBucketed
+    // (8 buckets on o_orderkey into a real catalog table, the
+    // co-located-join layout) — then both copies are re-read and joined
+    // back together on the key, aggregating exact integer cents from EACH
+    // copy. Equal sums per status prove both round trips byte-preserved
+    // the data; PlanSpec separately pins that the re-reads prune/avoid
+    // shuffles. (Every verify run also exercises the plain parquet sink on
+    // its own output; this row covers the partitioned + bucketed writers.)
+    "q_sink_roundtrip" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-sink-rt").toString
+      val o = ord(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.sources.IoUtils.writePartitioned(o, s"$work/part", Seq("o_orderstatus"))
+      s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_orders_bkt")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.sources.IoUtils.writeBucketed(o, "graft_orders_bkt", Seq("o_orderkey"), 8)
+      val part = s.read.parquet(s"$work/part")
+      val bkt = s.read.table("graft_orders_bkt")
+        .select(col("o_orderkey"), col("o_totalprice").as("price_b"))
+      part.join(bkt, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+          sum(round(col("price_b") * 100).cast("long")).as("price_cents_bkt"))
     }),
 
     // S5 + J3: driver-local table broadcast-joined to a dimension
@@ -1311,6 +1347,71 @@ object Queries {
           unix_micros(col("session_end")).as("session_end_us"),
           col("n_events"), col("total_value"))),
 
+    // TRUE STREAMING execution of StreamingOps.windowedStats, oracle-checked:
+    // the events fixture is written as 4 range-partitioned files, a FILE
+    // SOURCE replays them one per micro-batch (maxFilesPerTrigger=1) through
+    // the streaming state store, and Trigger.AvailableNow drains the backlog
+    // into a complete-mode memory sink — so the hashed result went through
+    // real micro-batch incremental aggregation, not a batch plan. `value`
+    // is pre-quantized to micros (long) so the windowed sums are exact
+    // integers — bit-stable no matter how the micro-batches slice the data.
+    // Lateness is set beyond the fixture's 30-day span: file order across
+    // batches is not guaranteed, and a dropped "late" batch would make the
+    // result depend on listing order (watermark EVICTION is covered by
+    // StreamingSpec; this row pins cross-batch state accumulation).
+    "q_stream_windowed" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
+      graft.sources.Events.load(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          round(col("value") * 1e6).cast("long").as("value"))
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(s"$work/src")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$work/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/src")
+      val sink = s"stream_windowed_${streamSinkSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingOps.windowedStats(stream, "1 hour", "90 days")
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select(
+        unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"),
+        col("total_value").as("total_value_micros"))
+    }),
+
+    // Streaming within-watermark dedup through a real PARQUET SINK: 10% of
+    // events are re-injected as exact duplicate rows, the stream drops
+    // re-seen event_ids (state keyed on event_id, never evicted here —
+    // lateness exceeds the fixture span, making the result order-proof),
+    // and the appended sink files are re-read for the hash. Duplicates are
+    // byte-identical rows, so WHICH copy survives cannot change the output.
+    "q_stream_dedup" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      ev.union(ev.filter(col("event_id") % 10 === 0))
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(s"$work/src")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$work/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/src")
+      val q = graft.streaming.StreamingOps.dedupEvents(stream, "90 days")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    }),
+
     // As-of join: every purchase gets the user's latest view value at or
     // before it (views pre-aggregated to unique (user, µs), the operator's
     // determinism requirement). Oracle = DuckDB's native ASOF LEFT JOIN.
@@ -1741,6 +1842,30 @@ object Queries {
         |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'""".stripMargin,
 
     "q_s2_table_scan" -> "SELECT r_regionkey, r_name FROM region",
+
+    // the round trip must be lossless, so the oracle reads the ORIGINAL
+    // table: any write/read corruption in either sink shows up as a sum or
+    // count mismatch between the two re-read copies and this baseline
+    "q_sink_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents_bkt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // replicates windowedStats' tumbling 1h windows (epoch-aligned, as
+    // Spark's window() is) over micro-quantized values; the streamed
+    // complete-mode result must equal the full batch aggregation
+    "q_stream_windowed" ->
+      """SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS window_start_us,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micros
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the injected duplicates are byte-identical rows, so streaming
+    // first-occurrence dedup must reproduce exactly the distinct row set
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id,
+        |  event_type, value FROM events""".stripMargin,
 
     "q_s5_local_broadcast" ->
       """SELECT r.r_regionkey, r.r_name, v.expected_name

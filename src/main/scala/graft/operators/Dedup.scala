@@ -827,7 +827,19 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds it
+    * took to converge — the observable the log-rounds complexity claim is
+    * pinned on (rounds ≈ log₂ diameter; see the chain/giant-component
+    * stress in [[graft.tools.SkewBench]] and OperatorsSpec).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 25): (DataFrame, Int) = {
     // undirected, deduped edge list — reused every round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -863,7 +875,7 @@ object Dedup {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxRounds rounds — raise maxRounds")
-    labels
+    (labels, round)
   }
 
   /** Benchmark decontamination: drop every training document that shares

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Skew}
@@ -34,6 +34,15 @@ import graft.operators.{Dedup, Skew}
   *    vs uncapped (maxDf=10⁶): the df-cap's work saved, and proof the
   *    reported pair set is UNCHANGED (boilerplate-only pairs cannot reach
   *    the 0.8 threshold — the cap drops work, not answers, on this corpus).
+  *  - simhash candidate blocking on 20M UNIFORM signatures: Σ c·(c−1)/2
+  *    candidate pairs computed from bucket sizes (never materialized) for
+  *    the old single-segment scheme vs the blocked-combination default —
+  *    pins the ≥100× candidate cut and the bounded bucket population that
+  *    justify the Manku-style keys at corpus scale.
+  *  - connected components on a 400k-node chain (diameter 400k — the
+  *    pointer-jumping log-rounds claim, checked as rounds ≤ 24) and on a
+  *    ~90%-giant component of 500k nodes (driver holds only a per-round
+  *    counter regardless of component size).
   *  - duplicated-span removal on the same corpus: the license paragraph's
   *    ~36 interior 5-token windows each occur in ALL docs — the hot-window
   *    distribution the aggregation-based first-occurrence vote exists for
@@ -202,6 +211,87 @@ object SkewBench {
     require(nScrubbed >= nDocs - 1,
       s"every non-canonical doc must lose the 40-token license paragraph: $nScrubbed of $nDocs")
 
+    // ---- simhash candidate blocking: single-segment vs blocked combos ----
+    // The scale property under test is the CANDIDATE-GENERATION data
+    // structure, not pair materialization (on a corpus of mutual near-dups
+    // every scheme's OUTPUT is quadratic by definition). So: 20M uniform
+    // 64-bit signatures — the hash-uniform non-duplicate mass that dominates
+    // a real corpus — keyed under both schemes, and the candidate pair count
+    // Σ c·(c−1)/2 computed FROM THE GROUP SIZES (nothing quadratic is ever
+    // materialized). Old scheme = the degenerate blocked case with
+    // numBlocks = maxHamming + 1 (combination size 1): 4 tables on 16-bit
+    // segments. New default: C(6,3) = 20 tables on 31–33-bit keys.
+    val nSigs = 20000000L
+    val sigs = spark.range(nSigs).select(xxhash64(col("id")).as("simhash"))
+    def blockedStats(numBlocks: Int, maxHamming: Int): (Long, Long) = {
+      val sizes = Dedup.simhashBlockSizes(numBlocks)
+      val offsets = sizes.scanLeft(0)(_ + _)
+      def block(b: Int) =
+        shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(lit((1L << sizes(b)) - 1))
+      val combos = (0 until numBlocks).combinations(numBlocks - maxHamming).toSeq
+      val keyed = sigs.select(posexplode(array(combos.map(c =>
+        c.foldLeft(lit(0L): Column)((acc, b) =>
+          shiftleft(acc, sizes(b)).bitwiseOR(block(b)))): _*)))
+        .groupBy(col("pos"), col("col")).count()
+        .agg(
+          sum(col("count") * (col("count") - 1) / 2).cast("long"),
+          max(col("count")))
+        .head()
+      (keyed.getLong(0), keyed.getLong(1))
+    }
+    val t0 = System.nanoTime()
+    val (candSingle, maxBucketSingle) = blockedStats(numBlocks = 4, maxHamming = 3)
+    results += "simhash_buckets_single_segment" -> (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val (candBlocked, maxBucketBlocked) = blockedStats(numBlocks = 6, maxHamming = 3)
+    results += "simhash_buckets_blocked_combos" -> (System.nanoTime() - t1) / 1e9
+    System.err.println(s"[skewbench] simhash candidates: single-segment $candSingle " +
+      s"(max bucket $maxBucketSingle) vs blocked $candBlocked (max bucket $maxBucketBlocked)")
+    require(candBlocked * 100 < candSingle,
+      s"blocked combos must cut candidate pairs >100x on uniform mass: $candBlocked vs $candSingle")
+    require(maxBucketBlocked <= 64,
+      s"blocked buckets must stay tiny on 20M uniform signatures, got $maxBucketBlocked")
+
+    // ---- connected components: high-diameter chain + giant component ----
+    // Chain of 400k nodes (diameter 400k): the adversarial shape for label
+    // propagation — plain propagation needs diameter rounds; pointer
+    // jumping must converge in ≈ log₂(diameter). Giant component: 1M
+    // random edges over 500k nodes (one ~all-node component, small
+    // diameter) — pins that a single component holding nearly every node
+    // neither blows up the driver (per-round scalar action only) nor the
+    // round count.
+    val chainN = 400000L
+    val chain = spark.range(chainN - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val tc0 = System.nanoTime()
+    val (chainLabels, chainRounds) =
+      Dedup.connectedComponentsWithRounds(chain, "a", "b", maxRounds = 32)
+    val chainComponents = chainLabels.select("component").distinct().count()
+    results += "cc_chain_400k" -> (System.nanoTime() - tc0) / 1e9
+    require(chainComponents == 1L, s"chain must collapse to one component, got $chainComponents")
+    require(chainRounds <= 24,
+      s"pointer jumping must stay ~log2(diameter=$chainN) rounds, took $chainRounds")
+
+    val giantNodes = 500000L
+    val giant = spark.range(1000000)
+      .select((xxhash64(col("id")) % giantNodes).as("a"),
+        (xxhash64(col("id") + 7777777L) % giantNodes).as("b"))
+      .select(abs(col("a")).as("a"), abs(col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val tg0 = System.nanoTime()
+    val (giantLabels, giantRounds) =
+      Dedup.connectedComponentsWithRounds(giant, "a", "b", maxRounds = 32)
+    val giantStats = giantLabels.groupBy("component").count()
+      .agg(max("count"), count(lit(1))).head()
+    results += "cc_giant_500k" -> (System.nanoTime() - tg0) / 1e9
+    val (giantMax, giantComps) = (giantStats.getLong(0), giantStats.getLong(1))
+    System.err.println(s"[skewbench] cc: chain rounds=$chainRounds; " +
+      s"giant rounds=$giantRounds largest=$giantMax of ${giantNodes} (comps=$giantComps)")
+    require(giantMax * 10 > giantNodes * 9,
+      s"2 edges/node must produce a >90% giant component, got $giantMax")
+    require(giantRounds <= 12,
+      s"low-diameter giant component must converge fast, took $giantRounds rounds")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"skew_bench","unit":"sec","cases":$qs,""" +
@@ -209,7 +299,15 @@ object SkewBench {
         s""""docs":$nDocs,"dropped_hot_tokens":$droppedTokens,""" +
         s""""despans_scrubbed_docs":$nScrubbed,""" +
         s""""pairs_capped":${capped.size},"pairs_uncapped":${uncapped.size},""" +
-        s""""boilerplate_only_pairs_suppressed":${(uncapped -- capped).size}},"sf":"$sfDir"}"""
+        s""""boilerplate_only_pairs_suppressed":${(uncapped -- capped).size},""" +
+        s""""simhash_uniform_sigs":$nSigs,""" +
+        s""""simhash_cand_single_segment":$candSingle,""" +
+        s""""simhash_cand_blocked_combos":$candBlocked,""" +
+        s""""simhash_max_bucket_single":$maxBucketSingle,""" +
+        s""""simhash_max_bucket_blocked":$maxBucketBlocked,""" +
+        s""""cc_chain_nodes":$chainN,"cc_chain_rounds":$chainRounds,""" +
+        s""""cc_giant_nodes":$giantNodes,"cc_giant_rounds":$giantRounds,""" +
+        s""""cc_giant_largest":$giantMax},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_skew.json"), json + "\n")
     spark.stop()
     println(json)

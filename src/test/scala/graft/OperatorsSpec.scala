@@ -851,6 +851,21 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq(1L, 10L, 99L))
   }
 
+  test("connectedComponents converges in ~log2(diameter) rounds on a high-diameter chain") {
+    import graft.operators.Dedup
+    // a 1024-node path: diameter 1023 — plain label propagation would need
+    // ~1023 rounds; pointer jumping doubles reach per round, so convergence
+    // must land near log2 (with slack for the min-label interleaving).
+    // This is the small twin of SkewBench's 400k-node chain case.
+    val chain = spark.range(1023).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, "a", "b", maxRounds = 32)
+    val comps = labels.select("component").distinct().collect().map(_.getLong(0)).toSeq
+    assert(comps == Seq(0L), s"one component labeled by its min node, got $comps")
+    assert(rounds <= 16, s"log-rounds bound violated: $rounds rounds for diameter 1023")
+    assert(rounds >= 5, s"a 1023-diameter chain cannot converge in $rounds rounds " +
+      "- the rounds counter itself must be broken")
+  }
+
   test("repetitionStats: hand-computed dup line/n-gram fractions; empty inputs are 0") {
     val corpus = Seq(
       // 4 non-blank lines, "dup" twice → dup_line_ratio 1/4;
