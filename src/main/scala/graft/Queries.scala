@@ -1162,11 +1162,13 @@ object Queries {
       val newBatch = dd.filter(col("doc_id") % 7 === 0)
         .unionByName(dd.filter(col("doc_id") % 35 === 1)
           .select((col("doc_id") + lit(800000L)).as("doc_id"), col("text")))
-      val store = Dedup.minhashBandBuckets(
-        Dedup.minhashSignatures(hist, "doc_id", "text", numHashes = 48),
-        bands = 16, rowsPerBand = 3)
+      // the STAMPED index builder (meta columns ride along), so this row
+      // also exercises the in-plan parameter-drift guard on every verify
+      val store = Dedup.minhashIndex(hist, "doc_id", "text",
+        numHashes = 48, bands = 16)
       Dedup.incrementalMinhashLinks(newBatch, "doc_id", "text", store, hist,
-        threshold = 0.8, numHashes = 48, bands = 16)
+        threshold = 0.8, numHashes = 48, bands = 16,
+        tokenizerId = Some("shingles3"))
     }),
 
     // sha-derived token hash (cross-engine reproducible) + 4-segment

@@ -651,8 +651,13 @@ object Dedup {
     * (a semi-join prunes it before the tokenize), so verify cost scales
     * with candidate count, not history size. Output:
     * (new_id, hist_id, jaccard) CROSS links only — batch-internal dups
-    * are [[minhashNearDuplicates]]'s job, and the same (numHashes, bands)
-    * must be used on both sides (the signatures are a function of them).
+    * are [[minhashNearDuplicates]]'s job, and the same (numHashes, bands,
+    * tokenizer) must be used on both sides (the signatures are a function
+    * of them). When `histBuckets` carries the [[minhashIndex]] meta stamp,
+    * that contract is ENFORCED in-plan — a drifted index fails the link
+    * job with an expected-vs-found message instead of silently losing
+    * recall; pass `tokenizerId` to extend the check to the tokenizer.
+    * Bare (doc, band, bucket) indexes remain accepted, unchecked.
     */
   def incrementalMinhashLinks(
       newDf: DataFrame,
@@ -663,7 +668,8 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 32,
       bands: Int = 8,
-      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_)): DataFrame = {
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_),
+      tokenizerId: Option[String] = None): DataFrame = {
     require(threshold > 0,
       s"incrementalMinhashLinks requires threshold > 0 (got $threshold): " +
         "empty-intersection candidates drop out of the verify count-join")
@@ -673,7 +679,8 @@ object Dedup {
     val sigs = signaturesFromTokens(newToks, numHashes)
     val nb = minhashBandBuckets(sigs, bands, numHashes / bands)
       .withColumnRenamed("doc", "new_id")
-    val hb = histBuckets.withColumnRenamed("doc", "hist_id")
+    val hb = checkIndexMeta(histBuckets, numHashes, bands, tokenizerId)
+      .withColumnRenamed("doc", "hist_id")
     val cands = nb.join(hb, Seq("band", "bucket")).select("new_id", "hist_id").distinct()
     val histCand = histDf.join(
       cands.select(col("hist_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
@@ -692,6 +699,137 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "hist_id", "jaccard")
+  }
+
+  private val IndexMetaCols = Seq("__num_hashes", "__bands", "__tokenizer")
+
+  /** Build the PERSISTABLE MinHash-LSH band index over a corpus, STAMPED
+    * with the parameters it was built under: columns (doc, band, bucket,
+    * __num_hashes, __bands, __tokenizer). The three meta columns are
+    * constants — parquet RLE stores them in a handful of bytes — and they
+    * are what lets [[incrementalMinhashLinks]] and [[mergeMinhashIndex]]
+    * FAIL FAST on a drifted index. Signatures are a function of
+    * (numHashes, bands, tokenizer): probing an index built under different
+    * parameters doesn't error on its own, it silently yields near-zero
+    * recall — the worst failure mode a daily-ingest dedup pipeline can
+    * have, detectable only by noticing duplicates pile up weeks later.
+    *
+    * `tokenizerId` names the tokenizer (e.g. "shingles3"); it rides along
+    * as an opaque string because a `Column => Column` function cannot be
+    * fingerprinted. Callers that plug a custom tokenizer must pick a
+    * stable id and pass the SAME id at link time.
+    */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      tokenizer: Column => Column = TextAnalysis.shinglesOfWords(_),
+      tokenizerId: String = "shingles3"): DataFrame = {
+    require(numHashes % bands == 0, s"bands must divide numHashes: $numHashes / $bands")
+    minhashBandBuckets(
+        minhashSignatures(df, idCol, textCol, numHashes, tokenizer),
+        bands, numHashes / bands)
+      .withColumn("__num_hashes", lit(numHashes))
+      .withColumn("__bands", lit(bands))
+      .withColumn("__tokenizer", lit(tokenizerId))
+  }
+
+  /** Validate a persisted index's meta stamp against the link-time
+    * parameters, if the index carries one (bare (doc, band, bucket)
+    * indexes — the pre-stamp format — pass through unchecked for
+    * compatibility). The check rides IN the plan: `bucket` is rewrapped so
+    * every index row is verified at scan time by codegen'd expressions —
+    * no extra driver action, no separate index scan — and the first
+    * mismatched row fails the job with the full expected-vs-found message.
+    * Column pruning cannot elide it on any real path because every
+    * consumer — the probe join here, writes, [[mergeMinhashIndex]] —
+    * reads `bucket`; only a bare `count()` of the index (which uses no
+    * columns) skips it.
+    */
+  private def checkIndexMeta(
+      index: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      tokenizerId: Option[String]): DataFrame =
+    if (!IndexMetaCols.forall(index.columns.contains)) index
+    else {
+      val ok = col("__num_hashes") === lit(numHashes) &&
+        col("__bands") === lit(bands) &&
+        tokenizerId.map(t => col("__tokenizer") === lit(t)).getOrElse(lit(true))
+      index
+        .withColumn("bucket",
+          when(ok, col("bucket")).otherwise(raise_error(format_string(
+            "minhash index meta mismatch: index built with (numHashes=%s, bands=%s, " +
+              s"tokenizer=%s) but linked with (numHashes=$numHashes, bands=$bands, " +
+              s"tokenizer=${tokenizerId.getOrElse("<unchecked>")}); " +
+              "a mismatched index silently yields near-zero recall",
+            col("__num_hashes"), col("__bands"), col("__tokenizer"))).cast("long")))
+        .drop(IndexMetaCols: _*)
+    }
+
+  /** Daily-ingest maintenance of the persisted band index: fold a new
+    * batch's stamped index ([[minhashIndex]] over the batch) into the
+    * standing index, optionally retiring deleted documents. This is the
+    * missing half of the [[incrementalMinhashLinks]] story — link answers
+    * "is the batch a dup of history?", merge makes the batch BE history
+    * for tomorrow's batch.
+    *
+    * Both sides must be stamped and the stamps must MATCH — checked
+    * in-plan per row (see [[minhashIndex]] for why a silent mismatch is
+    * catastrophic). The merge itself is a UNION — no shuffle at all when
+    * written with partition-preserving settings; `retiredDocs` adds one
+    * anti-join keyed on doc. Re-ingesting an unchanged doc id is idempotent
+    * AFTER a retire-then-add cycle (retire first, then union the new
+    * rows); without retirement a re-ingested doc simply contributes
+    * duplicate index rows, which only cost probe work — they cannot change
+    * link RESULTS (candidates are `distinct()`ed before verify). A
+    * periodic compaction = `mergeMinhashIndex(index, emptyBatch,
+    * retiredDocs = Some(deletedIds))` followed by a rewrite of the stored
+    * table.
+    */
+  def mergeMinhashIndex(
+      index: DataFrame,
+      batchIndex: DataFrame,
+      retiredDocs: Option[DataFrame] = None): DataFrame = {
+    Seq(("index", index), ("batchIndex", batchIndex)).foreach { case (n, f) =>
+      require(IndexMetaCols.forall(f.columns.contains),
+        s"mergeMinhashIndex: $n has no meta stamp (build it with minhashIndex)")
+    }
+    // Cross-check the two stamps in-plan: every index row is compared to
+    // the batch's stamp (1-row broadcast), so a drifted side fails the
+    // merge job instead of producing a mixed-parameter index. `bucket` is
+    // the guarded column for the same no-pruning reason as checkIndexMeta.
+    // LEFT join on a constant key, not crossJoin: an EMPTY batch (the pure
+    // compaction call) must pass the index through with null stamp columns
+    // (nothing to conflict with), where a crossJoin would silently erase
+    // every index row.
+    val batchMeta = broadcast(batchIndex
+      .select(
+        col("__num_hashes").as("__b_nh"),
+        col("__bands").as("__b_b"),
+        col("__tokenizer").as("__b_t"))
+      .limit(1)
+      .withColumn("__jk", lit(1)))
+    val ok = col("__b_nh").isNull ||
+      (col("__num_hashes") === col("__b_nh") &&
+        col("__bands") === col("__b_b") && col("__tokenizer") === col("__b_t"))
+    val checked = index
+      .withColumn("__jk", lit(1))
+      .join(batchMeta, Seq("__jk"), "left")
+      .drop("__jk")
+      .withColumn("bucket",
+        when(ok, col("bucket")).otherwise(raise_error(format_string(
+          "mergeMinhashIndex stamp mismatch: standing index (numHashes=%s, bands=%s, " +
+            "tokenizer=%s) vs batch (numHashes=%s, bands=%s, tokenizer=%s)",
+          col("__num_hashes"), col("__bands"), col("__tokenizer"),
+          col("__b_nh"), col("__b_b"), col("__b_t"))).cast("long")))
+      .drop("__b_nh", "__b_b", "__b_t")
+    val merged = checked.unionByName(batchIndex)
+    retiredDocs.map(r =>
+        merged.join(r.select(col(r.columns.head).as("doc")), Seq("doc"), "left_anti"))
+      .getOrElse(merged)
   }
 
   /** 64-bit SimHash of each document's token multiset: per bit position,

@@ -128,6 +128,73 @@ class OperatorsSpec extends SparkSpec {
       s"expected exactly the planted history link (batch-internal dups are not links): $got")
   }
 
+  test("mergeMinhashIndex: k-batch ingest converges to the one-shot index; retirement anti-joins") {
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")).toDF("doc_id", "text")
+    val b3 = Seq((5L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashIndex(df, "doc_id", "text", numHashes = 32, bands = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc"), r.getAs[Int]("band"),
+        r.getAs[Long]("bucket"))).toSet
+    // ingest three batches incrementally vs index the union once
+    val incremental = Dedup.mergeMinhashIndex(Dedup.mergeMinhashIndex(idx(b1), idx(b2)), idx(b3))
+    val oneShot = idx(b1.unionByName(b2).unionByName(b3))
+    assert(rows(incremental) == rows(oneShot),
+      "k incremental merges must equal the one-shot index over the union")
+    // meta stamp survives the merge (so tomorrow's link can still verify it)
+    assert(incremental.columns.toSet ==
+      Set("doc", "band", "bucket", "__num_hashes", "__bands", "__tokenizer"))
+    // retirement: doc 2's rows disappear, everything else is untouched
+    val retired = Dedup.mergeMinhashIndex(idx(b1), idx(b2),
+      retiredDocs = Some(Seq(2L).toDF("doc_id")))
+    assert(rows(retired) == rows(idx(b1.unionByName(b2))).filterNot(_._1 == 2L))
+    // pure compaction: an EMPTY batch must pass the index through unchanged
+    val compacted = Dedup.mergeMinhashIndex(idx(b1), idx(b1.limit(0)),
+      retiredDocs = Some(Seq(1L).toDF("doc_id")))
+    assert(rows(compacted) == rows(idx(b1)).filterNot(_._1 == 1L),
+      "empty-batch compaction must keep all unretired rows")
+  }
+
+  test("index meta stamp: drifted parameters fail fast at link and merge time") {
+    val hist = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val batch = Seq((9L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val store48 = Dedup.minhashIndex(hist, "doc_id", "text", numHashes = 48, bands = 16)
+    // matching params: the stamped path works and finds the planted link
+    val ok = Dedup.incrementalMinhashLinks(batch, "doc_id", "text", store48, hist,
+      threshold = 0.9, numHashes = 48, bands = 16, tokenizerId = Some("shingles3")).count()
+    assert(ok == 1L)
+    // numHashes drift: the link JOB fails (not a silent recall loss)
+    val e1 = intercept[Exception] {
+      Dedup.incrementalMinhashLinks(batch, "doc_id", "text", store48, hist,
+        threshold = 0.9, numHashes = 32, bands = 8).count()
+    }
+    assert(exceptionChain(e1).exists(_.getMessage != null) &&
+      exceptionChain(e1).exists(t => Option(t.getMessage).exists(_.contains("meta mismatch"))),
+      s"expected the meta-mismatch raise, got $e1")
+    // tokenizer drift caught when the caller declares its tokenizer id
+    val e2 = intercept[Exception] {
+      Dedup.incrementalMinhashLinks(batch, "doc_id", "text", store48, hist,
+        threshold = 0.9, numHashes = 48, bands = 16, tokenizerId = Some("words")).count()
+    }
+    assert(exceptionChain(e2).exists(t => Option(t.getMessage).exists(_.contains("meta mismatch"))))
+    // merge refuses to fold mismatched stamps into one index (collect, not
+    // count: a bare count() prunes every column including the guarded one —
+    // real consumers, writes and probe joins, always read `bucket`)
+    val store32 = Dedup.minhashIndex(batch, "doc_id", "text", numHashes = 32, bands = 8)
+    val e3 = intercept[Exception] { Dedup.mergeMinhashIndex(store48, store32).collect() }
+    assert(exceptionChain(e3).exists(t => Option(t.getMessage).exists(_.contains("stamp mismatch"))))
+    // an UNSTAMPED (legacy) index still links, unchecked
+    val bare = store48.drop("__num_hashes", "__bands", "__tokenizer")
+    assert(Dedup.incrementalMinhashLinks(batch, "doc_id", "text", bare, hist,
+      threshold = 0.9, numHashes = 48, bands = 16).count() == 1L)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+
   test("linkPairs matches a driver-side brute-force model on a seeded mutated corpus") {
     val rnd = new scala.util.Random(99)
     val vocab = (0 until 60).map(i => s"w$i")
