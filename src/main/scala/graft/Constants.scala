@@ -55,6 +55,11 @@ object Constants {
   val MissingAtTargetStatus = "MISSTING_AT_TARGET"
   val PresentInBothStatus = "PRESENT_IN_BOTH"
 
+  // extension (not in the reference): normalized row-report key column —
+  // the per-dataset primary-key columns collapsed to one JSON string so
+  // heterogeneous-PK datasets can consolidate (normalize_row_keys flag)
+  val KeyJsonCol = "key_json"
+
   // output report directories (common_constants.py:50-55)
   val OverallTestReportDir = "overall_test_report"
   val ColLvlTestReportDir = "col_lvl_test_report"

@@ -118,5 +118,6 @@ object ConfigReader {
         case s: Seq[_] => s
         case other => throw new IllegalArgumentException(s"expected a list of dataset configs, got: $other")
       }).map(v => decodeDatasetConfig(sub(v))),
-      outputConfig = decodeOutputConfig(sub(req(m, "output_config"))))
+      outputConfig = decodeOutputConfig(sub(req(m, "output_config"))),
+      normalizeRowKeys = m.get("normalize_row_keys").map(bool).getOrElse(false))
 }

@@ -54,4 +54,9 @@ final case class DatasetConfig(
 final case class ComparisonJobConfig(
     jobName: String,
     datasetConfigs: Seq[DatasetConfig],
-    outputConfig: OutputConfig)
+    outputConfig: OutputConfig,
+    // Opt-in (JSON key "normalize_row_keys"): collapse each dataset's
+    // primary-key columns into one `key_json` string in the row-level
+    // report, so datasets with DIFFERENT key schemas consolidate. Default
+    // false = reference parity (the positional union fails, SURVEY §2.10.10).
+    normalizeRowKeys: Boolean = false)

@@ -18,9 +18,33 @@ import graft.sources.IoUtils
   *
   * Multi-dataset consolidation assumes compatible report schemas across
   * datasets (identical primary-key column names) — the union fails
-  * otherwise, the reference's own failure mode (SURVEY §2.10.10).
+  * otherwise, the reference's own failure mode (SURVEY §2.10.10). The
+  * opt-in `normalize_row_keys` flag removes that edge: each dataset's key
+  * columns collapse into one `key_json` string column
+  * ([[normalizeRowReport]]) so any mix of key schemas consolidates; the
+  * default stays reference-faithful.
   */
 object ComparisonJob {
+
+  private val RowReportFixedCols =
+    Seq(DatasetNameCol, DuplicateCountCol, MissingRowStatusCol, AllRowsMatchedCol)
+
+  /** PK-agnostic row-level report: the dataset's primary-key columns (the
+    * only schema-variable part of the report) collapse into one JSON
+    * string `key_json` — e.g. `{"o_orderkey":7}` — leaving a schema every
+    * dataset shares. A narrow codegen'd projection (`to_json` over the key
+    * struct): no shuffle, no action; the original typed key columns remain
+    * available in the per-dataset (pre-consolidation) report and the
+    * unmatched extracts, which are keyed per dataset and never unioned.
+    */
+  def normalizeRowReport(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val pks = df.columns.filterNot(RowReportFixedCols.contains)
+    df.select(
+      col(DatasetNameCol),
+      to_json(struct(pks.map(col): _*)).as(KeyJsonCol),
+      col(DuplicateCountCol), col(MissingRowStatusCol), col(AllRowsMatchedCol))
+  }
 
   def writeResults(
       result: ComparisonResult,
@@ -73,9 +97,18 @@ object ComparisonJob {
       ConfigReader.decodeDatasetParams(params),
       ConfigReader.decodeOutputConfig(outputConfig))
 
-  /** Positional union of per-dataset reports (`comparison_job.py:277-291`). */
-  def consolidate(results: Seq[ComparisonResult]): ComparisonResult =
-    results.reduce { (acc, r) =>
+  /** Positional union of per-dataset reports (`comparison_job.py:277-291`).
+    * With `normalizeRowKeys` the row-level reports pass through
+    * [[normalizeRowReport]] first, so heterogeneous key schemas union.
+    */
+  def consolidate(
+      results: Seq[ComparisonResult],
+      normalizeRowKeys: Boolean = false): ComparisonResult = {
+    val rs =
+      if (normalizeRowKeys)
+        results.map(r => r.copy(rowLvlTestReport = normalizeRowReport(r.rowLvlTestReport)))
+      else results
+    rs.reduce { (acc, r) =>
       ComparisonResult(
         overallTestReport = acc.overallTestReport.union(r.overallTestReport),
         rowLvlTestReport = acc.rowLvlTestReport.union(r.rowLvlTestReport),
@@ -83,6 +116,7 @@ object ComparisonJob {
         unmatchedRecords = acc.unmatchedRecords ++ r.unmatchedRecords,
         cachedFrames = acc.cachedFrames ++ r.cachedFrames)
     }
+  }
 
   def runComparisonJob(spark: SparkSession, config: ComparisonJobConfig): ComparisonResult = {
     require(config.datasetConfigs.nonEmpty, "dataset_configs cannot be empty")
@@ -93,7 +127,7 @@ object ComparisonJob {
         IoUtils.readDataframe(spark, dc.targetConfig),
         dc.params)
     }
-    val consolidated = consolidate(results)
+    val consolidated = consolidate(results, config.normalizeRowKeys)
     writeResults(consolidated, config.jobName, config.outputConfig)
     consolidated
   }

@@ -219,6 +219,34 @@ class ComparisonSpec extends SparkSpec {
       s"NaN/NULL must be dropped, not counted in an edge bin; got $got")
   }
 
+  test("normalize_row_keys consolidates datasets with DIFFERENT primary-key schemas") {
+    // dataset A keyed on `id`, dataset B keyed on (`ord_id`, `line_no`) —
+    // the shape the reference's positional union cannot consolidate
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((10L, 1L, "p"), (10L, 2L, "q")).toDF("ord_id", "line_no", "v")
+    val ra = Comparison.compareDataFrames(spark, a, a,
+      DatasetParams("ds_a", Seq("id")))
+    val rb = Comparison.compareDataFrames(spark, b, b,
+      DatasetParams("ds_b", Seq("ord_id", "line_no")))
+    // default path: reference parity — the union fails on schema mismatch
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ComparisonJob.consolidate(Seq(ra, rb)).rowLvlTestReport.collect()
+    }
+    // flag on: one normalized schema, every dataset's rows present
+    val merged = ComparisonJob.consolidate(Seq(ra, rb), normalizeRowKeys = true)
+    val rows = merged.rowLvlTestReport
+      .select("dataset_name", "key_json", "missing_row_status")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("ds_a", """{"id":1}""", "PRESENT_IN_BOTH"),
+      ("ds_a", """{"id":2}""", "PRESENT_IN_BOTH"),
+      ("ds_b", """{"ord_id":10,"line_no":1}""", "PRESENT_IN_BOTH"),
+      ("ds_b", """{"ord_id":10,"line_no":2}""", "PRESENT_IN_BOTH")), rows.toString)
+    // overall/col-level reports were schema-stable already and still union
+    assert(merged.overallTestReport.count() == 2L)
+    ra.unpersist(); rb.unpersist()
+  }
+
   test("driftReport: identical sides have zero delta; a shifted side shows exact ppm drift") {
     import spark.implicits._
     val base = Seq(1.0, 1.0, 3.0, 5.0).toDF("v") // bins 0,0,1,2 of width 2
