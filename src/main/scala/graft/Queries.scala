@@ -1209,6 +1209,16 @@ object Queries {
       Similarity.pqTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3,
         m = 4, ncode = 16, iters = 0, pivotHash = Similarity.shaPivotHash)),
 
+    // the COMPOSED standard layout: IVF cells prune candidates (nprobe=4 of
+    // 16), PQ-ADC scores only the survivors (m=4 LUT lookups per pair),
+    // exact fixed-point re-rank over the 2k ADC winners. iters=0 + sha
+    // pivot hash keeps every stage integer-exact, so the DuckDB oracle
+    // replicates the full three-stage pipeline
+    "q_sim_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(embs(s, d), "vec_id", "embedding", col("vec_id") < 5, k = 3,
+        nlist = 16, nprobe = 4, m = 4, ncode = 16, iters = 0, refine = 2,
+        pivotHash = Similarity.shaPivotHash)),
+
     // targetChunkSize 25 exercises the triangle sub-chunking at test scale
     // (sf0.1's 200-row label blocks split into 8 chunks → 36 pair-tasks per
     // block instead of ONE task per label); the output is identical at any
@@ -1667,6 +1677,78 @@ object Queries {
     * fixed-point cosine top-3. Pivot hash = first 15 hex chars of
     * sha256(id), exactly [[graft.operators.Similarity.shaPivotHash]].
     */
+  /** DuckDB replica of the COMPOSED IVF-PQ pipeline (q_sim_ivfpq_topk,
+    * iters = 0, sha pivot hash): the IVF half (cells from the first-16
+    * sha-ordered corpus rows, nearest-cell assignment, nprobe = 4 probes,
+    * per-cell candidate pairs) feeds the PQ half (same-sample codebooks,
+    * encode argmins, LUT partial dots) restricted to those pairs; ADC
+    * ranks k·refine = 6 survivors per query and the exact integer cosine
+    * re-ranks to the final 3. Every CTE is lifted verbatim from the two
+    * single-method oracles so the composition can only diverge where the
+    * composition itself does.
+    */
+  private val ivfPqTopKOracleSql: String =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
+      |  FROM embeddings),
+      |es AS (SELECT vec_id, pos // 16 AS subsp, pos, qv FROM e),
+      |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+      |piv AS (SELECT vec_id AS cell FROM embeddings WHERE vec_id >= 5
+      |  ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+      |  LIMIT 16),
+      |cdots AS (SELECT a.vec_id AS rid, b.vec_id AS cell, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+      |  FROM e a JOIN e b ON a.pos = b.pos JOIN piv ON piv.cell = b.vec_id
+      |  GROUP BY 1, 2),
+      |sc0 AS (SELECT rid, cell,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cs
+      |  FROM cdots JOIN n na ON na.vec_id = rid JOIN n nb ON nb.vec_id = cell),
+      |ass AS (SELECT rid, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY rid ORDER BY cs DESC, cell) AS rn
+      |  FROM sc0),
+      |cass AS (SELECT rid AS cand_id, cell FROM ass WHERE rid >= 5 AND rn = 1),
+      |qass AS (SELECT rid AS query_id, cell FROM ass WHERE rid < 5 AND rn <= 4),
+      |cand AS (SELECT DISTINCT query_id, cand_id FROM qass JOIN cass USING (cell)),
+      |pivc AS (SELECT vec_id AS code FROM embeddings WHERE vec_id >= 5
+      |  ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+      |  LIMIT 16),
+      |cb AS (SELECT es.subsp, es.vec_id AS code, es.pos, es.qv FROM es JOIN pivc ON pivc.code = es.vec_id),
+      |cbn AS (SELECT subsp, code, CAST(SUM(qv * qv) AS BIGINT) AS cn2 FROM cb GROUP BY 1, 2),
+      |cd AS (SELECT a.vec_id, a.subsp, cb.code, CAST(SUM(a.qv * cb.qv) AS BIGINT) AS dot
+      |  FROM es a JOIN cb ON cb.subsp = a.subsp AND cb.pos = a.pos
+      |  WHERE a.vec_id >= 5 GROUP BY 1, 2, 3),
+      |enc AS (SELECT vec_id AS cand_id, subsp, code, cn2 FROM (
+      |  SELECT cd.vec_id, cd.subsp, cd.code, cbn.cn2,
+      |    ROW_NUMBER() OVER (PARTITION BY cd.vec_id, cd.subsp
+      |      ORDER BY cbn.cn2 - 2 * cd.dot ASC, cd.code ASC) AS rn
+      |  FROM cd JOIN cbn ON cbn.subsp = cd.subsp AND cbn.code = cd.code)
+      |  WHERE rn = 1),
+      |lut AS (SELECT q.vec_id AS query_id, cb.subsp, cb.code,
+      |    CAST(SUM(q.qv * cb.qv) AS BIGINT) AS pdot
+      |  FROM es q JOIN cb ON cb.subsp = q.subsp AND cb.pos = q.pos
+      |  WHERE q.vec_id < 5 GROUP BY 1, 2, 3),
+      |adc AS (SELECT c.query_id, c.cand_id,
+      |    CAST(SUM(lut.pdot) AS DOUBLE) /
+      |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(SUM(enc.cn2) AS DOUBLE))) AS approx_cosine
+      |  FROM cand c
+      |  JOIN enc ON enc.cand_id = c.cand_id
+      |  JOIN lut ON lut.query_id = c.query_id AND lut.subsp = enc.subsp AND lut.code = enc.code
+      |  JOIN n nq ON nq.vec_id = c.query_id
+      |  GROUP BY 1, 2, nq.n2),
+      |surv AS (SELECT query_id, cand_id FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, cand_id) AS rn
+      |  FROM adc) WHERE rn <= 6),
+      |d AS (SELECT query_id, cand_id, CAST(SUM(eq.qv * ec.qv) AS BIGINT) AS dot
+      |  FROM surv
+      |  JOIN e eq ON eq.vec_id = query_id
+      |  JOIN e ec ON ec.vec_id = cand_id AND eq.pos = ec.pos
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT query_id, cand_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      |  FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = cand_id)
+      |SELECT query_id, cand_id, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      |  FROM sc) WHERE rn <= 3""".stripMargin
+
   private val ivfTopKOracleSql: String =
     """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
@@ -1742,6 +1824,8 @@ object Queries {
 
   def oracleSql: Map[String, String] = Map(
     "q_sim_pq_topk" -> pqTopKOracleSql,
+
+    "q_sim_ivfpq_topk" -> ivfPqTopKOracleSql,
     // minhash+LSH verified pairs ⊆ brute-force pairs by construction (the
     // verify step recomputes exact Jaccard); equality with the brute-force
     // set additionally asserts full recall at the configured banding.

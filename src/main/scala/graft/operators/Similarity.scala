@@ -319,7 +319,25 @@ object Similarity {
       nlist: Int = 1024,
       nprobe: Int = 8,
       iters: Int = 2,
-      pivotHash: Column => Column = xxhash64(_)): DataFrame = {
+      pivotHash: Column => Column = xxhash64(_)): DataFrame =
+    exactPairTopK(
+      ivfCandidatePairs(df, idCol, embCol, queryPred, nlist, nprobe, iters, pivotHash), k)
+
+  /** The IVF candidate-generation core shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: probe the `nprobe` nearest cells per query, assign
+    * every corpus row to its nearest cell, and emit the per-cell candidate
+    * pair frame (query_id, cand_id, qa, qn, ca, cn) — quantized arrays and
+    * norms riding along for whichever scorer consumes the pairs.
+    */
+  private def ivfCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      nlist: Int,
+      nprobe: Int,
+      iters: Int,
+      pivotHash: Column => Column): DataFrame = {
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist, s"bad nlist/nprobe: $nlist/$nprobe")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val base = df
@@ -378,9 +396,8 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("cell"), col("__qa").as("qa"), col("__n2").as("qn"))
     val c = assigned
       .select(col(idCol).as("cand_id"), col("cell"), col("__qa").as("ca"), col("__n2").as("cn"))
-    val pairs = q.join(c, Seq("cell"))
+    q.join(c, Seq("cell"))
       .dropDuplicates("query_id", "cand_id")
-    exactPairTopK(pairs, k)
   }
 
   // ---- Product quantization (PQ) ANN ----------------------------------
@@ -434,9 +451,31 @@ object Similarity {
       iters: Int = 2,
       refine: Int = 1,
       pivotHash: Column => Column = xxhash64(_)): DataFrame = {
+    val (enc, lut, queries, corpus) =
+      pqModel(df, idCol, embCol, queryPred, m, ncode, iters, pivotHash)
+    // ADC over EVERY encoded candidate: the (subsp, code) equi-join against
+    // the broadcast LUT enumerates all query×cand pairs at m rows each
+    val adc = pqAdcTopK(enc.join(broadcast(lut), Seq("subsp", "code")), k, refine)
+    pqFinish(adc, queries, corpus, idCol, k, refine)
+  }
+
+  /** The PQ model core shared by [[pqTopK]] and [[ivfPqTopK]]: learn the
+    * per-subspace codebooks, encode the corpus, precompute the query LUTs.
+    * Returns (enc = (cand_id, subsp, code, cn2),
+    * lut = (query_id, subsp, code, pdot, qn2), quantized queries, quantized
+    * corpus) — the last two for the exact-refine stage.
+    */
+  private def pqModel(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      m: Int,
+      ncode: Int,
+      iters: Int,
+      pivotHash: Column => Column): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(m >= 1 && ncode >= 1, s"bad m/ncode: $m/$ncode")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    require(refine >= 1, s"refine must be >= 1, got $refine")
     // one-row metadata probe (LocalLimit pushes it to a single file read),
     // not a data collect: the subvector slicer needs the static dimension
     val dim = df.select(size(col(embCol))).head().getInt(0)
@@ -491,9 +530,15 @@ object Similarity {
       .join(broadcast(cbn), "subsp")
       .select(col(idCol).as("query_id"), col("subsp"), col("code"),
         doubleDot(col("xv"), col("cv")).as("pdot"), col("__n2").as("qn2"))
+    (enc, lut, queries, corpus)
+  }
 
-    // ADC: m LUT rows per (query, cand); Σ pdot = approx dot, Σ cn2 = |x̂|²
-    val adc = enc.join(broadcast(lut), Seq("subsp", "code"))
+  /** ADC scoring tail: from (query_id, cand_id, subsp, pdot, qn2, cn2)
+    * rows — m per pair — sum partial dots (Σ pdot = approx dot,
+    * Σ cn2 = |x̂|²) and keep the k·refine best per query.
+    */
+  private def pqAdcTopK(joined: DataFrame, k: Int, refine: Int): DataFrame =
+    joined
       .groupBy("query_id", "cand_id")
       .agg(sum(col("pdot")).as("adot"), max(col("qn2")).as("qn2"), sum(col("cn2")).as("rn2"))
       .withColumn("approx_cosine",
@@ -502,6 +547,15 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("approx_cosine").desc, col("cand_id"))))
       .filter(col("rn") <= k * refine)
 
+  /** Final PQ stage: pure-ADC output at refine = 1, exact re-rank above. */
+  private def pqFinish(
+      adc: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      k: Int,
+      refine: Int): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
     if (refine <= 1) adc.select("query_id", "cand_id", "approx_cosine")
     else {
       // Re-rank (the standard ADC + refinement): exact fixed-point cosine
@@ -514,6 +568,47 @@ object Similarity {
       exactPairTopK(
         adc.select("query_id", "cand_id").join(qv, "query_id").join(cv, "cand_id"), k)
     }
+  }
+
+  /** IVF-PQ: the standard billion-scale ANN layout, composed from the two
+    * halves this module already proves separately — IVF cells PRUNE the
+    * candidate set (cost ≈ nprobe·N/nlist per query instead of N), PQ codes
+    * make scoring the survivors CHEAP (m LUT lookups per pair instead of a
+    * dim-length dot), and the exact fixed-point re-rank over the k·refine
+    * ADC winners recovers the recall quantization loses.
+    *
+    * 100 TB shape: the raw embedding table is read once (quantize + encode
+    * + assign); after that the only per-query work is a broadcast probe of
+    * the centroid table, a cell-keyed equi-join of (query, cell) against
+    * the encoded candidates, m-row LUT sums per surviving pair, and raw
+    * vectors touched again for O(|Q|·k·refine) rows only. Both composed
+    * halves keep their individual determinism guarantees, so with
+    * `iters = 0` and `pivotHash = shaPivotHash` the whole composition is
+    * integer-exact and oracle-replicable (q_sim_ivfpq_topk).
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      nlist: Int = 1024,
+      nprobe: Int = 8,
+      m: Int = 4,
+      ncode: Int = 16,
+      iters: Int = 2,
+      refine: Int = 4,
+      pivotHash: Column => Column = xxhash64(_)): DataFrame = {
+    val pairs = ivfCandidatePairs(df, idCol, embCol, queryPred, nlist, nprobe, iters, pivotHash)
+      .select("query_id", "cand_id")
+    val (enc, lut, queries, corpus) =
+      pqModel(df, idCol, embCol, queryPred, m, ncode, iters, pivotHash)
+    // ADC restricted to IVF candidates: pairs×m rows join the broadcast LUT
+    // on (query_id, subsp, code) — never the full query×corpus cross
+    val adc = pqAdcTopK(
+      pairs.join(enc, "cand_id").join(broadcast(lut), Seq("query_id", "subsp", "code")),
+      k, refine)
+    pqFinish(adc, queries, corpus, idCol, k, refine)
   }
 
   /** Embedding-cosine near-duplicate pairs within blocks: all pairs of rows

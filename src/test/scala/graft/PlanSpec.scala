@@ -360,23 +360,27 @@ class PlanSpec extends SparkSpec {
       s"survivors must come from an anti-join against the tiny contaminated set:\n$p")
   }
 
-  test("semantic decontamination: eval probe and contaminated-set anti-join broadcast by hint") {
-    // Unlike the shingle decontaminate (whose broadcasts are AQE-sized),
-    // semanticDecontaminate hints BOTH small sides explicitly — the eval
-    // bucket frame and the contaminated-id set are benchmark-suite-sized by
-    // contract — so the property is plan-intrinsic: no AQE, no runtime
-    // materialization needed to see it.
+  test("semantic decontamination: eval probe broadcasts by hint; contaminated anti-join AQE-sizes") {
+    // The eval bucket frame is benchmark-suite-sized BY CONTRACT, so its
+    // broadcast is hinted and plan-intrinsic (visible pre-AQE). The
+    // contaminated-id set is NOT hinted — it scales with corpus
+    // contamination, not eval size, and an unconditional hint would
+    // driver-OOM on a dirty corpus — so its anti-join is AQE-sized: on
+    // this small fixture the runtime plan must still converge to a
+    // broadcast LeftAnti (no corpus shuffle).
     import org.apache.spark.sql.functions._
     val ee = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = graft.operators.Similarity.semanticDecontaminate(
       ee.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
       ee.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
       threshold = 0.35, numPlanes = 8, numTables = 4)
-    val p = q.queryExecution.sparkPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"the eval bucket frame must broadcast into the probe without AQE:\n$p")
-    assert(p.contains("LeftAnti") && !p.contains("SortMergeJoin"),
-      s"the corpus must never shuffle for the anti-join (broadcast LeftAnti only):\n$p")
+    val pre = q.queryExecution.sparkPlan.toString
+    assert(pre.contains("BroadcastHashJoin"),
+      s"the eval bucket frame must broadcast into the probe without AQE:\n$pre")
+    q.queryExecution.toRdd.count() // AQE sizes the contaminated set at runtime
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"a small contaminated set must broadcast the anti-join under AQE:\n$p")
   }
 
   test("AQE-off: broadcast-dependent plans degrade safely, plan-intrinsic ones hold") {

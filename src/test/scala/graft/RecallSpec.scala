@@ -148,6 +148,17 @@ class RecallSpec extends SparkSpec {
     val rr = recall(topIds(Similarity.pqTopK(
       embCorpus, "vec_id", "embedding", col("vec_id") < 10, k, 4, 16, iters = 0, refine = 6)))
     assert(rr >= r0 + 0.2, s"re-ranking must substantially beat pure ADC: $r0 -> $rr")
+
+    // The COMPOSED IVF-PQ layout: on this 100-vector corpus a generous
+    // probe (8 of 10 cells) makes IVF pruning near-lossless, so the
+    // composition must track plain PQ-with-refine within the pruning loss
+    // (measured 0.84 vs 0.88) — and beat its own pure-ADC floor.
+    val comp = recall(topIds(Similarity.ivfPqTopK(
+      embCorpus, "vec_id", "embedding", col("vec_id") < 10, k,
+      nlist = 10, nprobe = 8, m = 4, ncode = 16, iters = 0, refine = 6)))
+    assert(comp >= rr - 0.15,
+      s"IVF-PQ with generous probing must track refined PQ: pq=$rr ivfpq=$comp")
+    assert(comp >= r0 + 0.1, s"composition must beat pure ADC: adc=$r0 ivfpq=$comp")
   }
 
   test("semanticDecontaminate recall vs exact cosine across (planes, tables) settings") {
