@@ -90,7 +90,10 @@ object RecallSweep {
           m = 8, ncode = 16, iters = 2, refine = 10)),
       ("pq", "m=16 ncode=16 refine=10",
         () => Similarity.pqTopK(embs, "vec_id", "embedding", queryPred, k,
-          m = 16, ncode = 16, iters = 2, refine = 10)))
+          m = 16, ncode = 16, iters = 2, refine = 10)),
+      ("ivfpq", s"nlist=$nlist nprobe=32 m=16 refine=10",
+        () => Similarity.ivfPqTopK(embs, "vec_id", "embedding", queryPred, k,
+          nlist = nlist, nprobe = 32, m = 16, ncode = 16, iters = 2, refine = 10)))
 
     val rows = ladder.map { case (name, params, mk) =>
       val t = System.nanoTime()

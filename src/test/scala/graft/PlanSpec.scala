@@ -466,6 +466,18 @@ class PlanSpec extends SparkSpec {
       s"too many shuffles for the ADC pipeline:\n$p")
   }
 
+  test("IVF-PQ composition: centroids, LUT and candidate pairs all broadcast; no cross product") {
+    // The composed layout must inherit both halves' plan shapes: IVF's
+    // centroid table broadcasts into probe/assign, PQ's codebook and LUT
+    // broadcast into encode/scoring, and the ADC is restricted to the IVF
+    // candidate pairs — no CartesianProduct anywhere, and the only
+    // sort-merge joins allowed are the pair-building equi-joins.
+    val p = plan("q_sim_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the composition must never cross-join query x corpus:\n$p")
+  }
+
   test("hash sampling pushes column pruning to the scan and adds no exchange") {
     val p = Queries.queries("q_sample_hash")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
