@@ -161,6 +161,24 @@ class RecallSpec extends SparkSpec {
     assert(comp >= r0 + 0.1, s"composition must beat pure ADC: adc=$r0 ivfpq=$comp")
   }
 
+  test("IVF-PQ degenerates EXACTLY to PQ when every cell is probed (nprobe = nlist)") {
+    // With nprobe = nlist the IVF stage prunes nothing — every (query,
+    // cand) pair survives to ADC — so the composition must return
+    // bit-identical rows to plain pqTopK at the same (m, ncode, refine).
+    // This pins the composition seam itself: any drift in the restricted
+    // ADC join (wrong key, lost pair, changed tie-break) breaks equality.
+    import org.apache.spark.sql.functions.col
+    def rows(df: DataFrame): Set[(Long, Long, Double)] = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"), r.getDouble(2))).toSet
+    val pq = rows(Similarity.pqTopK(
+      embCorpus, "vec_id", "embedding", col("vec_id") < 10, k = 5,
+      m = 4, ncode = 16, iters = 0, refine = 3))
+    val comp = rows(Similarity.ivfPqTopK(
+      embCorpus, "vec_id", "embedding", col("vec_id") < 10, k = 5,
+      nlist = 12, nprobe = 12, m = 4, ncode = 16, iters = 0, refine = 3))
+    assert(comp == pq, s"full-probe composition must equal plain PQ:\n  pq-only=${pq -- comp}\n  comp-only=${comp -- pq}")
+  }
+
   test("semanticDecontaminate recall vs exact cosine across (planes, tables) settings") {
     import spark.implicits._
     val threshold = 0.9
