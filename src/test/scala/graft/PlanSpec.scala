@@ -633,4 +633,26 @@ class PlanSpec extends SparkSpec {
       s"both aggregations must partial-combine map-side:\n$p")
     assert(!p.contains("Join"), s"no join in the state fold:\n$p")
   }
+
+  test("HLL sketch: every aggregation partial-combines map-side; the exact side broadcasts") {
+    val p = plan("q_sketch_hll")
+    // partial (status,bucket,reg), merge (status,reg), estimate (status),
+    // countDistinct (2-phase) — each a partial+final HashAggregate pair; at
+    // 100 TB the raw rows collapse to ≤ m rows per key on the map side
+    // before any shuffle, so no aggregation may plan single-phase
+    val aggs = p.linesIterator.count(_.contains("HashAggregate ("))
+    assert(aggs % 2 == 0 && aggs >= 6,
+      s"expected paired partial+final HashAggregates throughout:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row exact_distinct side must broadcast, never shuffle the sketch:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge join in the sketch fold:\n$p")
+  }
+
+  test("CMS estimate: counter matrix broadcasts to the candidates; no cross product") {
+    val p = plan("q_sketch_cms_heavy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=depth*width counter table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross product in the point query:\n$p")
+  }
 }
