@@ -1519,6 +1519,58 @@ object Queries {
           col("view_value_asof").as("view_value"), col("us_asof").as("view_us"))
     }),
 
+    // token-budget corpus selection: best docs by score until 200k tokens —
+    // the cumsum runs over DISTINCT scores (score-domain window, not a
+    // corpus-wide sort) and only the boundary bucket ranks rows; the
+    // oracle's naive global-order cumsum pins the semantics exactly
+    "q_curate_budget" -> ((s, d) => {
+      val dd = docs(s, d).filter(col("text").isNotNull).select(
+        col("doc_id"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.selectTokenBudget(dd, "doc_id", "n_chars", "n_tokens", budget = 200000L)
+        .select("doc_id", "n_chars", "n_tokens")
+    }),
+
+    // deterministic contrastive negatives: 3 hash-ring rotations give every
+    // doc exactly 3 negatives AND exactly 3 appearances as a negative —
+    // reproducible under retry (no rand()), self-pairs impossible; the
+    // oracle re-derives ring ranks and offsets from the same sha recipe
+    "q_sample_negatives" -> ((s, d) =>
+      Sampling.negativeSample(docs(s, d), "doc_id", k = 3)),
+
+    // skip-gram PMI collocations: window-2 directed co-occurrence counts
+    // scored against unigram frequencies in per-term micro-bit logs (exact
+    // BIGINT composition — no multi-term float sum). The oracle extracts
+    // pairs via a position self-join instead of the in-row zip_with, so a
+    // green row pins the pair extraction itself, not just the scoring.
+    "q_text_pmi" -> ((s, d) =>
+      TextAnalysis.pmiPairs(docs(s, d), "text", window = 2, minCount = 5)),
+
+    // interval union (gaps-and-islands): each event claims a 2-hour
+    // activity interval, merged per user into maximal disjoint spans —
+    // containment chains collapse via the running-max rule a naive
+    // lag(end) split would break
+    "q_events_intervals" -> ((s, d) => {
+      val iv = graft.sources.Events.load(s, d).select(
+        col("user_id"),
+        expr("ts_ns div 1000").as("st"),
+        (expr("ts_ns div 1000") + 7200000000L).as("en"))
+      Temporal.mergeIntervals(iv, Seq("user_id"), "st", "en")
+        .select(col("user_id"), col("span_start").as("span_start_us"),
+          col("span_end").as("span_end_us"), col("n_intervals"))
+    }),
+
+    // the complement: uncovered holes between each user's merged spans
+    "q_events_gaps" -> ((s, d) => {
+      val iv = graft.sources.Events.load(s, d).select(
+        col("user_id"),
+        expr("ts_ns div 1000").as("st"),
+        (expr("ts_ns div 1000") + 7200000000L).as("en"))
+      Temporal.intervalGaps(iv, Seq("user_id"), "st", "en")
+        .select(col("user_id"), col("gap_start").as("gap_start_us"),
+          col("gap_end").as("gap_end_us"))
+    }),
+
     // mergeable deterministic HLL: monthly register partials folded
     // register-wise (max rho) to the per-status sketch, estimated in exact
     // integer arithmetic with the precomputed linear-counting table. The
@@ -2013,6 +2065,99 @@ object Queries {
         |SELECT purchase_id, p.user_id, p_us, v_us, view_value
         |FROM p JOIN v ON v.user_id = p.user_id
         | AND v_us >= p_us - 14400000000 AND v_us <= p_us""".stripMargin,
+
+    // the budget selector's semantics, stated naively: global (score desc,
+    // id) order, keep while the running token total fits
+    "q_curate_budget" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, n_chars, n_tokens FROM c WHERE cum <= 200000""".stripMargin,
+
+    // hash-ring negative sampling replica: ranks from a window (fine at
+    // oracle scale), offsets from the same "i:salt" sha recipe, rotation
+    // joins on the target rank
+    "q_sample_negatives" ->
+      """WITH ring0 AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(sha256(concat(CAST(doc_id AS VARCHAR), ':neg')), 1, 15)) AS BIGINT) AS pos
+        |  FROM (SELECT DISTINCT doc_id FROM documents)),
+        |ring AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY pos, doc_id) - 1 AS rk FROM ring0),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM ring),
+        |offs AS (SELECT i, CASE WHEN oo = 0 THEN 1 ELSE oo END AS off FROM (
+        |  SELECT i, CAST(concat('0x', substr(sha256(concat(CAST(i AS VARCHAR), ':neg')), 1, 15)) AS BIGINT) % cnt AS oo
+        |  FROM (VALUES (0), (1), (2)) AS t(i) CROSS JOIN n) s),
+        |probes AS (SELECT r.doc_id AS anchor_id, offs.i AS probe_idx,
+        |    (r.rk + offs.off) % cnt AS rk
+        |  FROM ring r CROSS JOIN offs CROSS JOIN n)
+        |SELECT p.anchor_id, p.probe_idx, t.doc_id AS neg_id
+        |FROM probes p JOIN ring t ON t.rk = p.rk""".stripMargin,
+
+    // skip-gram PMI replica: pairs from a bounded position self-join
+    // (b.p in (a.p, a.p+2]), the same per-term micro-bit log composition
+    "q_text_pmi" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |uni AS (SELECT unnest(w) AS tok FROM toks),
+        |ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        |ut AS (SELECT CAST(SUM(c) AS BIGINT) AS tu FROM ucnt),
+        |pos AS (SELECT doc_id, generate_subscripts(w, 1) AS p, unnest(w) AS tok FROM toks),
+        |prs AS (SELECT a.tok AS w1, b.tok AS w2 FROM pos a JOIN pos b
+        |  ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + 2),
+        |pcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM prs GROUP BY 1, 2),
+        |pt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS tp FROM pcnt)
+        |SELECT w1, w2, n_pair,
+        |  CAST(ROUND(LOG2(CAST(n_pair AS DOUBLE)) * 1000000) AS BIGINT)
+        |  + 2 * CAST(ROUND(LOG2(CAST(tu AS DOUBLE)) * 1000000) AS BIGINT)
+        |  - CAST(ROUND(LOG2(CAST(tp AS DOUBLE)) * 1000000) AS BIGINT)
+        |  - CAST(ROUND(LOG2(CAST(c1.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |  - CAST(ROUND(LOG2(CAST(c2.c AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
+        |FROM pcnt
+        |JOIN ucnt c1 ON c1.tok = pcnt.w1
+        |JOIN ucnt c2 ON c2.tok = pcnt.w2
+        |CROSS JOIN ut CROSS JOIN pt
+        |WHERE n_pair >= 5""".stripMargin,
+
+    // gaps-and-islands replica: running-max end over (start, end) order
+    // opens an island when start exceeds it; islands aggregate to spans
+    "q_events_intervals" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) // 1000 AS st,
+        |    epoch_ns(ts) // 1000 + 7200000000 AS en FROM events),
+        |m AS (SELECT user_id, st, en,
+        |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |f AS (SELECT user_id, st, en,
+        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS nw FROM m),
+        |i AS (SELECT user_id, st, en,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY st, en
+        |                  ROWS UNBOUNDED PRECEDING) AS isl FROM f)
+        |SELECT user_id, MIN(st) AS span_start_us, MAX(en) AS span_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |FROM i GROUP BY user_id, isl""".stripMargin,
+
+    "q_events_gaps" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) // 1000 AS st,
+        |    epoch_ns(ts) // 1000 + 7200000000 AS en FROM events),
+        |m AS (SELECT user_id, st, en,
+        |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |f AS (SELECT user_id, st, en,
+        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS nw FROM m),
+        |i AS (SELECT user_id, st, en,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY st, en
+        |                  ROWS UNBOUNDED PRECEDING) AS isl FROM f),
+        |spans AS (SELECT user_id, MIN(st) AS span_start, MAX(en) AS span_end
+        |  FROM i GROUP BY user_id, isl)
+        |SELECT user_id, pe AS gap_start_us, span_start AS gap_end_us FROM (
+        |  SELECT user_id, span_start,
+        |    LAG(span_end) OVER (PARTITION BY user_id ORDER BY span_start) AS pe
+        |  FROM spans) t
+        |WHERE pe IS NOT NULL""".stripMargin,
 
     "q_sim_pq_topk" -> pqTopKOracleSql,
 

@@ -745,4 +745,79 @@ object TextAnalysis {
     val best = array_max(array(scores: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Single-log micro-bit cost: round(log2(count)·10⁶) on an exactly
+    * representable integer-valued double — the repo's proven cross-engine
+    * unit for log-derived scores (see [[unigramLogProbScore]]).
+    */
+  private def microLog2(c: Column): Column =
+    round(log2(c.cast("double")) * 1e6).cast("long")
+
+  /** Directed skip-gram co-occurrence counts: every token pairs with each
+    * of the `window` tokens FOLLOWING it (w1 precedes w2, direction kept),
+    * counted corpus-wide — the pair-extraction pass of word2vec-style
+    * embedding training and collocation mining. Pair emission is fully
+    * IN-ROW (zip_with over shifted slices per distance, the
+    * [[windowsOfWords]] construction — no position self-join, no
+    * per-document shuffle); the only shuffle is the final map-side-combined
+    * count, so cost scales with corpus tokens × window, never documents².
+    * Blank documents are excluded (a lone empty-string token would
+    * otherwise enter the vocabulary).
+    */
+  def skipgramPairs(df: DataFrame, textCol: String, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = tokens(col(textCol))
+    val pairArrays = (1 to window).map { j =>
+      when(size(w) <= j, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(w, lit(1), size(w) - j),
+          slice(w, lit(1 + j), size(w) - j),
+          (a, b) => concat(a, lit(" "), b)))
+    }
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(flatten(array(pairArrays: _*))).as("__pair"))
+      // tokens are whitespace-split, so the single space is unambiguous
+      .select(
+        split(col("__pair"), " ").getItem(0).as("w1"),
+        split(col("__pair"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"))
+  }
+
+  /** Pointwise mutual information over [[skipgramPairs]], in integer
+    * micro-bits: pmi ≈ log2(P(w1,w2)/(P(w1)·P(w2))) composed from
+    * PER-TERM [[microLog2]] costs — `r(c₁₂) + 2·r(Tu) − r(Tp) − r(c₁) −
+    * r(c₂)` — so the combination is exact BIGINT addition and no multi-term
+    * float sum can ulp-flip a rounding boundary (each single-log term is
+    * the proven cross-engine pattern; composition error ≤ ±3 micro-bits,
+    * irrelevant at collocation-mining precision). `minCount` prunes the
+    * long tail BEFORE the two vocabulary joins; the scalar totals row
+    * broadcasts. High-PMI pairs = collocations; deeply negative PMI on
+    * frequent pairs flags templated/boilerplate text.
+    */
+  def pmiPairs(
+      df: DataFrame,
+      textCol: String,
+      window: Int = 2,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val pairs = skipgramPairs(df, textCol, window)
+    val uni = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = broadcast(
+      uni.agg(sum(col("c")).as("tu"))
+        .crossJoin(pairs.agg(sum(col("n_pair")).as("tp"))))
+    pairs
+      .filter(col("n_pair") >= minCount)
+      .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "__c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "__c2"), Seq("w2"))
+      .crossJoin(totals)
+      .select(
+        col("w1"), col("w2"), col("n_pair"),
+        (microLog2(col("n_pair")) + lit(2L) * microLog2(col("tu"))
+          - microLog2(col("tp")) - microLog2(col("__c1")) - microLog2(col("__c2")))
+          .as("pmi_micro"))
+  }
 }

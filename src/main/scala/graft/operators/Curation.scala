@@ -146,4 +146,53 @@ object Curation {
       .filter(col(valueCol) >= col("__q_lo") && col(valueCol) <= col("__q_hi"))
       .drop("__q_lo", "__q_hi")
   }
+
+  /** Select the best-scoring rows until a TOKEN budget fills — "give me the
+    * top N tokens of training data by quality": rows in `(scoreCol desc,
+    * idCol asc)` order are kept while the running token total stays ≤
+    * `budget` (whole-document granularity; the first document that would
+    * overflow, and everything after it, is dropped).
+    *
+    * The naive form is a global-order cumulative window — one partition
+    * holding the corpus. Instead the cumsum runs over DISTINCT SCORE
+    * VALUES (per-score token subtotals: one map-side-combined aggregation,
+    * then a window over the score domain — bounded by score resolution,
+    * e.g. ≤10⁶ rows for micro-unit scores, NOT by corpus size): every row
+    * whose whole score-bucket fits is kept outright, and only the single
+    * BOUNDARY bucket ranks its rows (window partitioned by that one score
+    * value, id-ordered). Both the bucket decision and the boundary rank
+    * broadcast back as filters, so corpus rows never sort globally.
+    * `scoreCol`/`tokensCol` must be integers (fixed-point) — the running
+    * totals and the keep decision are then exact in any engine.
+    */
+  def selectTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val reserved = Seq("__bt", "__cum", "__prev", "__run")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"input columns collide with selectTokenBudget's scratch names — rename them first")
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df.groupBy(col(scoreCol)).agg(sum(col(tokensCol)).as("__bt"))
+    val scoreWin = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perScore
+      .withColumn("__cum", sum(col("__bt")).over(scoreWin))
+      .withColumn("__prev", col("__cum") - col("__bt"))
+      .select(col(scoreCol), col("__cum"), col("__prev"))
+    val withCum = df.join(broadcast(cum), Seq(scoreCol))
+    val fullBuckets = withCum.filter(col("__cum") <= budget)
+    val boundary = withCum
+      .filter(col("__prev") < budget && col("__cum") > budget)
+      .withColumn("__run",
+        sum(col(tokensCol)).over(
+          Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__prev") + col("__run") <= budget)
+      .drop("__run")
+    fullBuckets.union(boundary).drop("__cum", "__prev")
+  }
 }

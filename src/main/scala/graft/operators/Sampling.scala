@@ -281,4 +281,95 @@ object Sampling {
       .drop("component")
     hashSplit(grouped, groupCol, weights, salt, splitCol, granularity)
   }
+
+  /** [[hash60]] computed DRIVER-side for scalar parameters (e.g. the ring
+    * offsets in [[negativeSample]]): byte-identical to the Column version —
+    * sha256 of `"<key>:<salt>"` ASCII, first 15 hex chars as a long — so a
+    * driver-derived constant and an executor-derived column never disagree.
+    */
+  def hash60Jvm(key: String, salt: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s"$key:$salt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Dense 0-based global rank in `(orderCols…)` order, WITHOUT a
+    * single-partition window: range-repartition + within-partition sort put
+    * rows in global order across partitions, and `zipWithIndex` stitches
+    * per-partition offsets (one extra count job, no second shuffle) — the
+    * standard distributed total-ranking shape, used for stable contiguous
+    * id assignment (embedding tables, packed datasets) and the ring ranks
+    * of [[negativeSample]]. `orderCols` must be a UNIQUE total order or
+    * ranks within ties are partitioning-dependent. One of the few places
+    * the RDD API is the right tool: no DataFrame-native operator produces a
+    * global rank without collapsing to one partition.
+    */
+  def withGlobalRank(
+      df: DataFrame,
+      orderCols: Seq[String],
+      rankCol: String = "rk"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column — rename it first")
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol, org.apache.spark.sql.types.LongType,
+          nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(ranked, schema)
+  }
+
+  /** Deterministic NEGATIVE sampling for contrastive training: k
+    * pseudo-random partner rows per anchor, reproducible across runs,
+    * engines and partitionings — `df.sample`-style negatives re-draw under
+    * task retry, which silently changes training data. Construction: rows
+    * take positions on a hash ring (rank in `(hash60(id), id)` order), and
+    * k GLOBAL salt-derived offsets rotate the ring — negative i of an
+    * anchor is the row `offset_i` ring-steps ahead. Every join is a plain
+    * equi-join on the target rank (co-partitioned shuffle, no cross
+    * product, no window), offsets are never ≡ 0 (mod n) so self-pairs are
+    * impossible by construction, and each anchor gets EXACTLY k negatives.
+    * Because offsets are global rotations, every row also APPEARS as a
+    * negative exactly k times — a uniformity guarantee per-anchor random
+    * draws don't have.
+    *
+    * One bounded scalar action (the ring size) computes the offsets
+    * driver-side via [[hash60Jvm]]; the oracle re-derives them in SQL from
+    * the same sha recipe. Output: `(anchor_id, probe_idx, neg_id)`.
+    */
+  def negativeSample(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ids = df.select(col(idCol)).distinct()
+      .withColumn("__pos", hash60(col(idCol), salt))
+    val ring = withGlobalRank(ids, Seq("__pos", idCol)).drop("__pos")
+    val n = ring.count()
+    require(n >= 2, s"need at least 2 distinct ids to draw negatives, got $n")
+    val offsets = (0 until k).map { i =>
+      val o = hash60Jvm(i.toString, salt) % n
+      (i, if (o == 0L) 1L else o)
+    }
+    val probes = ring.select(
+      col(idCol).as("anchor_id"),
+      col("rk"),
+      explode(array(offsets.map { case (i, o) =>
+        struct(lit(i).as("probe_idx"), lit(o).as("off"))
+      }: _*)).as("__p"))
+      .select(
+        col("anchor_id"),
+        col("__p.probe_idx").as("probe_idx"),
+        ((col("rk") + col("__p.off")) % n).as("rk"))
+    probes
+      .join(ring.withColumnRenamed(idCol, "neg_id"), Seq("rk"))
+      .select(col("anchor_id"), col("probe_idx"), col("neg_id"))
+  }
 }

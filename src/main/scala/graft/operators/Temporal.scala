@@ -314,4 +314,74 @@ object Temporal {
           dev * dev > lit(z * z) * (col("__n") * col("__s2") - col("__s1") * col("__s1")))
           .as("is_anomaly"): _*)
   }
+
+  /** Merge overlapping (and, within `gap`, nearly-adjacent) per-key
+    * intervals into maximal disjoint spans — interval UNION, the
+    * gaps-and-islands primitive behind validity-window flattening,
+    * activity-coverage reports, and span-level dedup bookkeeping. An
+    * interval opens a new span iff it starts strictly more than `gap`
+    * after the running maximum end of every earlier interval (earlier in
+    * `(start, end)` order), so containment chains (`[0,100] ⊃ [10,20]`)
+    * collapse correctly where a naive `lag(end)` comparison would split
+    * them.
+    *
+    * Plan shape: ONE shuffle by `keys` drives both window passes (running
+    * max + running boundary sum share the sort), then the island
+    * aggregation reuses the same partitioning — no self-join, no explode,
+    * no per-key cross product, which is what makes a 100 TB validity log
+    * flattenable. Output: `(keys…, span_start, span_end, n_intervals)`.
+    * Columns must be integers (µs, the repo convention) so `gap`
+    * arithmetic is exact.
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String,
+      gap: Long = 0L): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(gap >= 0L, s"gap must be >= 0, got $gap")
+    val scratch = Seq("__pmax", "__new", "__island")
+    require(scratch.forall(c => !df.columns.contains(c)),
+      s"input already has a ${scratch.mkString("/")} column (reserved scratch names) — rename it first")
+    val ord = Window.partitionBy(keys.map(col): _*).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("__pmax", prevMax)
+      .withColumn("__new",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax") + gap, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((keys :+ "__island").map(col): _*)
+      .agg(
+        min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
+  /** The complement of [[mergeIntervals]]: the uncovered gaps BETWEEN a
+    * key's merged spans — coverage holes in an event/validity log. Each
+    * consecutive span pair emits `(gap_start = prev span_end, gap_end =
+    * next span_start)`; merged spans are separated by construction
+    * (anything closer than `gap` was merged), so every emitted hole has
+    * positive width > `gap`. One extra lag window on the already-tiny
+    * merged frame.
+    */
+  def intervalGaps(
+      df: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String,
+      gap: Long = 0L): DataFrame = {
+    val merged = mergeIntervals(df, keys, startCol, endCol, gap)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("span_start"))
+    merged
+      .withColumn("__prev_end", lag(col("span_end"), 1).over(w))
+      .filter(col("__prev_end").isNotNull)
+      .select(keys.map(col) :+
+        col("__prev_end").as("gap_start") :+
+        col("span_start").as("gap_end"): _*)
+  }
 }

@@ -292,6 +292,61 @@ object SkewBench {
     require(giantRounds <= 12,
       s"low-diameter giant component must converge fast, took $giantRounds rounds")
 
+    // ---- sketches at corpus scale: state stays bounded, estimates hold ----
+    // 20M rows / ~4.9M distinct keys: the HLL partial must collapse to ≤ m
+    // (=64) state rows — the executor-side bound that makes shipping daily
+    // sketches O(KB) at 100 TB — with the estimate inside the m=64 error
+    // envelope. KMV overlap answers an exact-J=1/3 question over 6M rows
+    // from one bounded TakeOrdered. CMS counters stay ≤ d·w rows under the
+    // 60%-hot zipfian fact table, and the hot key's estimate never
+    // undercounts (the one-sided guarantee).
+    import graft.operators.Sketches
+    val sketchRows = 20000000L
+    val sketchDomain = 5000000L
+    val sketchKeys = spark.range(sketchRows)
+      .select(pmod(xxhash64(col("id")), lit(sketchDomain)).as("k"), lit("all").as("g"))
+    val hllState = Sketches.hllPartial(sketchKeys, Seq("g"), "k")
+    val tS0 = System.nanoTime()
+    val hllStateRows = hllState.count()
+    results += "sketch_hll_20m" -> (System.nanoTime() - tS0) / 1e9
+    val hllEst = Sketches.hllEstimate(hllState, Seq("g"))
+      .select("est_distinct").head().getLong(0)
+    val hllExact = sketchKeys.select("k").distinct().count()
+    require(hllStateRows <= Sketches.HllM,
+      s"HLL state must stay <= ${Sketches.HllM} rows, got $hllStateRows")
+    require(math.abs(hllEst - hllExact) <= (hllExact * 2) / 5,
+      s"HLL estimate $hllEst drifted beyond the envelope (exact $hllExact)")
+    System.err.println(s"[skewbench] sketch: hll state=$hllStateRows " +
+      s"est=$hllEst exact=$hllExact (${results("sketch_hll_20m")} s)")
+
+    // A = [0, 3M), B = [1.5M, 4.5M): exact Jaccard 1.5M/4.5M = 1/3
+    val kmvA = spark.range(3000000L).select(col("id").as("k"))
+    val kmvB = spark.range(1500000L, 4500000L).select(col("id").as("k"))
+    val tK0 = System.nanoTime()
+    val kmvRow = Sketches.kmvOverlap(kmvA, kmvB, "k", k = 128)
+      .select("jaccard_ppm", "est_union").head()
+    results += "sketch_kmv_overlap_6m" -> (System.nanoTime() - tK0) / 1e9
+    val (kmvJ, kmvU) = (kmvRow.getLong(0), kmvRow.getLong(1))
+    require(math.abs(kmvJ - 333333L) <= 150000L,
+      s"KMV jaccard_ppm $kmvJ strayed from exact 333333")
+    require(math.abs(kmvU - 4500000L) <= 1350000L,
+      s"KMV est_union $kmvU strayed from exact 4500000")
+
+    val cmsCounters = Sketches.cmsMerge(
+      Sketches.cmsPartial(lineitem, "l_orderkey", depth = 4, width = 1024))
+    val tC0 = System.nanoTime()
+    val cmsRows = cmsCounters.count()
+    results += "sketch_cms_hotkey" -> (System.nanoTime() - tC0) / 1e9
+    val cmsHotEst = Sketches.cmsEstimate(
+      cmsCounters, spark.range(1L, 2L).select(col("id").as("l_orderkey")),
+      "l_orderkey", depth = 4, width = 1024)
+      .select("est_count").head().getLong(0)
+    require(cmsRows <= 4L * 1024L, s"CMS counters must stay <= d*w rows, got $cmsRows")
+    require(cmsHotEst >= hotRows && cmsHotEst <= totalRows,
+      s"CMS hot-key estimate $cmsHotEst must bracket [$hotRows, $totalRows]")
+    System.err.println(s"[skewbench] sketch: kmv j_ppm=$kmvJ union=$kmvU; " +
+      s"cms counters=$cmsRows hot_est=$cmsHotEst (true $hotRows)")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"skew_bench","unit":"sec","cases":$qs,""" +
@@ -307,7 +362,11 @@ object SkewBench {
         s""""simhash_max_bucket_blocked":$maxBucketBlocked,""" +
         s""""cc_chain_nodes":$chainN,"cc_chain_rounds":$chainRounds,""" +
         s""""cc_giant_nodes":$giantNodes,"cc_giant_rounds":$giantRounds,""" +
-        s""""cc_giant_largest":$giantMax},"sf":"$sfDir"}"""
+        s""""cc_giant_largest":$giantMax,""" +
+        s""""sketch_hll_state_rows":$hllStateRows,"sketch_hll_est":$hllEst,""" +
+        s""""sketch_hll_exact":$hllExact,"sketch_kmv_jaccard_ppm":$kmvJ,""" +
+        s""""sketch_kmv_est_union":$kmvU,"sketch_cms_counter_rows":$cmsRows,""" +
+        s""""sketch_cms_hot_est":$cmsHotEst},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_skew.json"), json + "\n")
     spark.stop()
     println(json)

@@ -1437,4 +1437,63 @@ class OperatorsSpec extends SparkSpec {
     val d = direct.collect().map(r => r.getAs[String]("key") -> r.toSeq.tail).toMap
     assert(m == d, s"merged $m != direct $d — partials must merge exactly")
   }
+
+  test("skipgramPairs and pmiPairs match a hand-derived corpus exactly") {
+    val corpus = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.skipgramPairs(corpus, "text", window = 2)
+      .as[(String, String, Long)].collect().toSet
+    // j=1: (a,b),(b,a),(a,b),(b,c); j=2: (a,a),(b,b),(a,c)
+    assert(pairs == Set(
+      ("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L),
+      ("a", "a", 1L), ("b", "b", 1L), ("a", "c", 1L)))
+    def r(x: Long) = math.round(math.log(x.toDouble) / math.log(2.0) * 1e6)
+    // Tu=5 unigrams (a=2,b=2,c=1), Tp=7 pairs
+    val ab = TextAnalysis.pmiPairs(corpus, "text", window = 2, minCount = 2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(ab == Seq(("a", "b", 2L, r(2) + 2 * r(5) - r(7) - r(2) - r(2))))
+    // blank documents contribute nothing — no empty-string token pollution
+    val withBlank = corpus.union(Seq((2L, "   ")).toDF("doc_id", "text"))
+    assert(TextAnalysis.skipgramPairs(withBlank, "text", 2)
+      .as[(String, String, Long)].collect().toSet == pairs)
+  }
+
+  test("mergeIntervals: overlap, containment chains, gap tolerance, key isolation") {
+    import graft.operators.Temporal
+    val iv = Seq(
+      // key a: [0,100] contains [10,20]; [90,150] overlaps; [200,210] separate
+      ("a", 0L, 100L), ("a", 10L, 20L), ("a", 90L, 150L), ("a", 200L, 210L),
+      // key b: touching endpoints merge (start == prev end is NOT after it)
+      ("b", 0L, 50L), ("b", 50L, 80L),
+      ("c", 5L, 6L)
+    ).toDF("k", "st", "en")
+    val spans = Temporal.mergeIntervals(iv, Seq("k"), "st", "en")
+      .orderBy("k", "span_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      ("a", 0L, 150L, 3L), ("a", 200L, 210L, 1L),
+      ("b", 0L, 80L, 2L), ("c", 5L, 6L, 1L)))
+    // gap=60 bridges a's 150→200 hole into one span
+    val bridged = Temporal.mergeIntervals(iv, Seq("k"), "st", "en", gap = 60L)
+      .filter(col("k") === "a").orderBy("span_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(bridged == Seq(("a", 0L, 210L, 4L)))
+  }
+
+  test("intervalGaps emits exactly the uncovered holes between merged spans") {
+    import graft.operators.Temporal
+    val iv = Seq(
+      ("a", 0L, 100L), ("a", 90L, 150L), ("a", 200L, 210L), ("a", 300L, 310L),
+      ("b", 0L, 10L)
+    ).toDF("k", "st", "en")
+    val gaps = Temporal.intervalGaps(iv, Seq("k"), "st", "en")
+      .orderBy("k", "gap_start")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(gaps == Seq(("a", 150L, 200L), ("a", 210L, 300L)))
+    // spans ∪ gaps tile the key's full range with no overlap: total length check
+    val spanLen = Temporal.mergeIntervals(iv, Seq("k"), "st", "en")
+      .filter(col("k") === "a")
+      .agg(sum(col("span_end") - col("span_start"))).as[Long].head()
+    val gapLen = gaps.filter(_._1 == "a").map(g => g._3 - g._2).sum
+    assert(spanLen + gapLen == 310L)
+  }
 }

@@ -200,4 +200,57 @@ class SamplingSpec extends SparkSpec {
       .filter(col("ns") > 1)
     assert(naive.count() > 0, "fixture too small to demonstrate naive leakage")
   }
+
+  test("selectTokenBudget equals the naive global-order prefix, boundary bucket included") {
+    val rng = new scala.util.Random(11)
+    // few distinct scores → the boundary bucket holds many tied rows, the
+    // case the bucket-cumsum + in-bucket rank path exists for
+    val rows = (1L to 2000L).map(i => (i, (rng.nextInt(8) + 1).toLong, (rng.nextInt(50) + 1).toLong))
+    val df = rows.toDF("id", "score", "toks")
+    for (budget <- Seq(0L, 500L, 17000L, 1000000L)) {
+      val got = Curation.selectTokenBudget(df.repartition(7), "id", "score", "toks", budget)
+        .select("id").as[Long].collect().toSet
+      var cum = 0L
+      val want = rows.sortBy(r => (-r._2, r._1)).takeWhile { r => cum += r._3; cum <= budget }
+        .map(_._1).toSet
+      assert(got == want, s"budget=$budget: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("hash60Jvm matches the Column hash60 byte-for-byte") {
+    val keys = Seq("0", "1", "17", "hello", "-5", "")
+    val fromCol = keys.toDF("k")
+      .select(col("k"), Sampling.hash60(col("k"), "neg").as("h"))
+      .as[(String, Long)].collect().toMap
+    keys.foreach { k =>
+      assert(Sampling.hash60Jvm(k, "neg") == fromCol(k), s"mismatch for key '$k'")
+    }
+  }
+
+  test("withGlobalRank assigns dense 0-based ranks in total order, partition-independent") {
+    val df = spark.range(0, 5000).select((col("id") * 37 % 5000).as("v"))
+    val ranked = Sampling.withGlobalRank(df.repartition(11), Seq("v"))
+      .orderBy("v").as[(Long, Long)].collect()
+    assert(ranked.length == 5000)
+    ranked.zipWithIndex.foreach { case ((v, rk), i) =>
+      assert(rk == i.toLong && v == i.toLong, s"rank $rk at sorted position $i (v=$v)")
+    }
+  }
+
+  test("negativeSample: exactly k per anchor, k appearances per negative, no self-pairs, stable") {
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"))
+    val neg = Sampling.negativeSample(docs, "doc_id", k = 3)
+    val rows = neg.as[(Long, Int, Long)].collect()
+    assert(rows.length == 1500)
+    assert(rows.forall { case (a, _, n) => a != n }, "self-pairs must be impossible")
+    val perAnchor = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perAnchor.size == 500 && perAnchor.values.forall(_ == 3))
+    // global-rotation uniformity: every doc serves as a negative exactly k times
+    val perNeg = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(perNeg.size == 500 && perNeg.values.forall(_ == 3))
+    // deterministic under re-evaluation and input partitioning
+    val again = Sampling.negativeSample(docs.repartition(7), "doc_id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.toSet == again.toSet)
+  }
 }
