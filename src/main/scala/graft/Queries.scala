@@ -1431,6 +1431,11 @@ object Queries {
     // the fixture span → no state eviction, every match emits exactly once
     // regardless of file listing order (eviction semantics are covered in
     // StreamingSpec; this row pins cross-batch match accumulation).
+    // Bench note: this is the slowest catalog row BY DESIGN — 4 micro-
+    // batches × (state-store load/commit over 32 shuffle partitions × 2
+    // sides) dominates, and the deliberately-unbounded lateness keeps all
+    // state resident; production watermarks bound state (the operator doc)
+    // and amortize the per-batch constant over a continuous stream.
     "q_stream_join" -> ((s, d) => {
       val work = java.nio.file.Files.createTempDirectory("graft-stream-join").toString
       graft.sources.Events.load(s, d)
@@ -1518,6 +1523,17 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("us"),
           col("view_value_asof").as("view_value"), col("us_asof").as("view_us"))
     }),
+
+    // IMAGE near-dup dedup through the REAL decoder: grid PNGs whose pixel
+    // pattern encodes an id-derived 64-bit mask are decoded, aHashed, and
+    // probed by the same Manku-style Hamming tables as text simhash — the
+    // oracle re-derives every mask from id arithmetic and brute-forces the
+    // pair set, so a wrong pixel decode, block mean, threshold, bit order,
+    // or probe table breaks the hash; truncated payloads must be DROPPED
+    "q_multimodal_image_dedup" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(
+          s, Multimodal.syntheticGridPngs(s, docs(s, d), "doc_id"), maxHamming = 3)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))),
 
     // token-budget corpus selection: best docs by score until 200k tokens —
     // the cumsum runs over DISTINCT scores (score-domain window, not a
@@ -2065,6 +2081,20 @@ object Queries {
         |SELECT purchase_id, p.user_id, p_us, v_us, view_value
         |FROM p JOIN v ON v.user_id = p.user_id
         | AND v_us >= p_us - 14400000000 AND v_us <= p_us""".stripMargin,
+
+    // the planted-mask replica: mask = hash60(id div 4) XOR (id mod 4),
+    // brute-force pairs within Hamming 3, corrupt ids (÷50) excluded —
+    // equality with the Spark side proves decode→aHash recovered every
+    // mask exactly AND the blocked probe achieved exact recall
+    "q_multimodal_image_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |    xor(CAST(concat('0x', substr(sha256(concat(CAST(doc_id // 4 AS VARCHAR), ':ahash')), 1, 15)) AS BIGINT),
+        |        doc_id % 4) AS mask
+        |  FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.mask, b.mask)) AS INTEGER) AS hamming
+        |FROM m a JOIN m b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.mask, b.mask)) <= 3""".stripMargin,
 
     // the budget selector's semantics, stated naively: global (score desc,
     // id) order, keep while the running token total fits

@@ -907,7 +907,24 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       numBlocks: Int = 6,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    hammingNearDuplicates(
+      simhash(df, idCol, textCol, tokenHash), "doc", "simhash", maxHamming, numBlocks)
+
+  /** The blocked-combination probe on ARBITRARY 64-bit signatures — the
+    * seam [[simhashNearDuplicates]] is built on, public so other
+    * fingerprint families (image perceptual hashes in
+    * [[Multimodal.imageNearDupPairs]], audio hashes) reuse the exact-recall
+    * Hamming machinery without reimplementing the table scheme. Input: one
+    * row per `(idCol, sigCol)`; output `(doc_a, doc_b, hamming)` for every
+    * pair within `maxHamming`, exact by pigeonhole + verify.
+    */
+  def hammingNearDuplicates(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      numBlocks: Int = 6): DataFrame = {
     require(numBlocks >= 2 && numBlocks <= 32,
       s"numBlocks must be in [2, 32], got $numBlocks")
     require(maxHamming >= 1 && maxHamming < numBlocks,
@@ -919,7 +936,7 @@ object Dedup {
     // all (numBlocks − maxHamming)-subsets; each packs its blocks' bits
     // into one long key (total bits < 64: a proper subset of the blocks)
     val combos = (0 until numBlocks).combinations(numBlocks - maxHamming).toSeq
-    val sh = simhash(df, idCol, textCol, tokenHash)
+    val sh = sigs.select(col(idCol).as("doc"), col(sigCol).as("simhash"))
     val keyed = sh.select(
       col("doc"), col("simhash"),
       posexplode(array(combos.map(c =>

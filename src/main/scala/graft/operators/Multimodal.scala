@@ -229,6 +229,47 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => payload }
     }
+
+    /** 64-bit average-hash (aHash) over the REAL decode: BT.601 luma
+      * downsampled to an 8×8 block-mean grid, each cell thresholded
+      * against the mean of (non-empty) cell means; bit k = cell
+      * (k div 8, k mod 8), LSB-first. `None` for undecodable payloads —
+      * a sentinel hash (0) would weld every corrupt image into one giant
+      * false duplicate cluster downstream.
+      */
+    def aHash64(payload: Array[Byte]): Option[Long] = {
+      val img = decode(payload)
+      if (img == null) return None
+      val g = 8
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w == 0 || h == 0) return None
+      val sums = new Array[Double](g * g)
+      val counts = new Array[Long](g * g)
+      var y = 0
+      while (y < h) {
+        val r = math.min(g - 1, y * g / h)
+        var x = 0
+        while (x < w) {
+          val c = math.min(g - 1, x * g / w)
+          val rgb = img.getRGB(x, y)
+          sums(r * g + c) += 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          counts(r * g + c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val means = (0 until g * g).map(k => if (counts(k) == 0) 0.0 else sums(k) / counts(k))
+      val occupied = (0 until g * g).filter(counts(_) > 0)
+      val global = means.sum / math.max(1, occupied.size)
+      var bits = 0L
+      var k = 0
+      while (k < g * g) {
+        if (counts(k) > 0 && means(k) > global) bits |= 1L << k
+        k += 1
+      }
+      Some(bits)
+    }
   }
 
   /** REAL audio codec on `javax.sound.sampled` — pure JDK, headless,
@@ -463,6 +504,81 @@ object Multimodal {
   }
 
   /** Decoded-metadata record emitted by [[decodeFeatures]]. */
+  /** Deterministic GRID-PNG generator for the perceptual-hash dedup oracle:
+    * each id renders a 32×32 PNG of 8×8 blocks (4×4 px each) whose on/off
+    * pattern IS a 64-bit mask derived closed-form from the id —
+    * `mask = hash60(id div 4) XOR (id mod 4)` — so each run of 4
+    * consecutive ids is a planted near-dup family (pairwise Hamming ≤ 2 in
+    * the two low bits) while cross-family distances are hash-random. The
+    * aHash of the rendered image provably equals the mask (block means are
+    * exactly 0/255 and the global mean lies strictly between whenever the
+    * mask is mixed), so the DuckDB oracle can verify decode + hash +
+    * blocking END TO END from id arithmetic alone, never touching pixels.
+    * Ids ≡ 0 (mod 50) are truncated to 10 bytes — the undecodable-payload
+    * path the hash op must DROP, not default.
+    */
+  def syntheticGridPngs(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val mask = Sampling.hash60Jvm((id / 4).toString, "ahash") ^ (id % 4)
+          val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+          var k = 0
+          while (k < 64) {
+            val v = if (((mask >> k) & 1L) == 1L) 0xFFFFFF else 0x000000
+            val (r0, c0) = ((k / 8) * 4, (k % 8) * 4)
+            var y = r0
+            while (y < r0 + 4) {
+              var x = c0
+              while (x < c0 + 4) { img.setRGB(x, y, v); x += 1 }
+              y += 1
+            }
+            k += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          val bytes = out.toByteArray
+          (id, "image", if (id % 50 == 0) bytes.take(10) else bytes)
+        }
+      }
+      .toDF("media_id", "modality", "payload")
+      .withColumn("meta", struct(
+        lit("image/png").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")))
+  }
+
+  /** Per-image 64-bit perceptual hash through the real decoder
+    * ([[ImageIoCodec.aHash64]]), partition-local like every codec pass.
+    * Undecodable payloads are dropped (with the reason documented there).
+    * Output: `(media_id, ahash)`.
+    */
+  def imageAHash64(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        ImageIoCodec.aHash64(p).map(h => (id, h))
+      })
+      .toDF("media_id", "ahash")
+  }
+
+  /** IMAGE near-duplicate pairs at corpus scale: [[imageAHash64]] composed
+    * with the exact-recall blocked-combination Hamming probe
+    * ([[Dedup.hammingNearDuplicates]] — the same Manku-style tables the
+    * text simhash uses, reused verbatim on the perceptual hash). Resized,
+    * re-encoded, or lightly edited copies land within a few aHash bits and
+    * surface as pairs; candidate generation stays linear in corpus size.
+    * Output: `(doc_a, doc_b, hamming)`.
+    */
+  def imageNearDupPairs(
+      spark: SparkSession,
+      media: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDuplicates(
+      imageAHash64(spark, media), "media_id", "ahash", maxHamming)
+
   final case class MediaFeatures(
       media_id: Long,
       modality: String,

@@ -205,4 +205,36 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_no").as[Int].collect().sorted.toSeq
     assert(frames == frames.indices.toSeq)
   }
+
+  test("aHash recovers the planted grid mask through the real PNG decode") {
+    import graft.operators.Sampling
+    val ids = (1L to 60L).toDF("doc_id")
+    val hashes = Multimodal.imageAHash64(
+      spark, Multimodal.syntheticGridPngs(spark, ids, "doc_id"))
+      .as[(Long, Long)].collect().toMap
+    // corrupt id (50) dropped, every other id's decoded hash == its mask
+    assert(!hashes.contains(50L) && hashes.size == 59)
+    (1L to 60L).filter(_ % 50 != 0).foreach { id =>
+      val mask = Sampling.hash60Jvm((id / 4).toString, "ahash") ^ (id % 4)
+      assert(hashes(id) == mask, s"id=$id decode lost the mask")
+    }
+  }
+
+  test("imageNearDupPairs equals brute force over the planted families") {
+    import graft.operators.Sampling
+    val n = 200L
+    val got = Multimodal.imageNearDupPairs(
+      spark, Multimodal.syntheticGridPngs(spark, (1L to n).toDF("doc_id"), "doc_id"),
+      maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val masks = (1L to n).filter(_ % 50 != 0)
+      .map(id => id -> (Sampling.hash60Jvm((id / 4).toString, "ahash") ^ (id % 4))).toMap
+    val want = (for {
+      a <- masks.keys; b <- masks.keys if a < b
+      h = java.lang.Long.bitCount(masks(a) ^ masks(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    // the planted families actually exercise the path
+    assert(want.nonEmpty && want.exists(_._3 > 0))
+  }
 }

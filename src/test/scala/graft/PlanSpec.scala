@@ -655,4 +655,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no cross product in the point query:\n$p")
   }
+
+  test("interval union: both window passes and the island agg share ONE shuffle") {
+    val p = plan("q_events_intervals")
+    // hashpartitioning(user_id) satisfies the (user_id, island) clustering,
+    // so running-max, boundary-sum AND the island aggregation reuse the one
+    // exchange — the single-shuffle claim that makes a 100 TB log flattenable
+    assert(p.linesIterator.count(_.contains("Exchange (")) == 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(!p.contains("Join"), s"no self-join in gaps-and-islands:\n$p")
+  }
+
+  test("PMI: pair extraction is in-row — every Generate feeds an aggregate, no position self-join") {
+    val p = plan("q_text_pmi")
+    // the pair and unigram explodes appear once per consuming branch (uni
+    // ×3: c1, c2, totals; pairs ×2: counts, totals — Catalyst recomputes
+    // shared subtrees), but each Generate flows straight into a hash
+    // aggregate: a position-self-join formulation (the oracle's shape)
+    // would instead join two exploded position streams against each other
+    val generates = p.linesIterator.count(_.contains("Generate ("))
+    assert(generates <= 5, s"unexpected extra explodes ($generates):\n$p")
+    // vocabulary joins broadcast/hash on the token; nothing sort-merges two
+    // token-position streams, and the only nested-loop is the 1-row totals
+    assert(!p.contains("SortMergeJoin"), s"no position stream join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("negative sampling: ring rotations are plain equi-joins, never a cross product") {
+    val p = plan("q_sample_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rotation must be an equi-join on the target rank:\n$p")
+  }
+
+  test("token-budget selection: corpus joins the score-domain cumsum by broadcast") {
+    val p = plan("q_curate_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the distinct-score cumsum frame must broadcast to the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    // the only single-partition exchange is the score-DOMAIN window (bounded
+    // by score resolution); the corpus itself must never funnel into it —
+    // i.e. at most the one SinglePartition exchange in the whole plan
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+      s"corpus rows must not collapse to one partition:\n$p")
+  }
 }
