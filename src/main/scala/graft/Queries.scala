@@ -1524,6 +1524,22 @@ object Queries {
           col("view_value_asof").as("view_value"), col("us_asof").as("view_us"))
     }),
 
+    // pairwise Pearson correlation in ONE aggregation pass: cent-scaled
+    // integer moment sums in DECIMAL(38,0), one double expression at the
+    // end — the pre-training "which features are redundant" profile
+    "q_profile_corr" -> ((s, d) =>
+      graft.core.Profiling.correlationReport(
+        li(s, d), Seq("l_quantity", "l_extendedprice", "l_discount"), scale = 100L)),
+
+    // AUDIO near-dup dedup through the REAL PCM decoder: band WAVs whose
+    // loud/quiet RMS pattern encodes the same id-derived mask scheme
+    // (salt "afp"); decode → 64-band RMS fingerprint → the shared Hamming
+    // probe; truncated payloads must be dropped
+    "q_multimodal_audio_dedup" -> ((s, d) =>
+      Multimodal.audioNearDupPairs(
+          s, Multimodal.syntheticBandWavs(s, docs(s, d), "doc_id"), maxHamming = 3)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))),
+
     // IMAGE near-dup dedup through the REAL decoder: grid PNGs whose pixel
     // pattern encodes an id-derived 64-bit mask are decoded, aHashed, and
     // probed by the same Manku-style Hamming tables as text simhash — the
@@ -2082,6 +2098,47 @@ object Queries {
         |FROM p JOIN v ON v.user_id = p.user_id
         | AND v_us >= p_us - 14400000000 AND v_us <= p_us""".stripMargin,
 
+    // the same exact moment sums in HUGEINT, same final double expression
+    "q_profile_corr" ->
+      """WITH s AS (SELECT
+        |    CAST(FLOOR(l_quantity * 100) AS HUGEINT) AS x0,
+        |    CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) AS x1,
+        |    CAST(FLOOR(l_discount * 100) AS HUGEINT) AS x2
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x0) AS sx0, SUM(x1) AS sx1, SUM(x2) AS sx2,
+        |    SUM(x0*x0) AS s00, SUM(x1*x1) AS s11, SUM(x2*x2) AS s22,
+        |    SUM(x0*x1) AS s01, SUM(x0*x2) AS s02, SUM(x1*x2) AS s12
+        |  FROM s)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*s00 - sx0*sx0 > 0 AND n*s11 - sx1*sx1 > 0
+        |       THEN CAST(n*s01 - sx0*sx1 AS DOUBLE) /
+        |            (sqrt(CAST(n*s00 - sx0*sx0 AS DOUBLE)) * sqrt(CAST(n*s11 - sx1*sx1 AS DOUBLE))) END AS corr
+        |FROM m
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+        |  CASE WHEN n*s00 - sx0*sx0 > 0 AND n*s22 - sx2*sx2 > 0
+        |       THEN CAST(n*s02 - sx0*sx2 AS DOUBLE) /
+        |            (sqrt(CAST(n*s00 - sx0*sx0 AS DOUBLE)) * sqrt(CAST(n*s22 - sx2*sx2 AS DOUBLE))) END
+        |FROM m
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+        |  CASE WHEN n*s11 - sx1*sx1 > 0 AND n*s22 - sx2*sx2 > 0
+        |       THEN CAST(n*s12 - sx1*sx2 AS DOUBLE) /
+        |            (sqrt(CAST(n*s11 - sx1*sx1 AS DOUBLE)) * sqrt(CAST(n*s22 - sx2*sx2 AS DOUBLE))) END
+        |FROM m""".stripMargin,
+
+    // audio twin of the planted-mask replica (salt 'afp')
+    "q_multimodal_audio_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |    xor(CAST(concat('0x', substr(sha256(concat(CAST(doc_id // 4 AS VARCHAR), ':afp')), 1, 15)) AS BIGINT),
+        |        doc_id % 4) AS mask
+        |  FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.mask, b.mask)) AS INTEGER) AS hamming
+        |FROM m a JOIN m b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.mask, b.mask)) <= 3""".stripMargin,
+
     // the planted-mask replica: mask = hash60(id div 4) XOR (id mod 4),
     // brute-force pairs within Hamming 3, corrupt ids (÷50) excluded —
     // equality with the Spark side proves decode→aHash recovered every
@@ -2116,9 +2173,12 @@ object Queries {
         |  FROM (SELECT DISTINCT doc_id FROM documents)),
         |ring AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY pos, doc_id) - 1 AS rk FROM ring0),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM ring),
-        |offs AS (SELECT i, CASE WHEN oo = 0 THEN 1 ELSE oo END AS off FROM (
-        |  SELECT i, CAST(concat('0x', substr(sha256(concat(CAST(i AS VARCHAR), ':neg')), 1, 15)) AS BIGINT) % cnt AS oo
-        |  FROM (VALUES (0), (1), (2)) AS t(i) CROSS JOIN n) s),
+        |offs0 AS (SELECT j, CASE WHEN oo = 0 THEN 1 ELSE oo END AS off FROM (
+        |  SELECT j, CAST(concat('0x', substr(sha256(concat(CAST(j AS VARCHAR), ':neg')), 1, 15)) AS BIGINT) % cnt AS oo
+        |  FROM range(76) t(j) CROSS JOIN n) s),
+        |firsts AS (SELECT off, MIN(j) AS fj FROM offs0 GROUP BY off),
+        |offs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY fj) - 1 AS INTEGER) AS i, off
+        |  FROM firsts ORDER BY fj LIMIT 3),
         |probes AS (SELECT r.doc_id AS anchor_id, offs.i AS probe_idx,
         |    (r.rk + offs.off) % cnt AS rk
         |  FROM ring r CROSS JOIN offs CROSS JOIN n)
@@ -2130,7 +2190,8 @@ object Queries {
     "q_text_pmi" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''),
         |uni AS (SELECT unnest(w) AS tok FROM toks),
         |ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
         |ut AS (SELECT CAST(SUM(c) AS BIGINT) AS tu FROM ucnt),

@@ -255,4 +255,57 @@ object Profiling {
       .withColumn("containment",
         col("n_shared").cast("double") / col("n_a").cast("double"))
   }
+
+  /** Pairwise Pearson correlation over numeric columns, in ONE aggregation
+    * pass and EXACT arithmetic until the final division: each column is
+    * floored onto a `scale`-unit integer grid, all six moment sums per
+    * pair (n, Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL(38,0) — order-
+    * independent, overflow-checked to ~10³⁸ — and
+    * `r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))` is evaluated as
+    * one double expression over those exact integers, so any engine
+    * reproduces the bits (IEEE sqrt and division are correctly rounded;
+    * the repo's fixed-point convention). Per-pair completeness: a row
+    * enters a pair's sums only when BOTH columns are non-null. Output: one
+    * row per pair `(col_a, col_b, n, corr)`, corr NULL for degenerate
+    * (constant) columns. The whole matrix is one map-side-combined
+    * aggregate to a single row — 100 TB costs one scan, p(p−1)/2·6
+    * accumulators, no shuffle of data rows.
+    */
+  def correlationReport(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Long = 100L): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def scaled(c: String) = floor(col(c) * scale).cast("decimal(38,0)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), p) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val (x, y) = (when(both, scaled(a)), when(both, scaled(b)))
+      Seq(
+        count(when(both, lit(1))).cast("decimal(38,0)").as(s"__n$p"),
+        coalesce(sum(x), lit(0).cast("decimal(38,0)")).as(s"__sx$p"),
+        coalesce(sum(y), lit(0).cast("decimal(38,0)")).as(s"__sy$p"),
+        coalesce(sum(x * x), lit(0).cast("decimal(38,0)")).as(s"__sxx$p"),
+        coalesce(sum(y * y), lit(0).cast("decimal(38,0)")).as(s"__syy$p"),
+        coalesce(sum(x * y), lit(0).cast("decimal(38,0)")).as(s"__sxy$p"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), p) =>
+      val (n, sx, sy) = (col(s"__n$p"), col(s"__sx$p"), col(s"__sy$p"))
+      val (sxx, syy, sxy) = (col(s"__sxx$p"), col(s"__syy$p"), col(s"__sxy$p"))
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx
+      val d2 = n * syy - sy * sy
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        n.cast("long").as("n"),
+        when(d1 > 0 && d2 > 0,
+          num.cast("double") / (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+          .as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
+  }
 }

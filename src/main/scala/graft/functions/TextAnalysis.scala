@@ -746,6 +746,15 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Non-blank under the SAME normalization [[tokens]] applies: a bare
+    * `trim(text) != ''` passes tab/newline-only documents (Spark `trim`
+    * strips only spaces), whose tokenization is the lone empty-string
+    * token — exactly the vocabulary pollution the filter exists to stop.
+    * DuckDB: `trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''`.
+    */
+  private def nonBlank(text: Column): Column =
+    text.isNotNull && trim(regexp_replace(text, "\\s+", " ")) =!= ""
+
   /** Single-log micro-bit cost: round(log2(count)·10⁶) on an exactly
     * representable integer-valued double — the repo's proven cross-engine
     * unit for log-derived scores (see [[unigramLogProbScore]]).
@@ -774,7 +783,7 @@ object TextAnalysis {
           slice(w, lit(1 + j), size(w) - j),
           (a, b) => concat(a, lit(" "), b)))
     }
-    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    df.filter(nonBlank(col(textCol)))
       .select(explode(flatten(array(pairArrays: _*))).as("__pair"))
       // tokens are whitespace-split, so the single space is unambiguous
       .select(
@@ -803,7 +812,7 @@ object TextAnalysis {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val pairs = skipgramPairs(df, textCol, window)
     val uni = df
-      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .filter(nonBlank(col(textCol)))
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = broadcast(

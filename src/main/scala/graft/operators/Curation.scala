@@ -185,8 +185,11 @@ object Curation {
       .select(col(scoreCol), col("__cum"), col("__prev"))
     val withCum = df.join(broadcast(cum), Seq(scoreCol))
     val fullBuckets = withCum.filter(col("__cum") <= budget)
+    // `__prev <= budget` (not <): a bucket starting EXACTLY at the budget
+    // must still admit its zero-token prefix rows, which the naive
+    // global-order cumsum (and the oracle) keeps — cum == budget passes
     val boundary = withCum
-      .filter(col("__prev") < budget && col("__cum") > budget)
+      .filter(col("__prev") <= budget && col("__cum") > budget)
       .withColumn("__run",
         sum(col(tokensCol)).over(
           Window.partitionBy(col(scoreCol)).orderBy(col(idCol))

@@ -386,7 +386,8 @@ object Multimodal {
       val counts = new Array[Long](dim)
       var i = 0
       while (i < frames.length) {
-        val band = math.min(dim - 1, i * dim / frames.length)
+        // long arithmetic: i*dim wraps Int beyond ~2^31/dim frames
+        val band = math.min(dim - 1, (i.toLong * dim / frames.length).toInt)
         val v = frames(i) / 32768.0
         sums(band) += v * v
         counts(band) += 1
@@ -394,6 +395,42 @@ object Multimodal {
       }
       (0 until dim).map(b =>
         if (counts(b) == 0) 0f else math.sqrt(sums(b) / counts(b)).toFloat).toArray
+    }
+
+    /** 64-bit RMS-band fingerprint over the REAL PCM decode: per-band RMS
+      * amplitude across 64 equal time bands, each thresholded against the
+      * mean of (occupied) band RMS values; bit b = band b, LSB-first — the
+      * audio counterpart of [[ImageIoCodec.aHash64]], robust to the edits a
+      * re-encode survives (level-preserving transcode, small trims).
+      * `None` for undecodable payloads, for the same no-welding reason.
+      */
+    def rmsFingerprint64(payload: Array[Byte]): Option[Long] = {
+      val frames = pcmFrames(payload)
+      if (frames == null || frames.isEmpty) return None
+      val g = 64
+      val sums = new Array[Double](g)
+      val counts = new Array[Long](g)
+      var i = 0
+      while (i < frames.length) {
+        // long arithmetic: i*g wraps Int beyond ~33M frames (a 70-minute
+        // 8 kHz clip), which would index negative and kill the partition
+        val b = math.min(g - 1, (i.toLong * g / frames.length).toInt)
+        val v = frames(i) / 32768.0
+        sums(b) += v * v
+        counts(b) += 1
+        i += 1
+      }
+      val rms = (0 until g).map(b =>
+        if (counts(b) == 0) 0.0 else math.sqrt(sums(b) / counts(b)))
+      val occupied = (0 until g).count(counts(_) > 0)
+      val mean = rms.sum / math.max(1, occupied)
+      var bits = 0L
+      var b = 0
+      while (b < g) {
+        if (counts(b) > 0 && rms(b) > mean) bits |= 1L << b
+        b += 1
+      }
+      Some(bits)
     }
 
     /** Frame decimation: keep every ⌈1/scale⌉-th frame at the same sample
@@ -549,6 +586,73 @@ object Multimodal {
         lit("image/png").as("mime"),
         length(col("payload")).cast("long").as("n_bytes")))
   }
+
+  /** Deterministic BAND-WAV generator, the audio twin of
+    * [[syntheticGridPngs]]: each id emits a mono 8 kHz PCM-16 WAV of 64
+    * time bands (8 frames each) whose loud/quiet pattern IS
+    * `mask = hash60(id div 4) XOR (id mod 4)` (salt "afp") — loud bands at
+    * amplitude 16384 (RMS 0.5), quiet at 4096 (RMS 0.125), so the
+    * [[WavCodec.rmsFingerprint64]] of the rendered audio provably equals
+    * the mask whenever it is mixed. Ids ≡ 0 (mod 50) are truncated
+    * (undecodable) and must be dropped by the fingerprint op.
+    */
+  def syntheticBandWavs(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val mask = Sampling.hash60Jvm((id / 4).toString, "afp") ^ (id % 4)
+          val framesPerBand = 8
+          val n = 64 * framesPerBand
+          val data = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(8000).putInt(16000) // rate, byte rate
+            .putShort(2).putShort(16) // block align, bits
+          bb.put("data".getBytes("US-ASCII")).putInt(data)
+          var i = 0
+          while (i < n) {
+            val band = i / framesPerBand
+            val v = if (((mask >> band) & 1L) == 1L) 16384 else 4096
+            bb.putShort(v.toShort)
+            i += 1
+          }
+          val bytes = bb.array()
+          (id, "audio", if (id % 50 == 0) bytes.take(10) else bytes)
+        }
+      }
+      .toDF("media_id", "modality", "payload")
+      .withColumn("meta", struct(
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")))
+  }
+
+  /** Per-clip 64-bit audio fingerprint through the real PCM decode
+    * ([[WavCodec.rmsFingerprint64]]); undecodable payloads dropped.
+    * Output: `(media_id, afp)`.
+    */
+  def audioFingerprint64(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        WavCodec.rmsFingerprint64(p).map(h => (id, h))
+      })
+      .toDF("media_id", "afp")
+  }
+
+  /** AUDIO near-duplicate pairs: [[audioFingerprint64]] through the same
+    * exact-recall blocked Hamming probe as image and text.
+    * Output: `(doc_a, doc_b, hamming)`.
+    */
+  def audioNearDupPairs(
+      spark: SparkSession,
+      media: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDuplicates(
+      audioFingerprint64(spark, media), "media_id", "afp", maxHamming)
 
   /** Per-image 64-bit perceptual hash through the real decoder
     * ([[ImageIoCodec.aHash64]]), partition-local like every codec pass.

@@ -351,12 +351,30 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     val ids = df.select(col(idCol)).distinct()
       .withColumn("__pos", hash60(col(idCol), salt))
+    // eager checkpoint: the ring is consumed three times (size count, probe
+    // side, rotation-target side) — uncached, the distinct + range-sort +
+    // zipWithIndex pipeline would run once per consumer
     val ring = withGlobalRank(ids, Seq("__pos", idCol)).drop("__pos")
+      .localCheckpoint(true)
     val n = ring.count()
-    require(n >= 2, s"need at least 2 distinct ids to draw negatives, got $n")
-    val offsets = (0 until k).map { i =>
-      val o = hash60Jvm(i.toString, salt) % n
-      (i, if (o == 0L) 1L else o)
+    require(n > k, s"need more than k=$k distinct ids for k distinct rotations, got $n")
+    // k DISTINCT offsets, first-come in probe order j = 0, 1, …: colliding
+    // raw residues (probability ~k²/2n) would otherwise make two probe
+    // indices the IDENTICAL rotation — every anchor receiving a duplicated
+    // negative, corpus-wide, with no error. The probe sequence (and cap)
+    // is mirrored verbatim in the q_sample_negatives oracle SQL.
+    val maxProbes = 4 * k + 64
+    val offsets = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var j = 0
+      while (seen.size < k && j < maxProbes) {
+        val o = hash60Jvm(j.toString, salt) % n
+        seen += (if (o == 0L) 1L else o)
+        j += 1
+      }
+      require(seen.size == k,
+        s"could not derive $k distinct ring offsets in $maxProbes draws (n=$n)")
+      seen.toSeq.zipWithIndex.map { case (o, i) => (i, o) }
     }
     val probes = ring.select(
       col(idCol).as("anchor_id"),

@@ -324,6 +324,13 @@ object Sketches {
       width: Int,
       salt: String = "cms"): DataFrame = {
     require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2; got $depth, $width")
+    // exactly (r, cell, cnt): a BUCKETED partial frame would satisfy a
+    // column-subset check but fan each candidate across buckets, where the
+    // min picks one bucket's count (or an empty cell's 0) and silently
+    // UNDERCOUNTS — run cmsMerge first
+    require(counters.columns.sorted.sameElements(Array("cell", "cnt", "r")),
+      s"counters must be a merged (r, cell, cnt) frame, got ${counters.columns.mkString(", ")}" +
+        " — fold bucketed partials through cmsMerge first")
     val addressed = candidates
       .select(col(valueCol)).distinct()
       .select(col(valueCol), posexplode(array(

@@ -220,6 +220,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio RMS fingerprint recovers the planted band mask; pairs equal brute force") {
+    import graft.operators.Sampling
+    val n = 120L
+    val media = Multimodal.syntheticBandWavs(spark, (1L to n).toDF("doc_id"), "doc_id")
+    val hashes = Multimodal.audioFingerprint64(spark, media)
+      .as[(Long, Long)].collect().toMap
+    assert(!hashes.contains(50L) && !hashes.contains(100L) && hashes.size == 118)
+    val masks = (1L to n).filter(_ % 50 != 0)
+      .map(id => id -> (Sampling.hash60Jvm((id / 4).toString, "afp") ^ (id % 4))).toMap
+    masks.foreach { case (id, mask) =>
+      assert(hashes(id) == mask, s"id=$id PCM decode lost the band mask")
+    }
+    val got = Multimodal.audioNearDupPairs(spark, media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      a <- masks.keys; b <- masks.keys if a < b
+      h = java.lang.Long.bitCount(masks(a) ^ masks(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want)
+  }
+
   test("imageNearDupPairs equals brute force over the planted families") {
     import graft.operators.Sampling
     val n = 200L

@@ -1438,6 +1438,41 @@ class OperatorsSpec extends SparkSpec {
     assert(m == d, s"merged $m != direct $d — partials must merge exactly")
   }
 
+  test("correlationReport matches brute-force Pearson; handles nulls pairwise and constants") {
+    import graft.core.Profiling
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 1000).map { i =>
+      val x = rng.nextInt(1000).toDouble / 10
+      // y strongly correlated with x, z independent, c constant, w has nulls
+      (x, 2.0 * x + rng.nextInt(100) / 10.0, rng.nextInt(1000) / 10.0, 7.0,
+        if (i % 5 == 0) None else Some(x + rng.nextInt(10)))
+    }
+    val df = rows.toDF("x", "y", "z", "c", "w")
+    val got = Profiling.correlationReport(df, Seq("x", "y", "z", "c", "w"), scale = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    def brute(a: Seq[Long], b: Seq[Long]): Double = {
+      val n = a.length.toDouble
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val num = n * a.zip(b).map { case (u, v) => u.toDouble * v }.sum - sa * sb
+      num / math.sqrt((n * a.map(u => u.toDouble * u).sum - sa * sa) *
+        (n * b.map(u => u.toDouble * u).sum - sb * sb))
+    }
+    val xs = rows.map(r => math.floor(r._1 * 10).toLong)
+    val ys = rows.map(r => math.floor(r._2 * 10).toLong)
+    val (nXY, corrXY) = got(("x", "y"))
+    assert(nXY == 1000L && math.abs(corrXY.get - brute(xs, ys)) < 1e-12)
+    assert(corrXY.get > 0.95, s"planted strong correlation, got ${corrXY.get}")
+    assert(math.abs(got(("y", "z"))._2.get) < 0.15, "independent columns should be ~0")
+    // constant column: zero variance → NULL, never NaN/div-by-zero
+    assert(got(("x", "c"))._2.isEmpty)
+    // pairwise completeness: w's nulls shrink only w's pairs
+    assert(got(("x", "w"))._1 == 800L && got(("x", "y"))._1 == 1000L)
+    val xw = rows.collect { case (x, _, _, _, Some(w)) => (math.floor(x * 10).toLong, math.floor(w * 10).toLong) }
+    assert(math.abs(got(("x", "w"))._2.get - brute(xw.map(_._1), xw.map(_._2))) < 1e-12)
+  }
+
   test("skipgramPairs and pmiPairs match a hand-derived corpus exactly") {
     val corpus = Seq((1L, "a b a b c")).toDF("doc_id", "text")
     val pairs = TextAnalysis.skipgramPairs(corpus, "text", window = 2)

@@ -253,4 +253,29 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(rows.toSet == again.toSet)
   }
+
+  test("negativeSample offsets stay distinct even when raw residues collide (tiny n)") {
+    // n = 5, k = 3: residues mod 5 collide with high probability — the
+    // first-k-distinct derivation must still give 3 DIFFERENT rotations,
+    // observable as every doc serving as a negative exactly 3 times
+    val tiny = spark.range(0, 5).select(col("id").as("doc_id"))
+    val rows = Sampling.negativeSample(tiny, "doc_id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == 15)
+    val perNeg = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(perNeg.size == 5 && perNeg.values.forall(_ == 3),
+      s"colliding rotations detected: $perNeg")
+    rows.groupBy(_._1).foreach { case (a, ps) =>
+      assert(ps.map(_._3).distinct.length == 3, s"anchor $a got duplicate negatives")
+    }
+  }
+
+  test("selectTokenBudget keeps zero-token rows of a bucket starting exactly at the budget") {
+    // A fills the budget exactly; B (0 tokens) in the NEXT score bucket has
+    // naive cum == budget and must be kept; C (positive tokens) must not
+    val df = Seq((1L, 5L, 10L), (2L, 4L, 0L), (3L, 4L, 5L)).toDF("id", "score", "toks")
+    val kept = Curation.selectTokenBudget(df, "id", "score", "toks", budget = 10L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"got $kept")
+  }
 }

@@ -153,6 +153,15 @@ class SketchesSpec extends SparkSpec {
       s"never-seen value must report 0, got ${est.toSeq}")
   }
 
+  test("cmsEstimate rejects unmerged bucketed partials (silent undercount risk)") {
+    val df = (1L to 50L).map(i => (i, (i % 3).toInt)).toDF("k", "bucket")
+    val bucketed = Sketches.cmsPartial(df, "k", 4, 64, bucketCol = Some("bucket"))
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(bucketed, df.select("k"), "k", 4, 64)
+    }
+    assert(ex.getMessage.contains("cmsMerge"))
+  }
+
   test("HLL register state is bounded by m per key regardless of input size") {
     val df = keyed(50000).withColumn("g", (col("k") % 3).cast("string"))
     val counts = Sketches.hllPartial(df, Seq("g"), "k")
