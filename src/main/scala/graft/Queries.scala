@@ -1524,6 +1524,18 @@ object Queries {
           col("view_value_asof").as("view_value"), col("us_asof").as("view_us"))
     }),
 
+    // per-group least-squares trend: value drift over time per event_type
+    // (x = epoch seconds, y = value micros) — exact grouped moments, one
+    // aggregation, closed-form slope/intercept mirrored in the oracle
+    "q_profile_trend" -> ((s, d) => {
+      val ev = graft.sources.Events.load(s, d).select(
+        col("event_type"),
+        expr("ts_ns div 1000000000").as("sec"),
+        col("value"))
+      graft.core.Profiling.groupedTrend(
+        ev, Seq("event_type"), "sec", "value", xScale = 1L, yScale = 1000000L)
+    }),
+
     // pairwise Pearson correlation in ONE aggregation pass: cent-scaled
     // integer moment sums in DECIMAL(38,0), one double expression at the
     // end — the pre-training "which features are redundant" profile
@@ -2097,6 +2109,25 @@ object Queries {
         |SELECT purchase_id, p.user_id, p_us, v_us, view_value
         |FROM p JOIN v ON v.user_id = p.user_id
         | AND v_us >= p_us - 14400000000 AND v_us <= p_us""".stripMargin,
+
+    // grouped trend replica: same HUGEINT moments per event_type, same
+    // closed-form slope/intercept doubles
+    "q_profile_trend" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(FLOOR(CAST(epoch_ns(ts) // 1000000000 AS DOUBLE) * 1) AS HUGEINT) AS x,
+        |    CAST(FLOOR(value * 1000000) AS HUGEINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*sxx - sx*sx > 0
+        |       THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope,
+        |  CASE WHEN n*sxx - sx*sx > 0
+        |       THEN (CAST(sy AS DOUBLE)
+        |             - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept
+        |FROM m""".stripMargin,
 
     // the same exact moment sums in HUGEINT, same final double expression
     "q_profile_corr" ->

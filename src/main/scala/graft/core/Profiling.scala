@@ -308,4 +308,47 @@ object Profiling {
     }
     one.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
   }
+
+  /** Per-group least-squares TREND of y over x — "is this source's quality
+    * drifting?", "is per-user spend rising?" — fit at any group
+    * cardinality in ONE map-side-combined aggregation: the same exact
+    * DECIMAL(38,0) moment sums as [[correlationReport]], grouped by
+    * `keys`, closed-form `slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)` and
+    * `intercept = (Σy − slope·Σx)/n` as mirrored double expressions at the
+    * end. Both columns scale onto integer grids (`xScale`/`yScale`); keep
+    * x's magnitude modest (e.g. epoch SECONDS, or re-origin to a corpus
+    * epoch) so nΣx² stays inside DECIMAL(38). NULL slope for degenerate
+    * (single-x) groups. Output: `(keys…, n, slope, intercept)` — slope in
+    * (y-units/yScale) per (x-unit/xScale).
+    */
+  def groupedTrend(
+      df: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      xScale: Long = 1L,
+      yScale: Long = 1000000L): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(xScale >= 1 && yScale >= 1, s"scales must be >= 1: $xScale, $yScale")
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val x = when(both, floor(col(xCol) * xScale).cast("decimal(38,0)"))
+    val y = when(both, floor(col(yCol) * yScale).cast("decimal(38,0)"))
+    val dec0 = lit(0).cast("decimal(38,0)")
+    val agged = df.groupBy(keys.map(col): _*).agg(
+      count(when(both, lit(1))).cast("decimal(38,0)").as("__n"),
+      coalesce(sum(x), dec0).as("__sx"),
+      coalesce(sum(y), dec0).as("__sy"),
+      coalesce(sum(x * x), dec0).as("__sxx"),
+      coalesce(sum(x * y), dec0).as("__sxy"))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = num.cast("double") / den.cast("double")
+    agged.select(
+      keys.map(col) :+
+        col("__n").cast("long").as("n") :+
+        when(den > 0, slope).as("slope") :+
+        when(den > 0,
+          (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+            col("__n").cast("double")).as("intercept"): _*)
+  }
 }

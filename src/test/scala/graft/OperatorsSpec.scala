@@ -1473,6 +1473,30 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got(("x", "w"))._2.get - brute(xw.map(_._1), xw.map(_._2))) < 1e-12)
   }
 
+  test("groupedTrend recovers planted per-group slopes exactly") {
+    import graft.core.Profiling
+    val rng = new scala.util.Random(31)
+    // group a: y = 3x + 5 exactly; group b: y = -2x + 100 with noise;
+    // group c: a single x value (degenerate → NULL fit)
+    val rows =
+      (1 to 200).map(i => ("a", i.toDouble, 3.0 * i + 5.0)) ++
+      (1 to 200).map(i => ("b", i.toDouble, -2.0 * i + 100.0 + rng.nextInt(3))) ++
+      Seq(("c", 4.0, 1.0), ("c", 4.0, 9.0))
+    val df = rows.toDF("g", "x", "y")
+    val got = Profiling.groupedTrend(df, Seq("g"), "x", "y", xScale = 1L, yScale = 1L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    val (na, slopeA, interA) = got("a")
+    assert(na == 200L && math.abs(slopeA.get - 3.0) < 1e-12 && math.abs(interA.get - 5.0) < 1e-9)
+    val slopeB = got("b")._2.get
+    assert(slopeB < -1.9 && slopeB > -2.1, s"noisy slope $slopeB")
+    // zero x-variance: NULL fit, never a divide-by-zero
+    assert(got("c")._2.isEmpty && got("c")._3.isEmpty)
+  }
+
   test("skipgramPairs and pmiPairs match a hand-derived corpus exactly") {
     val corpus = Seq((1L, "a b a b c")).toDF("doc_id", "text")
     val pairs = TextAnalysis.skipgramPairs(corpus, "text", window = 2)
