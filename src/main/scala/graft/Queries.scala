@@ -1524,6 +1524,39 @@ object Queries {
           col("view_value_asof").as("view_value"), col("us_asof").as("view_us"))
     }),
 
+    // integer-exact PageRank on the part co-occurrence graph: 3 power
+    // iterations on a 10^12 grid, truncation IS the spec — the oracle
+    // replays the identical iterations unrolled as SQL; top-20 centrality
+    "q_graph_pagerank" -> ((s, d) => {
+      val parts = li(s, d).select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+        .select(col("x.i").as("pa"), col("y.i").as("pb"))
+      graft.operators.Graphs.pageRank(edges, "pa", "pb", iters = 3)
+        .orderBy(col("rank_scaled").desc, col("node"))
+        .limit(20)
+    }),
+
+    // structural profile of the part co-occurrence graph (edges = distinct
+    // part pairs sharing an order): degree-ordered oriented triangle count
+    // — each triangle once, hub fan-out capped at O(√m) — vs the oracle's
+    // brute-force 3-way self-join
+    "q_graph_profile" -> ((s, d) => {
+      val parts = li(s, d).select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+        .select(col("x.i").as("pa"), col("y.i").as("pb"))
+      graft.operators.Graphs.graphProfile(edges, "pa", "pb")
+    }),
+
+    // association rules over order baskets: which parts co-occur in an
+    // order beyond chance — 2-itemset A-priori pass with in-row pair
+    // emission, exact ppm confidence/lift; oracle re-derives pairs via a
+    // within-basket self-join (a different mechanism, same set)
+    "q_assoc_rules" -> ((s, d) =>
+      graft.operators.Association.pairRules(
+        li(s, d), "l_orderkey", "l_partkey", minSupport = 2L)),
+
     // per-group least-squares trend: value drift over time per event_type
     // (x = epoch seconds, y = value micros) — exact grouped moments, one
     // aggregation, closed-form slope/intercept mirrored in the oracle
@@ -2092,7 +2125,40 @@ object Queries {
       |FROM addr LEFT JOIN counters ON counters.r = addr.r AND counters.cell = addr.cell
       |GROUP BY 1, 2""".stripMargin
 
+  /** The PageRank iterations unrolled as SQL (q_graph_pagerank): same
+    * bidirectional edges, same `rank div deg` contributions, same
+    * `((10⁶−d)·base₀ + d·Σ) div 10⁶` update with TRUNCATING integer
+    * division each round — generated by loop so the Spark driver loop and
+    * the SQL replica can never disagree on iteration count or constants.
+    */
+  private val pageRankOracleSql: String = {
+    val damp = 850000L
+    val iters = 3
+    def iteration(prev: String, out: String): String =
+      s"""$out AS (SELECT d.src AS node,
+         |   (${1000000L - damp} * b0.v + $damp * COALESCE(s.inr, 0)) // 1000000 AS rank
+         | FROM deg d CROSS JOIN b0 LEFT JOIN (
+         |   SELECT bd.dst AS node, CAST(SUM(rk.rank // dg.deg) AS BIGINT) AS inr
+         |   FROM $prev rk JOIN deg dg ON dg.src = rk.node
+         |   JOIN bd ON bd.src = rk.node GROUP BY 1) s ON s.node = d.src)""".stripMargin
+    val chain = (1 to iters)
+      .map(k => iteration(if (k == 1) "r0" else s"i${k - 1}", s"i$k"))
+      .mkString(",\n")
+    s"""WITH r AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       |e AS (SELECT DISTINCT x.i AS lo, y.i AS hi
+       |  FROM r x JOIN r y ON y.b = x.b AND x.i < y.i),
+       |bd AS (SELECT lo AS src, hi AS dst FROM e UNION ALL SELECT hi, lo FROM e),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bd GROUP BY 1),
+       |b0 AS (SELECT 1000000000000 // CAST(COUNT(*) AS BIGINT) AS v FROM deg),
+       |r0 AS (SELECT src AS node, b0.v AS rank FROM deg CROSS JOIN b0),
+       |$chain
+       |SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM i$iters
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" -> pageRankOracleSql,
+
     "q_sketch_hll" -> hllOracleSql,
     "q_sketch_kmv_overlap" -> kmvOverlapOracleSql,
     "q_sketch_cms_heavy" -> cmsHeavyOracleSql,
@@ -2109,6 +2175,49 @@ object Queries {
         |SELECT purchase_id, p.user_id, p_us, v_us, view_value
         |FROM p JOIN v ON v.user_id = p.user_id
         | AND v_us >= p_us - 14400000000 AND v_us <= p_us""".stripMargin,
+
+    // brute-force graph replica: canonical distinct edges, degrees from the
+    // endpoint union, triangles via (a,b)(a,c)(b,c) 3-way join with b < c
+    "q_graph_profile" ->
+      """WITH r AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e AS (SELECT DISTINCT x.i AS lo, y.i AS hi
+        |  FROM r x JOIN r y ON y.b = x.b AND x.i < y.i),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT lo AS n FROM e UNION ALL SELECT hi FROM e) GROUP BY 1),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(MAX(d) AS BIGINT) AS max_degree,
+        |    CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, max_degree, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |       THEN CAST((n_triangles * 3000000) // n_wedges AS BIGINT) END AS transitivity_ppm
+        |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin,
+
+    // basket rules replica: distinct (order, part), pairs by self-join with
+    // a < b, both rule directions, identical integer ppm arithmetic.
+    // maxItems=64 never binds here (baskets are ~4 items), so the oracle
+    // omits the guard.
+    "q_assoc_rules" ->
+      """WITH r AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM r),
+        |isupp AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS supp FROM r GROUP BY 1),
+        |psupp AS (SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS supp_pair
+        |  FROM r x JOIN r y ON y.b = x.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (SELECT a AS ante, b AS cons, supp_pair FROM psupp
+        |  UNION ALL SELECT b, a, supp_pair FROM psupp)
+        |SELECT ante, cons, n_baskets, supp_pair,
+        |  sa.supp AS supp_ante, sc.supp AS supp_cons,
+        |  CAST((supp_pair * 1000000) // sa.supp AS BIGINT) AS confidence_ppm,
+        |  CAST((supp_pair * n_baskets * 1000000) // (sa.supp * sc.supp) AS BIGINT) AS lift_ppm
+        |FROM dir
+        |JOIN isupp sa ON sa.i = dir.ante
+        |JOIN isupp sc ON sc.i = dir.cons
+        |CROSS JOIN nb""".stripMargin,
 
     // grouped trend replica: same HUGEINT moments per event_type, same
     // closed-form slope/intercept doubles

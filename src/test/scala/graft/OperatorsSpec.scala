@@ -1473,6 +1473,83 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got(("x", "w"))._2.get - brute(xw.map(_._1), xw.map(_._2))) < 1e-12)
   }
 
+  test("graphProfile: hand graph exact; triangle count matches brute force on a random graph") {
+    import graft.operators.Graphs
+    // triangle {1,2,3} + pendant 3-4, with a reversed dup and a self-loop
+    val small = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L), (2L, 2L)).toDF("a", "b")
+    val r = Graphs.graphProfile(small, "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 4L, 3L, 5L, 1L)))
+    assert(r.getLong(5) == 600000L) // 3·1/5
+    // random graph: exactly one triangle per closed wedge, vs brute force
+    val rng = new scala.util.Random(5)
+    val es = (1 to 300).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val canon = es.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    val brute = (for {
+      Seq(a, b, c) <- canon.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted.combinations(3)
+      if canon((a, b)) && canon((a, c)) && canon((b, c))
+    } yield 1).size
+    val got = Graphs.graphProfile(es.toDF("a", "b"), "a", "b").head()
+    assert(got.getLong(4) == brute.toLong, s"triangles ${got.getLong(4)} != brute $brute")
+    assert(got.getLong(1) == canon.size.toLong)
+  }
+
+  test("pageRank matches an exact integer reference implementation") {
+    import graft.operators.Graphs
+    val rng = new scala.util.Random(13)
+    val raw = (1 to 120).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+    val canon = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+    // exact integer mirror of the documented update rule
+    val scale = 1000000000000L
+    val damp = 850000L
+    val bidir = canon.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = bidir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size
+    val base0 = scale / n
+    var ref = deg.keys.map(_ -> base0).toMap
+    for (_ <- 1 to 3) {
+      val in = bidir.groupBy(_._2).view
+        .mapValues(_.map { case (src, _) => ref(src) / deg(src) }.sum).toMap
+      ref = ref.keys.map(u =>
+        u -> ((1000000L - damp) * base0 + damp * in.getOrElse(u, 0L)) / 1000000L).toMap
+    }
+    val got = Graphs.pageRank(raw.toDF("a", "b").repartition(5), "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref, s"rank mismatch: ${got.toSeq.sorted.take(3)} vs ${ref.toSeq.sorted.take(3)}")
+    // hubs rank above leaves
+    val maxDegNode = deg.maxBy { case (k, v) => (v, -k) }._1
+    assert(got(maxDegNode) >= got.values.toSeq.sorted.apply(got.size / 2),
+      "highest-degree node should rank above the median")
+  }
+
+  test("association pairRules matches hand-derived support/confidence/lift; mega-baskets drop") {
+    import graft.operators.Association
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "y"), // duplicate item collapses
+      (3L, "x"), (3L, "y"),
+      (4L, "z"),
+      (5L, "x")
+    ).toDF("b", "i")
+    val got = Association.pairRules(rows, "b", "i", minSupport = 2L)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // only (x,y) reaches support 2 (it has 3); x: 4 baskets, y: 3, n=5
+    assert(got.keySet == Set(("x", "y"), ("y", "x")))
+    val (_, _, n, sp, sa, sc, conf, lift) = got(("x", "y"))
+    assert((n, sp, sa, sc) == ((5L, 3L, 4L, 3L)))
+    assert(conf == 750000L && lift == 1250000L) // 3/4; (3·5)/(4·3)
+    assert(got(("y", "x"))._7 == 1000000L) // y→x: 3/3
+    // a 70-item mega-basket is excluded from PAIR counting (maxItems=64)
+    // but still counts toward item supports
+    val mega = (1 to 70).map(k => (99L, s"m$k")).toDF("b", "i")
+    val withMega = Association.pairRules(rows.union(mega), "b", "i", minSupport = 2L)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(withMega.map(r => (r._1, r._2)).toSet == Set(("x", "y"), ("y", "x")),
+      "mega-basket pairs must not appear")
+    assert(withMega.head._3 == 6L, "mega-basket still counts as a basket")
+  }
+
   test("groupedTrend recovers planted per-group slopes exactly") {
     import graft.core.Profiling
     val rng = new scala.util.Random(31)
