@@ -172,6 +172,16 @@ object Queries {
       |  FROM jm)
       |""".stripMargin
 
+  /** Part co-occurrence edges (distinct part pairs sharing an order) — the
+    * shared input of the q_graph_* queries.
+    */
+  private def partEdges(s: SparkSession, d: String): DataFrame = {
+    val parts = li(s, d).select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+    parts.as("x").join(parts.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .select(col("x.i").as("pa"), col("y.i").as("pb"))
+  }
+
   // ---- the catalog ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1527,27 +1537,17 @@ object Queries {
     // integer-exact PageRank on the part co-occurrence graph: 3 power
     // iterations on a 10^12 grid, truncation IS the spec — the oracle
     // replays the identical iterations unrolled as SQL; top-20 centrality
-    "q_graph_pagerank" -> ((s, d) => {
-      val parts = li(s, d).select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-      val edges = parts.as("x").join(parts.as("y"),
-          col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-        .select(col("x.i").as("pa"), col("y.i").as("pb"))
-      graft.operators.Graphs.pageRank(edges, "pa", "pb", iters = 3)
+    "q_graph_pagerank" -> ((s, d) =>
+      graft.operators.Graphs.pageRank(partEdges(s, d), "pa", "pb", iters = 3)
         .orderBy(col("rank_scaled").desc, col("node"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // structural profile of the part co-occurrence graph (edges = distinct
     // part pairs sharing an order): degree-ordered oriented triangle count
     // — each triangle once, hub fan-out capped at O(√m) — vs the oracle's
     // brute-force 3-way self-join
-    "q_graph_profile" -> ((s, d) => {
-      val parts = li(s, d).select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-      val edges = parts.as("x").join(parts.as("y"),
-          col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-        .select(col("x.i").as("pa"), col("y.i").as("pb"))
-      graft.operators.Graphs.graphProfile(edges, "pa", "pb")
-    }),
+    "q_graph_profile" -> ((s, d) =>
+      graft.operators.Graphs.graphProfile(partEdges(s, d), "pa", "pb")),
 
     // association rules over order baskets: which parts co-occur in an
     // order beyond chance — 2-itemset A-priori pass with in-row pair

@@ -343,7 +343,13 @@ object Profiling {
     val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
     val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
     val slope = num.cast("double") / den.cast("double")
-    agged.select(
+    agged
+      // groups with ZERO complete (x, y) observations are omitted, matching
+      // the relational formulation (a WHERE-filtered GROUP BY has no row to
+      // emit) — without this, an all-null group yields an n=0 row here and
+      // nothing in a SQL replica
+      .filter(col("__n") > 0)
+      .select(
       keys.map(col) :+
         col("__n").cast("long").as("n") :+
         when(den > 0, slope).as("slope") :+

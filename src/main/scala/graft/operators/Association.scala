@@ -75,8 +75,13 @@ object Association {
       .select(
         col("ante"), col("cons"), col("n_baskets"),
         col("supp_pair"), col("supp_ante"), col("supp_cons"),
-        expr("supp_pair * 1000000L div supp_ante").as("confidence_ppm"),
-        expr("supp_pair * n_baskets * 1000000L div (supp_ante * supp_cons)")
+        // DECIMAL(38,0) products (the repo's exact-big-product convention):
+        // supp·n·10⁶ wraps a BIGINT near 10¹² baskets — silently in Spark,
+        // as a hard error in engines that promote (divergence either way)
+        expr("cast(supp_pair as decimal(38,0)) * 1000000 div supp_ante")
+          .as("confidence_ppm"),
+        expr("cast(supp_pair as decimal(38,0)) * n_baskets * 1000000" +
+          " div (cast(supp_ante as decimal(38,0)) * supp_cons)")
           .as("lift_ppm"))
   }
 }

@@ -28,38 +28,44 @@ object Graphs {
     * exceeds Σ out-deg² rows. Self-loops are dropped; duplicate/reversed
     * input pairs collapse.
     */
-  def graphProfile(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs
+  /** Canonical undirected edge list: self-loops dropped, reversed
+    * duplicates collapsed onto `(lo, hi)` with lo < hi. The one place edge
+    * normalization lives — both profile and PageRank build on it.
+    */
+  private def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs
       .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
       .select(
         least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .distinct()
+
+  def graphProfile(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = canonicalEdges(pairs, aCol, bCol)
     val degrees = edges.select(col("lo").as("n"))
       .union(edges.select(col("hi").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    // orient by (deg, n): strict total order, so orientation is acyclic
+    // orient by (deg, n): strict total order, so orientation is acyclic.
+    // BOTH endpoint degrees ride along so the wedge stage never has to
+    // re-join the degree table onto its largest intermediate.
     val withDeg = edges
       .join(degrees.withColumnRenamed("n", "lo").withColumnRenamed("deg", "dlo"), Seq("lo"))
       .join(degrees.withColumnRenamed("n", "hi").withColumnRenamed("deg", "dhi"), Seq("hi"))
+    val loFirst = col("dlo") < col("dhi") ||
+      (col("dlo") === col("dhi") && col("lo") < col("hi"))
     val oriented = withDeg.select(
-      when(col("dlo") < col("dhi") ||
-          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("lo"))
-        .otherwise(col("hi")).as("src"),
-      when(col("dlo") < col("dhi") ||
-          (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
-        .otherwise(col("lo")).as("dst"))
+      when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+      when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+      when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
     // wedges at src: unordered out-neighbor pairs, canonicalized by the
-    // SAME (deg, n) order so the closing edge matches its oriented form
-    val o1 = oriented.select(col("src"), col("dst").as("v"))
-    val o2 = oriented.select(col("src"), col("dst").as("w"))
-    val rank = degrees.select(col("n"), col("deg"))
+    // SAME (deg, n) order so the closing edge matches its oriented form —
+    // pure in-join filter, no lookups on the Σ out-deg² wedge relation
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
     val wedges = o1.join(o2, Seq("src"))
-      .join(rank.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), Seq("v"))
-      .join(rank.withColumnRenamed("n", "w").withColumnRenamed("deg", "dw"), Seq("w"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("v").as("src"), col("w").as("dst"))
-    val triangles = wedges.join(oriented, Seq("src", "dst"))
+    val triangles = wedges.join(oriented.select("src", "dst"), Seq("src", "dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val base = edges.agg(count(lit(1)).as("n_edges"))
     val nodeStats = degrees.agg(
@@ -70,8 +76,11 @@ object Graphs {
       .select(
         col("n_nodes"), col("n_edges"), col("max_degree"),
         col("n_wedges"), col("n_triangles"),
+        // DECIMAL product: 3·10⁶·triangles wraps a BIGINT at ~3·10¹²
+        // triangles — one 100k-node near-dup clique has 1.7·10¹⁴
         when(col("n_wedges") > 0,
-          expr("n_triangles * 3000000L div n_wedges")).as("transitivity_ppm"))
+          expr("cast(n_triangles as decimal(38,0)) * 3000000 div n_wedges"))
+          .as("transitivity_ppm"))
   }
 
   /** PageRank over the undirected pair graph in EXACT integer arithmetic —
@@ -100,18 +109,19 @@ object Graphs {
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampPpm >= 0 && dampPpm <= 1000000, s"dampPpm must be ppm, got $dampPpm")
-    val edges = pairs
-      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("lo"), greatest(col(aCol), col(bCol)).as("hi"))
-      .distinct()
+    val edges = canonicalEdges(pairs, aCol, bCol)
     val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
       .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
       .localCheckpoint(false)
     val degrees = bidir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = degrees.count()
-    require(n > 0, "graph has no edges")
-    val base0 = scale / n
-    var ranks = degrees.select(col("src").as("node"), lit(base0).as("rank_scaled"))
+    // base₀ = scale div n as a LAZY one-row broadcast frame (the oracle's
+    // `b0` CTE) — no job runs at construction time, matching every other
+    // operator's laziness; an empty edge list simply yields an empty result
+    val b0 = broadcast(degrees.agg(
+      call_function("div", lit(scale), count(lit(1))).as("__b0")))
+    var ranks = degrees
+      .crossJoin(b0)
+      .select(col("src").as("node"), col("__b0").as("rank_scaled"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = ranks
@@ -124,9 +134,10 @@ object Graphs {
       // while `div` truncates like every other engine's integer division
       ranks = ranks.select(col("node"))
         .join(contrib, Seq("node"), "left")
+        .crossJoin(b0)
         .select(col("node"),
           call_function("div",
-            lit(1000000L - dampPpm) * lit(base0) +
+            lit(1000000L - dampPpm) * col("__b0") +
               lit(dampPpm) * coalesce(col("__in"), lit(0L)),
             lit(1000000L)).as("rank_scaled"))
         .localCheckpoint(false)
