@@ -347,6 +347,33 @@ object SkewBench {
     System.err.println(s"[skewbench] sketch: kmv j_ppm=$kmvJ union=$kmvU; " +
       s"cms counters=$cmsRows hot_est=$cmsHotEst (true $hotRows)")
 
+    // ---- graph profile under adversarial shapes ----
+    // 200k-leaf star: the naive wedge join emits C(200k,2) ≈ 2·10¹⁰ pairs
+    // at the hub; degree-ordered orientation points every edge INTO the
+    // hub, so the oriented wedge set is EMPTY — the O(√m) claim at its
+    // extreme. 400-clique: C(400,3) = 10,586,800 triangles, closed-form
+    // check of the exactly-once counting under maximum density.
+    import graft.operators.Graphs
+    val star = spark.range(1L, 200001L).select(lit(0L).as("a"), col("id").as("b"))
+    val tStar = System.nanoTime()
+    val starRow = Graphs.graphProfile(star, "a", "b").head()
+    results += "graph_star_200k" -> (System.nanoTime() - tStar) / 1e9
+    require(starRow.getLong(4) == 0L && starRow.getLong(2) == 200000L,
+      s"star: expected 0 triangles, max degree 200k, got $starRow")
+    val cliqueN = 400L
+    val clique = spark.range(cliqueN * cliqueN)
+      .select((col("id") % cliqueN).as("a"),
+        call_function("div", col("id"), lit(cliqueN)).as("b"))
+      .filter(col("a") < col("b"))
+    val tCl = System.nanoTime()
+    val cliqueRow = Graphs.graphProfile(clique, "a", "b").head()
+    results += "graph_clique_400" -> (System.nanoTime() - tCl) / 1e9
+    val expectTri = cliqueN * (cliqueN - 1) * (cliqueN - 2) / 6
+    require(cliqueRow.getLong(4) == expectTri,
+      s"clique: expected $expectTri triangles, got ${cliqueRow.getLong(4)}")
+    System.err.println(s"[skewbench] graph: star wedges=${starRow.getLong(3)} tri=0; " +
+      s"clique tri=${cliqueRow.getLong(4)} (${results("graph_clique_400")} s)")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"skew_bench","unit":"sec","cases":$qs,""" +

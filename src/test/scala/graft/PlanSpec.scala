@@ -687,6 +687,27 @@ class PlanSpec extends SparkSpec {
       s"rotation must be an equi-join on the target rank:\n$p")
   }
 
+  test("graph profile: data joins stay equi; PageRank top-k is a bounded TakeOrdered") {
+    val p = plan("q_graph_profile")
+    // BroadcastNestedLoopJoin appears ONLY for the one-row stat crossJoins
+    // (repo convention: crossJoins are broadcast singletons); a
+    // CartesianProduct would mean a data-sized cross product leaked in
+    assert(!p.contains("CartesianProduct"),
+      s"wedge propagation must stay equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected real equi-joins for edge/degree propagation:\n$p")
+    assert(!p.contains("Window"), s"no window operator in the plan:\n$p")
+    // pageRank's iterations sit behind per-round localCheckpoints (the
+    // log-lineage trick), so its visible plan is the top-k consumer: a
+    // distributed TakeOrderedAndProject over the checkpointed ranks —
+    // per-partition heaps, never a global sort
+    val pr = plan("q_graph_pagerank")
+    assert(pr.contains("TakeOrderedAndProject"),
+      s"top-k centrality must be a bounded TakeOrdered:\n$pr")
+    assert(!pr.contains("Exchange rangepartitioning"),
+      s"no global sort for a k-row result:\n$pr")
+  }
+
   test("token-budget selection: corpus joins the score-domain cumsum by broadcast") {
     val p = plan("q_curate_budget")
     assert(p.contains("BroadcastHashJoin"),
