@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   *  - **Dims stay fixed** (region, nation) — as in TPC-H, scale grows facts.
   *  - **Keys shift** by replica × (max+1): PKs stay unique, FK joins keep
   *    the same per-replica fan-out, duplicate-key counts don't explode.
-  *  - **Text gets a per-replica caesar cipher** (length-preserving bijective
-  *    letter map): within-replica shingle/jaccard structure is EXACTLY the
-  *    original's, while cross-replica shingles are disjoint — so near-dup
-  *    pair counts scale linearly with replicas instead of quadratically
-  *    (identical copies would put every doc in a `factor`-clique and
-  *    inflate the dedup family superlinearly by construction).
+  *  - **Text gets a per-replica seeded letter permutation** (length-
+  *    preserving bijective letter map): within-replica shingle/jaccard
+  *    structure is EXACTLY the original's, while cross-replica shingles are
+  *    disjoint — so near-dup pair counts scale linearly with replicas
+  *    instead of quadratically (identical copies would put every doc in a
+  *    `factor`-clique and inflate the dedup family superlinearly by
+  *    construction).
   *  - **Embeddings get a per-replica coordinate permutation**: dot products
   *    are invariant under a common permutation, so each replica is an
   *    isometric copy of the corpus (same ANN neighbor structure), while
@@ -35,14 +36,13 @@ object GenScale {
     }
     val factor = factorStr.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    // The per-replica caesar key is r % 26: at factor 27+ the cipher cycle
-    // repeats and later text replicas become byte-identical to earlier ones,
-    // which would put every doc in a cross-replica clique and scale the
-    // near-dup families quadratically — exactly what the cipher exists to
-    // prevent. Cap rather than silently break the linear-scaling contract.
-    require(factor <= 26,
-      s"factor must be <= 26 (caesar cipher keys repeat beyond that, " +
-        s"collapsing text replicas into exact duplicates), got $factor")
+    // The per-replica text transform is a SEEDED LETTER PERMUTATION (26!
+    // key space), so replicas stay pairwise distinct at any realistic
+    // factor — the r1-r8 caesar rotation cycled at 26 and would collapse
+    // later replicas into byte-identical text (cross-replica cliques →
+    // quadratic near-dup scaling, exactly what the cipher exists to
+    // prevent). A generous cap still guards runaway invocations.
+    require(factor <= 1000, s"factor must be <= 1000, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,13 +66,20 @@ object GenScale {
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    /** Length-preserving per-replica letter rotation (identity at r=0). */
-    def caesar(c: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+    /** Length-preserving per-replica LETTER PERMUTATION (identity at r=0):
+      * a seeded Fisher-Yates shuffle of the alphabet per replica, applied
+      * case-consistently via `translate`. Within a replica every document
+      * is transformed by the same bijection, so shingle/jaccard/minhash
+      * structure is EXACTLY the original's; distinct replicas use distinct
+      * permutations (they differ on ~24 letters, so only an all-punctuation
+      * document could ever collide across replicas — negligible), keeping
+      * near-dup pair counts linear in the factor.
+      */
+    def letterPerm(c: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
       if (r == 0) c
       else {
-        val k = r % 26
-        translate(c, lower + upper,
-          lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+        val perm = new scala.util.Random(9000 + r).shuffle(lower.toVector).mkString
+        translate(c, lower + upper, perm + perm.toUpperCase)
       }
 
     // dims: fixed at every scale factor
@@ -121,7 +128,7 @@ object GenScale {
     val docStride = stride(in("documents"), "doc_id")
     replicate("documents")((df, r) => df
       .withColumn("doc_id", col("doc_id") + lit(r * docStride))
-      .withColumn("text", caesar(col("text"), r)))
+      .withColumn("text", letterPerm(col("text"), r)))
 
     val vecStride = stride(in("embeddings"), "vec_id")
     val dim = in("embeddings").select(size(col("embedding"))).head().getInt(0)

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-sweep probe: time a NAMED SUBSET of the catalog at an arbitrary
+  * scale directory — the tool behind multi-decade scaling ladders (sf0.1 →
+  * sf1 → sf10) where running the FULL catalog would be dominated by the
+  * handful of deliberately-brute-force demo rows (exact all-pairs
+  * embedding near-dup, quadratic oracles) and the constant-cost streaming
+  * replays, none of which say anything about how the scale-designed plans
+  * grow.
+  *
+  * Usage: `ScaleProbe <sfDir> <q1,q2,…>` — Bench-comparable protocol: a
+  * warm pass materializes ONE instance (pages faulted, codegen JIT'd,
+  * catalog caches primed), then a FRESH instance of the same query is
+  * timed. The fresh instance matters: re-counting the SAME DataFrame
+  * skips every map stage whose shuffle files survive from the warm run,
+  * which silently measures only the result stage (~6× too fast on shuffle
+  * queries). One JSON line on stdout.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, names) = args match {
+      case Array(d, qs) => (d, qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case _ =>
+        System.err.println("usage: ScaleProbe <sfDir> <query1,query2,...>")
+        sys.exit(2)
+        throw new IllegalStateException
+    }
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0") graft.Bench.preTouchHeap()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
+      .config("spark.executor.heartbeat.maxFailures", "1000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, sfDir).queryExecution.toRdd.count() // warm (separate lineage)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
+      results += name -> (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scaleprobe] $name%-26s ${results(name)}%8.2f s  ($n rows)")
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"scale_probe","unit":"sec","value":${results.values.sum},""" +
+      s""""queries":$qs,"sf":"$sfDir","n_queries":${results.size}}""")
+  }
+}
