@@ -91,14 +91,39 @@ object Graphs {
     * engine), so k iterations are replayable closed-form:
     * `r₀ = scale div n`, then
     * `r'(u) = ((10⁶ − damp)·r₀ + damp·Σ_{v∼u} (r(v) div deg(v))) div 10⁶`.
-    * Each iteration is one equi-join of the rank frame with the
-    * (bidirectional) edge list plus one map-side-combined aggregation —
-    * shuffle ∝ edges, driver sees nothing but the loop counter;
-    * `localCheckpoint` truncates the k-deep lineage. Isolated nodes never
-    * appear (no edges ⇒ no rank mass to receive); every listed node has
-    * deg ≥ 1, so no dangling-mass redistribution is needed. Output:
-    * `(node, rank_scaled)` — Σ rank drifts below `scale` by the truncation
-    * (deterministically), relative order is what centrality consumes.
+    * Scale shape — built so the per-iteration cost is proportional to
+    * NODES moved, not edges re-shuffled: the bidirectional adjacency is
+    * joined with its degree table ONCE (the two sides shuffle identically,
+    * so the exchange is reused, one pass over the edge pipeline), hash-
+    * partitioned by `src`, sorted within partitions, and `persist`ed as a
+    * COLUMNAR cache. The cache, not a localCheckpoint, is load-bearing
+    * twice over: (1) `InMemoryRelation` keeps the cached plan's
+    * partitioning + ordering, so every iteration's contribution join needs
+    * NEITHER exchange NOR sort on the 2|E|-row side — a lazy checkpoint's
+    * `LogicalRDD` surfaces UnknownPartitioning under AQE, and an sf10
+    * probe (120 M canonical edges) re-exchanged all 239 M adjacency rows
+    * in EVERY iteration because of it; (2) compressed column batches hold
+    * three-long rows at ~⅓ the deserialized row-cache footprint, which at
+    * sf10 was 12 GB of heap pressing the GC into multi-second stalls.
+    * Partitioning preservation requires
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false`
+    * (Spark 4 defaults it true, letting AQE re-plan cached layouts); it is
+    * set-and-restored around construction — iteration plans are created
+    * here, so the scope is exact. Only the |V|-row rank frame (which
+    * carries its node's degree, so no per-iteration degree join exists)
+    * shuffles per iteration; the contribution aggregation partial-combines
+    * map-side before its |V|-bounded shuffle, and the rank rebuild joins
+    * the cached node frame and aggregate output on their shared hash(node)
+    * distribution (sorts only). Per-round `localCheckpoint` truncates the
+    * k-deep rank lineage (|V| rows cached per round; Bench releases these
+    * orphaned checkpoints between queries). The adjacency/node caches are
+    * SESSION-SCOPED like any persisted index frame — a long-lived session
+    * mixing many graphs should `spark.catalog.clearCache()` when done.
+    * Isolated nodes never appear (no edges ⇒ no rank mass to receive);
+    * every listed node has deg ≥ 1, so no dangling-mass redistribution is
+    * needed. Output: `(node, rank_scaled)` — Σ rank drifts below `scale`
+    * by the truncation (deterministically), relative order is what
+    * centrality consumes.
     */
   def pageRank(
       pairs: DataFrame,
@@ -109,39 +134,86 @@ object Graphs {
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampPpm >= 0 && dampPpm <= 1000000, s"dampPpm must be ppm, got $dampPpm")
-    val edges = canonicalEdges(pairs, aCol, bCol)
-    val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
-      .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
-      .localCheckpoint(false)
-    val degrees = bidir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // base₀ = scale div n as a LAZY one-row broadcast frame (the oracle's
-    // `b0` CTE) — no job runs at construction time, matching every other
-    // operator's laziness; an empty edge list simply yields an empty result
-    val b0 = broadcast(degrees.agg(
-      call_function("div", lit(scale), count(lit(1))).as("__b0")))
-    var ranks = degrees
-      .crossJoin(b0)
-      .select(col("src").as("node"), col("__b0").as("rank_scaled"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(degrees.withColumnRenamed("src", "node"), Seq("node"))
-        .select(col("node").as("src"), expr("rank_scaled div deg").as("c"))
-        .join(bidir, Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("__in"))
-      // `div`, never `/`: Spark's `/` on longs returns DOUBLE (rounding),
-      // while `div` truncates like every other engine's integer division
-      ranks = ranks.select(col("node"))
-        .join(contrib, Seq("node"), "left")
+    val spark = pairs.sparkSession
+    val cacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevCacheConf = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    try {
+      // Canonical edges cached FIRST: the bidirectional union reads the
+      // edge relation twice, and without a materialized cache each branch
+      // re-runs the ENTIRE pair pipeline (self-join + distinct — the two
+      // most expensive stages of the sf10 trace, ~70 s each, run twice).
+      // persist (not localCheckpoint) keeps lineage, so this cache can be
+      // RELEASED as soon as adj is built.
+      val edges = canonicalEdges(pairs, aCol, bCol).persist()
+      val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
+        .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
+      // adjacency with the SOURCE degree attached, via ONE exchange: the
+      // repartition+sort lays rows out by src, and the count-over-src
+      // window computes deg inside that same layout (WindowExec's
+      // clustering+ordering requirement is already satisfied — no degree
+      // aggregation exchange, no degree join). Sorted before the columnar
+      // cache, so no iteration ever exchanges or sorts this side (see
+      // scaladoc for why persist, not localCheckpoint).
+      val adj = bidir
+        .repartition(col("src"))
+        .sortWithinPartitions("src")
+        .withColumn("deg",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .persist()
+      // MATERIALIZE before planning the iterations: an InMemoryRelation
+      // only reports its final partitioning once its (AQE-planned) cached
+      // plan has executed — iteration joins planned against an empty cache
+      // still insert the 2|E|-row exchange the cache exists to remove
+      // (verified empirically; the unmaterialized plan keeps the
+      // exchange+sort above InMemoryTableScan). PageRank is inherently
+      // iterative state construction — like GraphX/Pregel it pays its
+      // graph build eagerly; this is the one catalog operator that departs
+      // from construction-time laziness, deliberately.
+      adj.count()
+      // edges served its purpose (adj is materialized); release the ~|E|
+      // columnar cache now. Lineage is intact, so an evicted adj partition
+      // can still recompute from source — the safety localCheckpoint lacks.
+      edges.unpersist(false)
+      // (node, deg): aggregation over adj's cached hash(src) distribution —
+      // no exchange; cached because every iteration's rank rebuild reads it
+      // (a 2|E|-row adj rescan per use would dwarf the |V|-row result).
+      val nodes = adj.groupBy(col("src").as("node"))
+        .agg(min(col("deg")).as("deg"))
+        .persist()
+      nodes.count()
+      // base₀ = scale div n as a one-row broadcast frame (the oracle's
+      // `b0` CTE); an empty edge list yields an empty result
+      val b0 = broadcast(nodes.agg(
+        call_function("div", lit(scale), count(lit(1))).as("__b0")))
+      var ranks = nodes
         .crossJoin(b0)
-        .select(col("node"),
-          call_function("div",
-            lit(1000000L - dampPpm) * col("__b0") +
-              lit(dampPpm) * coalesce(col("__in"), lit(0L)),
-            lit(1000000L)).as("rank_scaled"))
+        .select(col("node"), col("deg"), col("__b0").as("rank_scaled"))
         .localCheckpoint(false)
+      for (_ <- 1 to iters) {
+        val contrib = ranks
+          .select(col("node").as("src"), expr("rank_scaled div deg").as("c"))
+          .join(adj.select(col("src"), col("dst")), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).as("__in"))
+        // `div`, never `/`: Spark's `/` on longs returns DOUBLE (rounding),
+        // while `div` truncates like every other engine's integer division
+        ranks = nodes
+          .join(contrib, Seq("node"), "left")
+          .crossJoin(b0)
+          .select(col("node"), col("deg"),
+            call_function("div",
+              lit(1000000L - dampPpm) * col("__b0") +
+                lit(dampPpm) * coalesce(col("__in"), lit(0L)),
+              lit(1000000L)).as("rank_scaled"))
+          .localCheckpoint(false)
+      }
+      ranks.select(col("node"), col("rank_scaled"))
+    } finally {
+      prevCacheConf match {
+        case Some(v) => spark.conf.set(cacheKey, v)
+        case None => spark.conf.unset(cacheKey)
+      }
     }
-    ranks
   }
 }

@@ -47,10 +47,26 @@ object ScaleProbe {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       fn(spark, sfDir).queryExecution.toRdd.count() // warm (separate lineage)
+      // The timed instance must not read ANY cross-instance cache: the
+      // memoized comparison engine (a warm pass would otherwise turn
+      // q_compare_* into a 0.07 s cache hit at sf10) or cached/checkpointed
+      // frames. Scaling ratios are only meaningful on the full recompute.
+      graft.Queries.clearComparisonCache()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       results += name -> (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scaleprobe] $name%-26s ${results(name)}%8.2f s  ($n rows)")
+      // and release what the timed instance itself left behind, so query k
+      // does not inherit query k-1's heap (the in-JVM accumulation that
+      // inflated the sf10 ladder tail up to 10x).
+      graft.Queries.clearComparisonCache()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     spark.stop()
