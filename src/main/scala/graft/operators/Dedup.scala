@@ -995,11 +995,48 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxRounds: Int = 25): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val cacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevCacheConf = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    val (labels, round) = try {
+      connectedComponentsLoop(pairs, aCol, bCol, maxRounds)
+    } finally {
+      prevCacheConf match {
+        case Some(v) => spark.conf.set(cacheKey, v)
+        case None => spark.conf.unset(cacheKey)
+      }
+    }
+    (labels, round)
+  }
+
+  /** The label-propagation loop, planned under the cached-partitioning
+    * conf [[connectedComponentsWithRounds]] scopes around it.
+    *
+    * The edge list is a MATERIALIZED columnar cache hash-partitioned +
+    * sorted on `dst` (the step-(a) join key): with
+    * `canChangeCachedPlanOutputPartitioning=false` every round's
+    * neighbor-min join then needs neither exchange nor sort on the 2|E|-row
+    * side — a lazy localCheckpoint surfaces UnknownPartitioning and
+    * re-exchanged the full edge set each round (the exact pathology the
+    * PageRank sf10 trace exposed, [[graft.operators.Graphs.pageRank]]).
+    * The operator is already eager (one scalar action per round), so the
+    * cache is released before returning — persist keeps lineage, making
+    * that safe.
+    */
+  private def connectedComponentsLoop(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int): (DataFrame, Int) = {
     // undirected, deduped edge list — reused every round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(false)
+      .repartition(col("dst"))
+      .sortWithinPartitions("dst")
+      .persist()
+    edges.count() // materialize: an empty cache still plans the exchange
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(false)
@@ -1028,6 +1065,7 @@ object Dedup {
       labels = jumped.drop("prev")
       round += 1
     }
+    edges.unpersist(false)
     require(changed == 0,
       s"connectedComponents did not converge in $maxRounds rounds — raise maxRounds")
     (labels, round)

@@ -41,7 +41,13 @@ object Graphs {
       .distinct()
 
   def graphProfile(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = canonicalEdges(pairs, aCol, bCol)
+    // FOUR consumers read the canonical edge relation (degree union ×2,
+    // the orientation join, the edge count); without a cache each one
+    // re-runs the whole upstream pair pipeline — a traced sf0.1 run spent
+    // 4 identical self-join stages on it. The checkpoint is LAZY: profile
+    // stays construction-time job-free, the cache fills during the one
+    // real action and every later stage reads it.
+    val edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint(false)
     val degrees = edges.select(col("lo").as("n"))
       .union(edges.select(col("hi").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -53,10 +59,13 @@ object Graphs {
       .join(degrees.withColumnRenamed("n", "hi").withColumnRenamed("deg", "dhi"), Seq("hi"))
     val loFirst = col("dlo") < col("dhi") ||
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
+    // three consumers (both wedge legs + the closing join): cache the
+    // oriented relation too, for the same reason as `edges`.
     val oriented = withDeg.select(
       when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
       when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
       when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
+      .localCheckpoint(false)
     // wedges at src: unordered out-neighbor pairs, canonicalized by the
     // SAME (deg, n) order so the closing edge matches its oriented form —
     // pure in-join filter, no lookups on the Σ out-deg² wedge relation
@@ -65,7 +74,15 @@ object Graphs {
     val wedges = o1.join(o2, Seq("src"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("v").as("src"), col("w").as("dst"))
-    val triangles = wedges.join(oriented.select("src", "dst"), Seq("src", "dst"))
+    // The closing check joins the Σ out-deg² wedge relation (34× the edge
+    // count on this co-occurrence graph) against the |E|-row oriented
+    // list. SHUFFLE_HASH, not sort-merge: the wedge side is the dominant
+    // cost of the whole profile and a hash probe only shuffles it — an SMJ
+    // would also SORT it (the traced sf0.1 run spent 9 of 23 s in that
+    // sort). The build side is the bounded one (|E| rows hash-partitioned),
+    // exactly the shuffled-hash sweet spot at any scale.
+    val triangles = wedges
+      .join(oriented.select("src", "dst").hint("shuffle_hash"), Seq("src", "dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val base = edges.agg(count(lit(1)).as("n_edges"))
     val nodeStats = degrees.agg(
@@ -93,9 +110,9 @@ object Graphs {
     * `r'(u) = ((10⁶ − damp)·r₀ + damp·Σ_{v∼u} (r(v) div deg(v))) div 10⁶`.
     * Scale shape — built so the per-iteration cost is proportional to
     * NODES moved, not edges re-shuffled: the bidirectional adjacency is
-    * joined with its degree table ONCE (the two sides shuffle identically,
-    * so the exchange is reused, one pass over the edge pipeline), hash-
-    * partitioned by `src`, sorted within partitions, and `persist`ed as a
+    * hash-partitioned by `src`, sorted within partitions, given its
+    * source degree by a count-over-src window INSIDE that one exchange
+    * (no degree aggregation, no degree join), and `persist`ed as a
     * COLUMNAR cache. The cache, not a localCheckpoint, is load-bearing
     * twice over: (1) `InMemoryRelation` keeps the cached plan's
     * partitioning + ordering, so every iteration's contribution join needs

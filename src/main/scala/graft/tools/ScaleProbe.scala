@@ -55,6 +55,10 @@ object ScaleProbe {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      // collect the warm pass's garbage BEFORE starting the clock — a GC
+      // triggered mid-measurement charges the previous instance's heap to
+      // the timed one (observed as multi-second stalls in the sf10 ladder).
+      System.gc()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       results += name -> (System.nanoTime() - t0) / 1e9
