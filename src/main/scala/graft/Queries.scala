@@ -71,6 +71,28 @@ object Queries {
   // colliding (stopped queries may linger in the registry briefly).
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` lowered to `n`,
+    * restoring the previous value after. The streaming catalog rows use
+    * it: a stateful streaming operator instantiates one state store per
+    * shuffle partition per micro-batch, and the fixture replays 4-5
+    * micro-batches of ~60k rows — at the session's 32 partitions the
+    * store load/commit/maintenance constant dominates wall time (the
+    * state held per partition is tiny). 8 partitions keeps the exact
+    * same semantics (key-hash sharding, order-independence — the state
+    * key distribution just folds 4-to-1) while cutting the per-batch
+    * fixed cost; a production deployment sizes this conf to cluster
+    * cores the same way. Checkpoints are created fresh per invocation,
+    * so the count is free to choose here — a RESUMED stream must keep
+    * its checkpointed count, which is why this wraps the whole
+    * run-to-termination, never a restart.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def memoizedCompare(s: SparkSession, d: String, scenario: String)(
       build: => graft.core.ComparisonResult): graft.core.ComparisonResult =
     cmpCache.getOrElseUpdate((System.identityHashCode(s), d, scenario), build)
@@ -1381,7 +1403,7 @@ object Queries {
     // batches is not guaranteed, and a dropped "late" batch would make the
     // result depend on listing order (watermark EVICTION is covered by
     // StreamingSpec; this row pins cross-batch state accumulation).
-    "q_stream_windowed" -> ((s, d) => {
+    "q_stream_windowed" -> ((s, d) => withShufflePartitions(s, 8) {
       val work = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
       graft.sources.Events.load(s, d)
         .select(col("event_id"), col("ts"), col("event_type"),
@@ -1411,7 +1433,7 @@ object Queries {
     // lateness exceeds the fixture span, making the result order-proof),
     // and the appended sink files are re-read for the hash. Duplicates are
     // byte-identical rows, so WHICH copy survives cannot change the output.
-    "q_stream_dedup" -> ((s, d) => {
+    "q_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
       val work = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
       val ev = graft.sources.Events.load(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -1441,12 +1463,14 @@ object Queries {
     // the fixture span → no state eviction, every match emits exactly once
     // regardless of file listing order (eviction semantics are covered in
     // StreamingSpec; this row pins cross-batch match accumulation).
-    // Bench note: this is the slowest catalog row BY DESIGN — 4 micro-
-    // batches × (state-store load/commit over 32 shuffle partitions × 2
-    // sides) dominates, and the deliberately-unbounded lateness keeps all
-    // state resident; production watermarks bound state (the operator doc)
-    // and amortize the per-batch constant over a continuous stream.
-    "q_stream_join" -> ((s, d) => {
+    // Bench note: the slowest streaming row BY DESIGN — 4 micro-batches ×
+    // (state-store load/commit per state partition × 2 sides) dominates,
+    // and the deliberately-unbounded lateness keeps all state resident;
+    // production watermarks bound state (the operator doc) and amortize
+    // the per-batch constant over a continuous stream. The 8-partition
+    // wrapper (see withShufflePartitions) sizes the state sharding to the
+    // fixture instead of paying 32 stores' fixed cost per batch.
+    "q_stream_join" -> ((s, d) => withShufflePartitions(s, 8) {
       val work = java.nio.file.Files.createTempDirectory("graft-stream-join").toString
       graft.sources.Events.load(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
