@@ -1494,6 +1494,43 @@ object Queries {
         col("view_value"))
     }),
 
+    // Continuous CDC upsert through upsertSink's foreachBatch merge: the
+    // pre-cut snapshot materializes first, then the post-cut changelog
+    // replays file-per-micro-batch and each batch MERGES into the parquet
+    // snapshot (three-step swap, idempotent applyChangelog). The source
+    // files are partitioned BY KEY (user_id hash), so every user's changes
+    // land in exactly one micro-batch and the sequential wholesale-replace
+    // merges commute — the final snapshot equals the ONE-SHOT changelog
+    // application regardless of file listing order, which is why this row
+    // shares q_events_changelog's oracle CTE. (Cross-batch ordering of one
+    // key's changes — where merge order WOULD matter — is exactly what a
+    // keyed CDC feed's partitioning contract rules out.)
+    "q_stream_upsert" -> ((s, d) => withShufflePartitions(s, 8) {
+      val work = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
+      val cut = lit(1705708800000000L) // 2024-01-20T00:00:00Z as epoch micros
+      val ev = graft.sources.Events.load(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
+          col("event_type"), col("value"))
+      graft.operators.Changelog.latestByKey(
+          ev.filter(col("us") < cut), Seq("user_id"), Seq("us", "event_id"))
+        .write.mode("overwrite").parquet(s"$work/snap")
+      ev.filter(col("us") >= cut)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .repartition(4, col("user_id"))
+        .write.mode("overwrite").parquet(s"$work/src")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$work/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/src")
+      val q = graft.streaming.StreamingOps.upsertSink(
+        stream, s"$work/snap", s"$work/ckpt", Seq("user_id"), Seq("us", "event_id"), "op",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readSnapshot(s, s"$work/snap").get
+        .select("user_id", "event_id", "us", "event_type", "value")
+    }),
+
     // As-of join: every purchase gets the user's latest view value at or
     // before it (views pre-aggregated to unique (user, µs), the operator's
     // determinism requirement). Oracle = DuckDB's native ASOF LEFT JOIN.
@@ -1572,6 +1609,22 @@ object Queries {
     // brute-force 3-way self-join
     "q_graph_profile" -> ((s, d) =>
       graft.operators.Graphs.graphProfile(partEdges(s, d), "pa", "pb")),
+
+    // integer-exact k-means over the embeddings (8 sha-sampled seeds, 2
+    // Lloyd rounds on the 10⁸ quantization grid, floor-div centroid
+    // means): per-cluster sizes, scaled inertia, centroid checksum — the
+    // oracle replays the identical iterations unrolled as SQL
+    "q_cluster_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.kmeans(embs(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
+    // dense-heart extraction: the 80-core of the part co-occurrence graph
+    // (simultaneous peeling to its order-independent fixpoint). The oracle
+    // unrolls 8 peel rounds — ≥ the fixpoint depth at the checked scales
+    // (3 at sf0.001, 5 at sf0.01); rounds past fixpoint are no-ops, so
+    // the margin is free.
+    "q_graph_kcore" -> ((s, d) =>
+      graft.operators.Graphs.kCore(partEdges(s, d), "pa", "pb", k = 80)),
 
     // association rules over order baskets: which parts co-occur in an
     // order beyond chance — 2-itemset A-priori pass with in-row pair
@@ -2180,8 +2233,122 @@ object Queries {
        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** DuckDB replica of the integer-exact k-means (q_cluster_kmeans,
+    * k = 8, iters = 2): quantize → sha-sampled seed centroids → per-round
+    * (squared-distance argmin assignment, floor-div integer centroid
+    * means) unrolled as CTE pairs, exactly
+    * [[graft.operators.Clustering.kmeans]]'s spec — truncation to the
+    * integer grid is the spec, so the engines can only agree. Floor
+    * division in DuckDB is `(s - ((s % cnt + cnt) % cnt)) // cnt` (its
+    * `%` truncates like Spark's; the subtraction makes the dividend an
+    * exact multiple, so `//`'s rounding mode never engages). Generated
+    * from the same (k, iters) constants as the query entry.
+    */
+  private val kmeansOracleSql: String = {
+    val k = 8
+    val iters = 2
+    def assignCtes(i: Int, cent: String, centn: String): String =
+      s"""d$i AS (SELECT a.vec_id, c.cluster, CAST(SUM(a.qv * c.cv) AS BIGINT) AS dot
+         |  FROM e a JOIN $cent c ON c.pos = a.pos GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cluster, sqd FROM (
+         |  SELECT d$i.vec_id, d$i.cluster,
+         |    n.n2 - 2 * d$i.dot + $centn.cn2 AS sqd,
+         |    ROW_NUMBER() OVER (PARTITION BY d$i.vec_id
+         |      ORDER BY n.n2 - 2 * d$i.dot + $centn.cn2 ASC, d$i.cluster ASC) AS rn
+         |  FROM d$i JOIN n ON n.vec_id = d$i.vec_id
+         |  JOIN $centn ON $centn.cluster = d$i.cluster) WHERE rn = 1)""".stripMargin
+    def updateCtes(i: Int): String =
+      s"""u$i AS (SELECT a$i.cluster, e.pos, CAST(SUM(e.qv) AS BIGINT) AS s,
+         |    COUNT(*) AS cnt
+         |  FROM a$i JOIN e ON e.vec_id = a$i.vec_id GROUP BY 1, 2),
+         |c$i AS (SELECT cluster, pos,
+         |    (s - ((s % cnt + cnt) % cnt)) // cnt AS cv FROM u$i),
+         |cn$i AS (SELECT cluster, CAST(SUM(cv * cv) AS BIGINT) AS cn2
+         |  FROM c$i GROUP BY 1)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      assignCtes(i, s"c${i - 1}", s"cn${i - 1}") + ",\n" + updateCtes(i))
+      .mkString(",\n")
+    val fin = iters + 1
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+       |piv AS (SELECT vec_id AS cluster FROM embeddings
+       |  ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+       |  LIMIT $k),
+       |c0 AS (SELECT piv.cluster, e.pos, e.qv AS cv FROM e JOIN piv ON piv.cluster = e.vec_id),
+       |cn0 AS (SELECT cluster, CAST(SUM(cv * cv) AS BIGINT) AS cn2 FROM c0 GROUP BY 1),
+       |$rounds,
+       |${assignCtes(fin, s"c$iters", s"cn$iters")},
+       |ck AS (SELECT cluster, CAST(SUM(cv) AS BIGINT) AS centroid_checksum
+       |  FROM c$iters GROUP BY 1)
+       |SELECT a$fin.cluster, COUNT(*) AS n_members,
+       |  CAST(SUM(sqd // 1000000) AS BIGINT) AS total_sqdist_scaled,
+       |  ck.centroid_checksum
+       |FROM a$fin JOIN ck ON ck.cluster = a$fin.cluster
+       |GROUP BY a$fin.cluster, ck.centroid_checksum""".stripMargin
+  }
+
+  /** Shared replica of the one-shot CDC merge: the snapshot from pre-cut
+    * latest-per-user state, the post-cut changelog collapsed the same way,
+    * full-outer merged with delete-wins/replace-wholesale semantics.
+    * Used by BOTH q_events_changelog (batch applyChangelog) and
+    * q_stream_upsert (the same merge streamed through upsertSink with
+    * key-partitioned micro-batches — which provably converge to the
+    * one-shot result, see the query comment).
+    */
+  private val changelogOracleSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type, value
+      |  FROM events),
+      |snap AS (SELECT user_id, event_id, us, event_type, value FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev WHERE us < 1705708800000000) WHERE rn = 1),
+      |chg AS (SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      |  FROM (SELECT *, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev WHERE us >= 1705708800000000) WHERE rn = 1)
+      |SELECT coalesce(c.user_id, s.user_id) AS user_id,
+      |  CASE WHEN c.user_id IS NOT NULL THEN c.event_id ELSE s.event_id END AS event_id,
+      |  CASE WHEN c.user_id IS NOT NULL THEN c.us ELSE s.us END AS us,
+      |  CASE WHEN c.user_id IS NOT NULL THEN c.event_type ELSE s.event_type END AS event_type,
+      |  CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE s.value END AS value
+      |FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+      |WHERE c.op IS NULL OR c.op != 'D'""".stripMargin
+
+  /** DuckDB replica of the k-core peeling (q_graph_kcore, k = 80):
+    * 8 unrolled simultaneous-peel rounds over the canonical part
+    * co-occurrence edges. 8 ≥ the rounds-to-fixpoint at every checked
+    * scale, and peeling past the fixpoint changes nothing (no node below
+    * k remains to delete), so operator-fixpoint ≡ oracle-8-rounds.
+    * `NOT IN` is safe: canonical edges are null-filtered. Every round CTE
+    * is MATERIALIZED — each is referenced ~3× by the next round, and an
+    * inlining optimizer would otherwise expand the reference tree to 3⁸
+    * scans of the base table (observed: fd exhaustion before any wrong
+    * result could even be produced).
+    */
+  private val kCoreOracleSql: String = {
+    val k = 80
+    val rounds = 8
+    val peels = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT n FROM (SELECT n, COUNT(*) AS d FROM (
+         |    SELECT lo AS n FROM e${i - 1} UNION ALL SELECT hi FROM e${i - 1}) GROUP BY n)
+         |  WHERE d < $k),
+         |e$i AS MATERIALIZED (SELECT * FROM e${i - 1}
+         |  WHERE lo NOT IN (SELECT n FROM l$i) AND hi NOT IN (SELECT n FROM l$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.i AS lo, y.i AS hi
+       |  FROM r x JOIN r y ON y.b = x.b AND x.i < y.i),
+       |$peels
+       |SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT lo AS n FROM e$rounds UNION ALL SELECT hi FROM e$rounds) GROUP BY n""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_graph_pagerank" -> pageRankOracleSql,
+    "q_cluster_kmeans" -> kmeansOracleSql,
+    "q_graph_kcore" -> kCoreOracleSql,
 
     "q_sketch_hll" -> hllOracleSql,
     "q_sketch_kmv_overlap" -> kmvOverlapOracleSql,
@@ -3160,24 +3327,11 @@ object Queries {
     // replicates Changelog.applyChangelog: latest row per user on each side
     // of the cut (row_number ≡ Spark's version-first struct max — the
     // (ts_ns, event_id) pair is unique), delete on 'error', else upsert
-    "q_events_changelog" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type, value
-        |  FROM events),
-        |snap AS (SELECT user_id, event_id, us, event_type, value FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
-        |    FROM ev WHERE us < 1705708800000000) WHERE rn = 1),
-        |chg AS (SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
-        |  FROM (SELECT *, row_number() OVER (
-        |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
-        |    FROM ev WHERE us >= 1705708800000000) WHERE rn = 1)
-        |SELECT coalesce(c.user_id, s.user_id) AS user_id,
-        |  CASE WHEN c.user_id IS NOT NULL THEN c.event_id ELSE s.event_id END AS event_id,
-        |  CASE WHEN c.user_id IS NOT NULL THEN c.us ELSE s.us END AS us,
-        |  CASE WHEN c.user_id IS NOT NULL THEN c.event_type ELSE s.event_type END AS event_type,
-        |  CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE s.value END AS value
-        |FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
-        |WHERE c.op IS NULL OR c.op != 'D'""".stripMargin,
+    "q_events_changelog" -> changelogOracleSql,
+
+    // the streamed upsert converges to the identical one-shot merge (see
+    // the query's key-partitioning argument), so it shares the oracle
+    "q_stream_upsert" -> changelogOracleSql,
 
     // replicates Changelog.scd2History: lag-suppress unchanged states,
     // then lead over the SURVIVING rows yields each run's closing version

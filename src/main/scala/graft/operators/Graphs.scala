@@ -40,6 +40,72 @@ object Graphs {
         greatest(col(aCol), col(bCol)).as("hi"))
       .distinct()
 
+  /** k-core decomposition by simultaneous peeling: repeatedly delete every
+    * node whose remaining degree is below `k` (and its edges) until no
+    * such node remains. The fixpoint — the maximal subgraph where every
+    * node keeps ≥ k neighbors — is ORDER-INDEPENDENT (deleting any
+    * sub-k node never revives another), so simultaneous-round peeling
+    * reaches exactly the same core as sequential peeling, which is what
+    * makes the operator engine-replicable: the catalog oracle unrolls the
+    * rounds as SQL and converges to the identical set. Cores locate the
+    * dense "heart" of a graph — spam rings in linkage graphs, boilerplate
+    * families in near-dup graphs, power-user cliques in interaction
+    * graphs — where triangle counts say how CLUMPY a graph is and
+    * PageRank who is CENTRAL, the core says who survives when the
+    * periphery is stripped.
+    *
+    * Scale shape, per round: one degree aggregation (map-side combined)
+    * and two anti-joins against the low-degree node set — the low set is
+    * eagerly `localCheckpoint`ed (it is read twice and gates the loop;
+    * re-deriving it would re-run the degree agg), the shrinking edge
+    * relation is checkpointed per round to truncate lineage, and the
+    * anti-join build side is left to AQE: in early rounds the low set can
+    * be a large fraction of all nodes (no broadcast assumption survives
+    * 100×), in late rounds AQE broadcasts the dwindling remainder. The
+    * driver sees one emptiness probe per round, never node data. Round
+    * COUNT is bounded by the peeling depth of the degree distribution —
+    * worst case (a path) is O(n), real co-occurrence/linkage graphs
+    * finish in a handful; `maxRounds` is the safety bound, and stopping
+    * there early yields a SUPERSET of the true core (documented
+    * approximation, never silent loss).
+    *
+    * Output: `(node, core_deg)` for every node of the k-core, with its
+    * degree inside the core. Empty when the whole graph peels away.
+    */
+  def kCore(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 1000, s"maxRounds out of range: $maxRounds")
+    var edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint()
+    var round = 0
+    var fixed = false
+    while (!fixed && round < maxRounds) {
+      val low = degrees(edges)
+        .filter(col("deg") < k)
+        .select(col("n"))
+        .localCheckpoint()
+      if (low.isEmpty) fixed = true
+      else {
+        edges = edges
+          .join(low.withColumnRenamed("n", "lo"), Seq("lo"), "left_anti")
+          .join(low.withColumnRenamed("n", "hi"), Seq("hi"), "left_anti")
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    degrees(edges).select(col("n").as("node"), col("deg").as("core_deg"))
+  }
+
+  // (n, deg) over the canonical undirected edge relation
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("lo").as("n"))
+      .union(edges.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+
   def graphProfile(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // FOUR consumers read the canonical edge relation (degree union ×2,
     // the orientation join, the edge count); without a cache each one

@@ -222,12 +222,16 @@ object StreamingOps {
       keys: Seq[String],
       orderCols: Seq[String],
       opCol: String,
-      deleteOp: String = "D"): org.apache.spark.sql.streaming.StreamingQuery = {
+      deleteOp: String = "D",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)):
+      org.apache.spark.sql.streaming.StreamingQuery = {
     val snapshotSchema = org.apache.spark.sql.types.StructType(
       stream.schema.filterNot(_.name == opCol))
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val snap = readSnapshot(spark, snapshotPath).getOrElse(

@@ -1494,6 +1494,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getLong(1) == canon.size.toLong)
   }
 
+  test("kCore: peeling reaches the exact core on hand graphs and a random graph") {
+    import graft.operators.Graphs
+    // clique of 5 (nodes 1-5) + pendant chain 5-6-7: 4-core = the clique
+    val clique = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val g1 = (clique ++ Seq((5L, 6L), (6L, 7L))).toDF("a", "b")
+    val core4 = Graphs.kCore(g1, "a", "b", k = 4).as[(Long, Long)].collect().toMap
+    assert(core4 == (1L to 5L).map(_ -> 4L).toMap, s"expected the clique, got $core4")
+    // a pure path fully unravels under k=2 (cascade: ends peel, new ends appear)
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Graphs.kCore(path, "a", "b", k = 2).isEmpty)
+    // k=1 keeps every non-isolated node at its plain degree
+    val deg1 = Graphs.kCore(path, "a", "b", k = 1).as[(Long, Long)].collect().toMap
+    assert(deg1 == ((1L to 8L).map(n => n -> (if (n == 1L || n == 8L) 1L else 2L)).toMap))
+    // maxRounds stops early with a SUPERSET of the core (path, one round:
+    // only the current endpoints peel)
+    val partial = Graphs.kCore(path, "a", "b", k = 2, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.keySet == (2L to 7L).toSet, s"one peel round leaves the interior: $partial")
+    // random graph vs a sequential-peeling reference (order independence)
+    val rng = new scala.util.Random(29)
+    val raw = (1 to 250).map(_ => (rng.nextInt(35).toLong, rng.nextInt(35).toLong))
+    val canon = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+    val k = 4
+    var edges = canon
+    var changed = true
+    while (changed) {
+      val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size).toMap
+      val low = deg.collect { case (n, d) if d < k => n }.toSet
+      changed = low.nonEmpty
+      edges = edges.filterNot(e => low(e._1) || low(e._2))
+    }
+    val refCore = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val gotCore = Graphs.kCore(raw.toDF("a", "b"), "a", "b", k = k)
+      .as[(Long, Long)].collect().toMap
+    assert(gotCore == refCore, s"core mismatch: got ${gotCore.size} ref ${refCore.size}")
+  }
+
   test("pageRank matches an exact integer reference implementation") {
     import graft.operators.Graphs
     val rng = new scala.util.Random(13)
