@@ -77,7 +77,20 @@ object Graphs {
       aCol: String,
       bCol: String,
       k: Int,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    kCoreWithRounds(pairs, aCol, bCol, k, maxRounds)._1
+
+  /** [[kCore]] plus the number of peel rounds actually run — the stress
+    * benches assert round counts against the fixture's known peeling
+    * depth (a returned count of `maxRounds` flags the early-stop
+    * superset case).
+    */
+  def kCoreWithRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 1000, s"maxRounds out of range: $maxRounds")
     var edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint()
@@ -97,7 +110,7 @@ object Graphs {
         round += 1
       }
     }
-    degrees(edges).select(col("n").as("node"), col("deg").as("core_deg"))
+    (degrees(edges).select(col("n").as("node"), col("deg").as("core_deg")), round)
   }
 
   // (n, deg) over the canonical undirected edge relation

@@ -43,6 +43,12 @@ import graft.operators.{Dedup, Skew}
   *    pointer-jumping log-rounds claim, checked as rounds ≤ 24) and on a
   *    ~90%-giant component of 500k nodes (driver holds only a per-round
   *    counter regardless of component size).
+  *  - k-core peeling on a clique-with-tendrils onion (round count == the
+  *    6-hop peeling depth, core == the clique exactly) and a 200k chain
+  *    under maxRounds=8 (the early-stop SUPERSET contract: 2 nodes/round).
+  *  - k-means on 2M synthetic vectors around 16 latent centers (broadcast
+  *    argmin + floor-div update at 32M never-materialized distance rows;
+  *    summary partitions the corpus).
   *  - duplicated-span removal on the same corpus: the license paragraph's
   *    ~36 interior 5-token windows each occur in ALL docs — the hot-window
   *    distribution the aggregation-based first-occurrence vote exists for
@@ -374,6 +380,76 @@ object SkewBench {
     System.err.println(s"[skewbench] graph: star wedges=${starRow.getLong(3)} tri=0; " +
       s"clique tri=${cliqueRow.getLong(4)} (${results("graph_clique_400")} s)")
 
+    // ---- k-core peeling: deep onion + early-stop superset ----
+    // "Clique with tendrils": a 300-clique (deg 299 inside) where every
+    // clique node anchors a 6-hop pendant chain. Under k=2 the chains peel
+    // strictly one hop per round (only the current free end is sub-k) —
+    // peeling DEPTH is the chain length, the shape that makes round count
+    // the scaling risk — while the clique survives untouched. Then the
+    // 200k-node pure chain under maxRounds=8 pins the documented
+    // early-stop contract: a SUPERSET, shrunk by exactly 2 nodes/round.
+    val tendrilLen = 6L
+    val cliqueCore = spark.range(300L * 300L)
+      .select((col("id") % 300).as("a"),
+        call_function("div", col("id"), lit(300L)).as("b"))
+      .filter(col("a") < col("b"))
+    // node ids >= 1000 are tendril nodes: chain c*10+1000*step off clique node c
+    val tendrils = spark.range(300L * tendrilLen)
+      .select((col("id") % 300).as("c"),
+        call_function("div", col("id"), lit(300L)).as("step"))
+      .select(
+        when(col("step") === 0, col("c"))
+          .otherwise(col("c") + lit(1000L) + (col("step") - 1) * 1000L).as("a"),
+        (col("c") + lit(1000L) + col("step") * 1000L).as("b"))
+    val onion = cliqueCore.union(tendrils)
+    val tKc0 = System.nanoTime()
+    val (onionCore, onionRounds) = Graphs.kCoreWithRounds(onion, "a", "b", k = 2)
+    val onionStats = onionCore.agg(count(lit(1)), min("core_deg")).head()
+    results += "kcore_onion_clique300_t6" -> (System.nanoTime() - tKc0) / 1e9
+    require(onionStats.getLong(0) == 300L && onionStats.getLong(1) == 299L,
+      s"onion 2-core must be exactly the 300-clique, got $onionStats")
+    require(onionRounds.toLong == tendrilLen,
+      s"tendrils must peel one hop per round ($tendrilLen), took $onionRounds")
+
+    val kchainN = 200000L
+    val kchain = spark.range(kchainN - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val tKc1 = System.nanoTime()
+    val (kchainCore, kchainRounds) =
+      Graphs.kCoreWithRounds(kchain, "a", "b", k = 2, maxRounds = 8)
+    val kchainLeft = kchainCore.count()
+    results += "kcore_chain_200k_capped" -> (System.nanoTime() - tKc1) / 1e9
+    require(kchainRounds == 8, s"chain peel must hit the round cap, took $kchainRounds")
+    require(kchainLeft == kchainN - 2L * 8L,
+      s"early stop must leave a superset shrunk 2/round: $kchainLeft")
+    System.err.println(s"[skewbench] kcore: onion rounds=$onionRounds core=300; " +
+      s"chain capped leftover=$kchainLeft (${results("kcore_chain_200k_capped")} s)")
+
+    // ---- k-means at fleet scale: 2M vectors, 16 latent centers ----
+    // Synthetic clustered corpus: center = id mod 16, 8 dims of
+    // center-determined base + ±0.01 hash noise. Pins that the broadcast
+    // argmin + floor-div update pipeline holds at 2M×16 distance rows
+    // (never materialized — map-side combine) and that the summary
+    // PARTITIONS the corpus. (Seeds are a hash sample, so two may land in
+    // one latent center — cluster COUNT is ≤ k, not == 16, by design.)
+    val kmN = 2000000L
+    val kmVecs = spark.range(kmN).select(col("id"),
+      transform(sequence(lit(0), lit(7)), j =>
+        ((pmod(col("id"), lit(16L)) * 31 + j * 7) % 100).cast("double") / 100.0 - 0.5 +
+          (pmod(xxhash64(col("id") * 8 + j), lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.02)
+        .cast("array<float>").as("emb"))
+    val tKm0 = System.nanoTime()
+    val kmSummary = graft.operators.Clustering.kmeans(kmVecs, "id", "emb", k = 16, iters = 2)
+      .localCheckpoint()
+    val kmStats = kmSummary.agg(sum("n_members"), count(lit(1))).head()
+    results += "kmeans_2m_k16" -> (System.nanoTime() - tKm0) / 1e9
+    require(kmStats.getLong(0) == kmN,
+      s"kmeans summary must partition the corpus: ${kmStats.getLong(0)} of $kmN")
+    require(kmStats.getLong(1) <= 16L,
+      s"at most k clusters, got ${kmStats.getLong(1)}")
+    System.err.println(s"[skewbench] kmeans: 2M vectors -> ${kmStats.getLong(1)} clusters " +
+      s"(${results("kmeans_2m_k16")} s)")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"skew_bench","unit":"sec","cases":$qs,""" +
@@ -390,6 +466,8 @@ object SkewBench {
         s""""cc_chain_nodes":$chainN,"cc_chain_rounds":$chainRounds,""" +
         s""""cc_giant_nodes":$giantNodes,"cc_giant_rounds":$giantRounds,""" +
         s""""cc_giant_largest":$giantMax,""" +
+        s""""kcore_onion_rounds":$onionRounds,"kcore_chain_capped_left":$kchainLeft,""" +
+        s""""kmeans_n":$kmN,"kmeans_clusters":${kmStats.getLong(1)},""" +
         s""""sketch_hll_state_rows":$hllStateRows,"sketch_hll_est":$hllEst,""" +
         s""""sketch_hll_exact":$hllExact,"sketch_kmv_jaccard_ppm":$kmvJ,""" +
         s""""sketch_kmv_est_union":$kmvU,"sketch_cms_counter_rows":$cmsRows,""" +

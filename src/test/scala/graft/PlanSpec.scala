@@ -708,6 +708,37 @@ class PlanSpec extends SparkSpec {
       s"no global sort for a k-row result:\n$pr")
   }
 
+  test("kmeans: centroids broadcast into the corpus pass; argmin is an aggregation, not a window") {
+    val p = plan("q_cluster_kmeans")
+    // the N·k distance relation exists only inside the broadcast
+    // nest-loop stage; a CartesianProduct would shuffle it, a Window
+    // would shuffle AND sort it
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid table must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no data-sized cross product:\n$p")
+    assert(!p.contains("Window"), s"argmin must be min(struct) aggregation, not a window:\n$p")
+    // the argmin is partial+final SortAggregate around exactly one
+    // exchange (struct buffers aren't hash-aggregable); the centroid
+    // refinement rounds hide behind the per-round lazy localCheckpoints
+    // (visible as the broadcast ExistingRDD build side)
+    assert(p.contains("SortAggregate"),
+      s"min(struct) argmin should plan as SortAggregate:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"final centroids should come from the checkpointed round frame:\n$p")
+  }
+
+  test("kCore: the surviving-core degree count is a partial-combined aggregation") {
+    // the iterative peel rounds hide behind per-round localCheckpoints
+    // (same log-lineage trick as PageRank); the visible plan is the final
+    // degree aggregation over the checkpointed edge relation
+    val p = plan("q_graph_kcore")
+    assert(p.contains("HashAggregate"), s"degree count must hash-aggregate:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final degree aggregation around one exchange:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"no window or cross product in the core-degree plan:\n$p")
+  }
+
   test("token-budget selection: corpus joins the score-domain cumsum by broadcast") {
     val p = plan("q_curate_budget")
     assert(p.contains("BroadcastHashJoin"),
