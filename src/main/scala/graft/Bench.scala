@@ -158,8 +158,16 @@ object Bench {
       // sf10 ladder measured 45.9 s for a query that runs in 4.4 s in a
       // clean JVM. Dataset-level caches (the memoized comparison engine)
       // are deliberately kept: first compare query pays construction.
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .filter(_.isCheckpointed).foreach(_.unpersist(blocking = false))
+      // BLOCKING, so block eviction lands in this untimed gap — async
+      // unpersist after the kcore/pagerank checkpoint piles ran inside the
+      // NEXT measured query and tripled the sub-second join rows that
+      // alphabetically follow the graph family. A GC nudge then lets the
+      // ContextCleaner reap the finished query's orphaned shuffle files
+      // instead of letting 135 queries' worth pile up on /tmp.
+      val orphaned = spark.sparkContext.getPersistentRDDs.valuesIterator
+        .filter(_.isCheckpointed).toList
+      orphaned.foreach(_.unpersist(blocking = true))
+      if (orphaned.nonEmpty) System.gc()
       mirror(complete = false)
     }
     mirror(complete = true)

@@ -1626,6 +1626,15 @@ object Queries {
     "q_graph_kcore" -> ((s, d) =>
       graft.operators.Graphs.kCore(partEdges(s, d), "pa", "pb", k = 80)),
 
+    // link-based curation reach: min hop distance (≤ 3) from the size-1
+    // parts to everything they co-occur with, level-synchronous frontier
+    // expansion — the oracle replays the hops unrolled as SQL; seeds count
+    // as hops 0 even when isolated, nodes beyond 3 hops are absent
+    "q_graph_bfs" -> ((s, d) =>
+      graft.operators.Graphs.bfsHops(partEdges(s, d), "pa", "pb",
+        load(s, d, "part").filter(col("p_size") === 1), "p_partkey",
+        maxHops = 3)),
+
     // association rules over order baskets: which parts co-occur in an
     // order beyond chance — 2-itemset A-priori pass with in-row pair
     // emission, exact ppm confidence/lift; oracle re-derives pairs via a
@@ -2345,10 +2354,40 @@ object Queries {
        |  SELECT lo AS n FROM e$rounds UNION ALL SELECT hi FROM e$rounds) GROUP BY n""".stripMargin
   }
 
+  /** DuckDB replica of the bounded BFS (q_graph_bfs, 3 hops): the
+    * level-synchronous rounds unrolled — level h is first-reachable-in-h
+    * regardless of traversal order, so unrolling is exact. `NOT IN` is
+    * safe: seeds and canonical edges are null-filtered. Each level CTE is
+    * MATERIALIZED for the same reason as the k-core rounds (each is read
+    * by both the next frontier join and its anti-filter).
+    */
+  private val bfsOracleSql: String = {
+    val hops = 3
+    val rounds = (1 to hops).map { h =>
+      s"""d$h AS MATERIALIZED (SELECT node, hops FROM d${h - 1}
+         |  UNION ALL
+         |  SELECT node, ${h} AS hops FROM (
+         |    SELECT DISTINCT a.v AS node
+         |    FROM d${h - 1} f JOIN adj a ON a.u = f.node
+         |    WHERE f.hops = ${h - 1})
+         |  WHERE node NOT IN (SELECT node FROM d${h - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT x.i AS lo, y.i AS hi
+       |  FROM r x JOIN r y ON y.b = x.b AND x.i < y.i),
+       |adj AS MATERIALIZED (SELECT lo AS u, hi AS v FROM e
+       |  UNION ALL SELECT hi, lo FROM e),
+       |d0 AS MATERIALIZED (SELECT DISTINCT p_partkey AS node, 0 AS hops
+       |  FROM part WHERE p_size = 1 AND p_partkey IS NOT NULL),
+       |$rounds
+       |SELECT node, CAST(hops AS BIGINT) AS hops FROM d$hops""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_graph_pagerank" -> pageRankOracleSql,
     "q_cluster_kmeans" -> kmeansOracleSql,
     "q_graph_kcore" -> kCoreOracleSql,
+    "q_graph_bfs" -> bfsOracleSql,
 
     "q_sketch_hll" -> hllOracleSql,
     "q_sketch_kmv_overlap" -> kmvOverlapOracleSql,

@@ -113,6 +113,68 @@ object Graphs {
     (degrees(edges).select(col("n").as("node"), col("deg").as("core_deg")), round)
   }
 
+  /** Multi-source BFS: minimum hop distance from a seed set, bounded at
+    * `maxHops` — the link-based curation primitive ("keep documents within
+    * 2 hops of the trusted seeds", "how far does this spam ring reach").
+    * Frontier expansion is level-synchronous, which makes the result
+    * engine-replicable: level h is exactly the nodes first reachable in h
+    * hops, independent of traversal order, so the oracle can replay the
+    * rounds unrolled as SQL. Seeds are included at hops 0 whether or not
+    * they touch any edge (a valid query node is a valid answer); nodes
+    * beyond `maxHops` are ABSENT, never mislabeled.
+    *
+    * Scale shape, per hop: one equi-join of the CURRENT FRONTIER (not the
+    * accumulated distance set) against the bidirectional adjacency —
+    * frontier size bounds the shuffled probe side and AQE broadcasts a
+    * dwindling frontier — then one anti-join against the accumulated
+    * distances to keep only first visits. The adjacency is built once and
+    * `persist`ed (each hop re-reads it; re-deriving would re-run the whole
+    * upstream pair pipeline per hop, and lineage-backed persist lets an
+    * evicted partition recompute where a checkpoint could not); frontier
+    * and distance frames are `localCheckpoint`ed per hop to truncate the
+    * growing lineage. The driver sees one emptiness probe per hop, never
+    * node data. Output: `(node, hops)`.
+    */
+  def bfsHops(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops out of range: $maxHops")
+    val edges = canonicalEdges(pairs, aCol, bCol).persist()
+    val adj = edges.select(col("lo").as("u"), col("hi").as("v"))
+      .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      .persist()
+    adj.count() // materialize so edges can release and hops plan against the cache
+    edges.unpersist(false)
+    var dist = seeds
+      .filter(col(seedCol).isNotNull)
+      .select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var frontier = dist
+    var hop = 0L
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      val next = frontier.select(col("node").as("u"))
+        .join(adj, Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop + 1L))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+        hop += 1
+      }
+    }
+    adj.unpersist(false) // dist is checkpointed; nothing re-reads the cache
+    dist
+  }
+
   // (n, deg) over the canonical undirected edge relation
   private def degrees(edges: DataFrame): DataFrame =
     edges.select(col("lo").as("n"))

@@ -1532,6 +1532,45 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCore == refCore, s"core mismatch: got ${gotCore.size} ref ${refCore.size}")
   }
 
+  test("bfsHops: level-synchronous frontier matches brute-force min distance") {
+    import graft.operators.Graphs
+    // path 1-2-3-4-5 with a chord 1-3, pendant 5-6, isolated seed 99,
+    // unreachable island 10-11: seeds {1, 99}
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (5L, 6L),
+      (10L, 11L)).toDF("a", "b")
+    val seeds = Seq(1L, 99L).toDF("s")
+    val got = Graphs.bfsHops(g, "a", "b", seeds, "s", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    // 1: seed; 2,3: 1 hop (chord makes 3 one hop, not two); 4: 2; 5: 3;
+    // 6 is 4 hops — ABSENT; 99 isolated seed at 0; island absent
+    assert(got == Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L),
+      s"got $got")
+    // exhaustion stops early: maxHops far beyond the graph's reach
+    val full = Graphs.bfsHops(g, "a", "b", Seq(1L).toDF("s"), "s", maxHops = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L),
+      s"got $full")
+    // random graph vs brute-force BFS (order independence of levels)
+    val rng = new scala.util.Random(41)
+    val raw = (1 to 150).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val canon = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+    val adjRef = (canon ++ canon.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seedSet = Set(0L, 7L)
+    var ref = seedSet.map(_ -> 0L).toMap
+    var fr = seedSet
+    var h = 0L
+    while (fr.nonEmpty && h < 4) {
+      val nxt = fr.flatMap(n => adjRef.getOrElse(n, Nil)).filterNot(ref.contains)
+      h += 1
+      ref ++= nxt.map(_ -> h)
+      fr = nxt
+    }
+    val gotR = Graphs.bfsHops(canon.toDF("a", "b"), "a", "b",
+        seedSet.toSeq.toDF("s"), "s", maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotR == ref, s"random-graph mismatch: got ${gotR.size} ref ${ref.size}")
+  }
+
   test("pageRank matches an exact integer reference implementation") {
     import graft.operators.Graphs
     val rng = new scala.util.Random(13)

@@ -739,6 +739,18 @@ class PlanSpec extends SparkSpec {
       s"no window or cross product in the core-degree plan:\n$p")
   }
 
+  test("bfsHops: the hop rounds hide behind checkpoints; no window or cross product") {
+    // each frontier expansion is an equi-join + anti-join planned per
+    // round and truncated by localCheckpoint — the final plan is the
+    // checkpointed distance relation, with no residual window, cartesian,
+    // or full-graph re-derivation left visible
+    val p = plan("q_graph_bfs")
+    assert(p.contains("Scan ExistingRDD"),
+      s"final distances should come from the checkpointed round frame:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"no window or cross product in the BFS result plan:\n$p")
+  }
+
   test("token-budget selection: corpus joins the score-domain cumsum by broadcast") {
     val p = plan("q_curate_budget")
     assert(p.contains("BroadcastHashJoin"),
