@@ -161,13 +161,13 @@ object Bench {
       // BLOCKING, so block eviction lands in this untimed gap — async
       // unpersist after the kcore/pagerank checkpoint piles ran inside the
       // NEXT measured query and tripled the sub-second join rows that
-      // alphabetically follow the graph family. A GC nudge then lets the
-      // ContextCleaner reap the finished query's orphaned shuffle files
-      // instead of letting 135 queries' worth pile up on /tmp.
-      val orphaned = spark.sparkContext.getPersistentRDDs.valuesIterator
-        .filter(_.isCheckpointed).toList
-      orphaned.foreach(_.unpersist(blocking = true))
-      if (orphaned.nonEmpty) System.gc()
+      // alphabetically follow the graph family. NO System.gc() here: a
+      // full GC lets G1 uncommit the heap it pre-touched, and re-faulting
+      // it on this host's pathological page-fault path inflated whichever
+      // allocation-heavy query ran next 3-6x (measured: decontaminate
+      // 1.2 -> 7.0 s directly after a gc fire).
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .filter(_.isCheckpointed).foreach(_.unpersist(blocking = true))
       mirror(complete = false)
     }
     mirror(complete = true)
