@@ -1300,6 +1300,14 @@ object Queries {
         .toDF()
         .select("media_id", "width", "height", "channels", "n_bytes")),
 
+    // video-shaped frame sampling through the multimodal plumbing: the
+    // deterministic metadata-derived frame count explodes into stride-3
+    // frame indices (a real pipeline emits frame payloads in this shape)
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.attachPayload(docs(s, d), "doc_id", "text"), stride = 3)
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"))),
+
     // REAL codec through the gate: deterministic constant-gray PNGs are
     // encoded AND decoded by javax.imageio inside the query, so the oracle
     // (which computes the same dims/luma closed-form from the id) checks the
@@ -1340,6 +1348,14 @@ object Queries {
       graft.operators.Temporal.rollingDistinct(
           graft.sources.Events.load(s, d), "ts", "user_id", days = 7)
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))),
+
+    // retention triangle: cohort users by first active day, count distinct
+    // users per (cohort, day-offset) — one user-keyed collect_set
+    // aggregation, cohort = array_min of the set, no self-join
+    "q_events_retention" -> ((s, d) =>
+      graft.operators.Temporal.retentionCohorts(
+        graft.sources.Events.load(s, d), "user_id", "ts_ns",
+        bucketNs = 86400000000000L)),
 
     // Streaming-equivalent windowed aggregation (same plan shape the
     // streaming job runs; batch here so the oracle can check it)
@@ -4154,6 +4170,16 @@ object Queries {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS payload_sha FROM documents""".stripMargin,
 
+    // frame-count replica: n_frames = n_bytes // 100 + 1 (the engine's
+    // double division + int truncation agrees for the non-negative sizes
+    // here), stride-3 indices via range (exclusive end ≡ Spark's
+    // inclusive sequence to n_frames-1 on the stride grid)
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) // 100 + 1 AS n_frames FROM documents)
+        |SELECT media_id, CAST(unnest(range(0, n_frames, 3)) AS BIGINT) AS frame_no
+        |FROM m""".stripMargin,
+
     "q_dedup_embedding" ->
       """WITH t AS (SELECT vec_id, label,
         |    list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE)*100000000) AS BIGINT)) AS ql
@@ -4187,6 +4213,18 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // retention replica, re-derived relationally: distinct (user, day)
+    // pairs, cohort = per-user min day via join (the engine uses a
+    // per-user set instead — same cells, same distinct-user counts)
+    "q_events_retention" ->
+      """WITH ub AS (SELECT DISTINCT user_id AS u,
+        |    epoch_ns(ts) // 86400000000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT u, MIN(b) AS cb FROM ub GROUP BY 1)
+        |SELECT c.cb AS cohort_bucket, ub.b - c.cb AS offset_buckets,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM ub JOIN c ON c.u = ub.u GROUP BY 1, 2""".stripMargin,
 
     // same gap-fill semantics rebuilt with a span join: per-user hourly
     // counts left-joined onto each user's dense [min, max] hour series

@@ -98,6 +98,43 @@ object Temporal {
     * mix. With `tolerance` the ts columns must be numeric: matches older
     * than `leftTs − tolerance` (exclusive) are nulled out, rows kept.
     */
+  /** Retention cohorts: bucket every actor by its FIRST active time bucket
+    * (the cohort), then count distinct actors per (cohort, offset) cell —
+    * the classic "of the users who arrived in week W, how many were still
+    * active k weeks later" triangle, the engagement readout every event
+    * log eventually needs.
+    *
+    * Scale shape — no self-join, ONE wide shuffle: raw events collapse to
+    * per-user active-bucket SETS in a single user-keyed aggregation
+    * (collect_set partial-combines map-side, so shuffle volume is distinct
+    * (user, bucket) pairs, not raw events), the cohort is `array_min` of
+    * the set (no second aggregation, no cohort join back), and a narrow
+    * explode feeds the final (cohort, offset) count — whose input rows are
+    * distinct per (user, bucket) BY CONSTRUCTION, so a plain count IS the
+    * distinct-user count. Per-user state is bounded by the calendar (a
+    * user can occupy at most #buckets-in-history cells), which is what
+    * keeps the aggregation safe at 100 TB of events.
+    *
+    * Output: `(cohort_bucket, offset_buckets, n_users)`; offset 0 is the
+    * cohort's own size.
+    */
+  def retentionCohorts(
+      df: DataFrame,
+      keyCol: String,
+      tsNsCol: String,
+      bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    df.filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
+      .select(col(keyCol).as("__u"),
+        call_function("div", col(tsNsCol), lit(bucketNs)).as("__b"))
+      .groupBy("__u")
+      .agg(collect_set(col("__b")).as("__bs"))
+      .select(array_min(col("__bs")).as("__c"), explode(col("__bs")).as("__b"))
+      .groupBy(col("__c").as("cohort_bucket"),
+        (col("__b") - col("__c")).as("offset_buckets"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,

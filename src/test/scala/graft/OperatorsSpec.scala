@@ -45,6 +45,45 @@ class OperatorsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("retentionCohorts builds the distinct-user triangle; repeats within a bucket collapse") {
+    import graft.operators.Temporal
+    val day = 10L // tiny buckets keep the arithmetic legible
+    val ev = Seq(
+      // user 1: cohort bucket 0, returns in 1 and 3 (twice in 3 — one vote)
+      (1L, 5L), (1L, 12L), (1L, 30L), (1L, 35L),
+      // user 2: cohort 0 only
+      (2L, 9L),
+      // user 3: cohort 1, returns in 3 (offset 2)
+      (3L, 15L), (3L, 33L)
+    ).toDF("user_id", "ts_ns")
+    val got = Temporal.retentionCohorts(ev, "user_id", "ts_ns", bucketNs = day)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L), s"got $got")
+    // null users and timestamps drop, not crash
+    val withNulls = Seq((Some(1L), Some(5L)), (None, Some(7L)), (Some(2L), None))
+      .toDF("user_id", "ts_ns")
+    val g2 = Temporal.retentionCohorts(withNulls, "user_id", "ts_ns", bucketNs = day)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(g2 == Set((0L, 0L, 1L)), s"got $g2")
+    // brute-force cross-check on random data: the set-based one-shuffle
+    // engine path vs a literal min-join reference
+    val rng = new scala.util.Random(17)
+    val raw = (1 to 400).map(_ => (rng.nextInt(25).toLong, rng.nextInt(200).toLong))
+    val ref = {
+      val pairs = raw.map { case (u, t) => (u, t / day) }.distinct
+      val cohort = pairs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      pairs.groupBy { case (u, b) => (cohort(u), b - cohort(u)) }.view
+        .mapValues(_.size.toLong).toMap
+    }
+    val gotR = Temporal.retentionCohorts(raw.toDF("user_id", "ts_ns"),
+        "user_id", "ts_ns", bucketNs = day)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(gotR == ref, s"random mismatch: got ${gotR.size} ref ${ref.size}")
+  }
+
   test("rollingDistinctApprox tracks the exact path within HLL error on real event data") {
     import graft.operators.Temporal
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -739,6 +739,20 @@ class PlanSpec extends SparkSpec {
       s"no window or cross product in the core-degree plan:\n$p")
   }
 
+  test("retention: per-user set aggregation, explode, final count — no cohort self-join") {
+    val p = plan("q_events_retention")
+    // the whole point: cohort comes from array_min of the per-user set,
+    // never from a min-aggregate joined back onto the pairs
+    assert(!p.contains("Join"), s"retention must not self-join on user:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"collect_set should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("Generate"), s"explode of the bucket set missing:\n$p")
+    // partial+final around the user shuffle, partial+final around the
+    // (cohort, offset) shuffle — and nothing else wide
+    assert(p.linesIterator.count(l => l.contains("- Exchange")) == 2,
+      s"expected exactly two exchanges (user agg + final count):\n$p")
+  }
+
   test("bfsHops: the hop rounds hide behind checkpoints; no window or cross product") {
     // each frontier expansion is an equi-join + anti-join planned per
     // round and truncated by localCheckpoint — the final plan is the
