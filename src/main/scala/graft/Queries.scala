@@ -578,6 +578,19 @@ object Queries {
     // both the row checksum and the per-column predicate)
     "q_compare_struct" -> ((s, d) => compareStructResult(s, d).rowLvlTestReport),
 
+    // the 100 TB triage mode: per-bucket (count, additive sha-fingerprint)
+    // over the compare scenario's stable columns — which key slices differ
+    // at all, in one map-side-combined aggregation per side (double column
+    // excluded: float string forms are not engine-stable)
+    "q_compare_fingerprint" -> ((s, d) => {
+      val (src, tgt) = compareScenario(s, d)
+      graft.core.Fingerprint.fingerprintDiff(
+        src.drop("o_totalprice"), tgt.drop("o_totalprice"),
+        Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"),
+        buckets = 64)
+    }),
+
     "q_compare_overall" -> ((s, d) =>
       compareResult(s, d).overallTestReport.select(
         col("dataset_name"),
@@ -2942,6 +2955,40 @@ object Queries {
     "q_d1_dropdup" -> "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
 
     "q_d2_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    // fingerprint replica: same scenario CTEs (minus the price column the
+    // query excludes), same '0x'+sha256-prefix row hash, same bucket mod,
+    // exact DECIMAL(38,0) sums — one wrong byte in the concat order, hash
+    // width, or null handling breaks the hash match
+    "q_compare_fingerprint" ->
+      """WITH src AS (SELECT * FROM orders WHERE o_orderkey % 19 != 0),
+        |t0 AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 13 != 0),
+        |tgt AS (SELECT * FROM t0 UNION ALL SELECT * FROM t0
+        |        WHERE o_orderkey % 1000 = 17 AND o_orderkey % 7 != 0
+        |          AND o_orderkey % 11 != 0 AND o_orderkey % 23 != 0),
+        |sf AS (SELECT
+        |    CAST(concat('0x', substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS src_rows,
+        |    CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |      CAST(o_orderdate AS VARCHAR), o_orderpriority)), 1, 15)) AS BIGINT))
+        |      AS DECIMAL(38,0)) AS src_fp
+        |  FROM src GROUP BY 1),
+        |tf AS (SELECT
+        |    CAST(concat('0x', substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS tgt_rows,
+        |    CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |      CAST(o_orderdate AS VARCHAR), o_orderpriority)), 1, 15)) AS BIGINT))
+        |      AS DECIMAL(38,0)) AS tgt_fp
+        |  FROM tgt GROUP BY 1)
+        |SELECT COALESCE(sf.bucket, tf.bucket) AS bucket,
+        |  COALESCE(src_rows, 0) AS src_rows, COALESCE(tgt_rows, 0) AS tgt_rows,
+        |  (src_rows IS NOT DISTINCT FROM tgt_rows
+        |   AND src_fp IS NOT DISTINCT FROM tgt_fp) AS bucket_match
+        |FROM sf FULL OUTER JOIN tf ON tf.bucket = sf.bucket""".stripMargin,
 
     "q_compare_row_lvl" ->
       (cmpCte +

@@ -373,6 +373,35 @@ class ComparisonSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("bucket fingerprints: identical tables all-match; every mutation class flips only its bucket") {
+    import graft.core.Fingerprint
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val base = (1L to 500L).map(k => (k, s"v$k", s"p${k % 5}")).toDF("k", "v", "p")
+    val same = Fingerprint.fingerprintDiff(base, base, Seq("k"), Seq("v", "p"), buckets = 16)
+      .collect()
+    assert(same.nonEmpty && same.forall(_.getAs[Boolean]("bucket_match")),
+      "identical tables must match in every bucket")
+    // value change, dropped key, injected duplicate: each dirties exactly
+    // the mutated keys' buckets, and counts localize the drop/dup cases
+    val mutated = base
+      .withColumn("v", when(col("k") === 7L, lit("CHANGED")).otherwise(col("v")))
+      .filter(col("k") =!= 123L)
+      .union(base.filter(col("k") === 200L))
+    val diff = Fingerprint.fingerprintDiff(base, mutated, Seq("k"), Seq("v", "p"), buckets = 16)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("src_rows"), r.getAs[Long]("tgt_rows"), r.getAs[Boolean]("bucket_match"))))
+      .toMap
+    val bad = diff.collect { case (b, (_, _, false)) => b }.toSet
+    assert(bad.size <= 3 && bad.nonEmpty, s"at most one bucket per mutated key: $diff")
+    val dropBuckets = diff.collect { case (b, (s, t, _)) if s == t + 1 => b }
+    val dupBuckets = diff.collect { case (b, (s, t, _)) if t == s + 1 => b }
+    assert(dropBuckets.size == 1 && dupBuckets.size == 1,
+      s"count deltas must localize the dropped and duplicated keys: $diff")
+    // a value-only change leaves counts equal but the fingerprint differs
+    assert(diff.exists { case (_, (s, t, m)) => s == t && !m },
+      s"the value mutation must flip a count-equal bucket: $diff")
+  }
+
   test("randomized perturbation property: reports match a naive driver-side model (seeded)") {
     // The golden fixture pins ONE scenario; this pins the count semantics
     // on a seeded random corpus against an independent collections-based

@@ -739,6 +739,20 @@ class PlanSpec extends SparkSpec {
       s"no window or cross product in the core-degree plan:\n$p")
   }
 
+  test("fingerprint compare: per-side partial+final aggregation; no raw-row join") {
+    val p = plan("q_compare_fingerprint")
+    // each side collapses to <= buckets rows BEFORE the join — the raw
+    // tables must never meet; the only join input is aggregate output
+    assert(p.linesIterator.count(_.contains("- HashAggregate")) >= 4,
+      s"expected partial+final fingerprint aggregation on both sides:\n$p")
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin"))
+      .orElse(p.linesIterator.find(_.contains("ShuffledHashJoin")))
+    assert(joinLine.isDefined && joinLine.get.contains("FullOuter"),
+      s"bucket verdicts need a full-outer join of the two fingerprint tables:\n$p")
+    // column pruning: the 9-column orders scan reads only the 5 hashed cols
+    assert(!p.contains("o_totalprice"), s"excluded price column must not be read:\n$p")
+  }
+
   test("retention: per-user set aggregation, explode, final count — no cohort self-join") {
     val p = plan("q_events_retention")
     // the whole point: cohort comes from array_min of the per-user set,
