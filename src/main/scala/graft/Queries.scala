@@ -1723,6 +1723,80 @@ object Queries {
         .select("doc_id", "n_chars", "n_tokens")
     }),
 
+    // per-source document cap: at most 2000 events per type survive, as a
+    // deterministic hash-ranked uniform sample — the slice/boundary split
+    // means only the single boundary slice (~1/256th of an over-cap
+    // source) ever sorts; the oracle's naive global row_number pins the
+    // exact kept set, so a wrong slice cut or boundary rank breaks the hash
+    "q_curate_source_cap" -> ((s, d) =>
+      Curation.capPerSource(
+        graft.sources.Events.load(s, d).select("event_id", "event_type", "value"),
+        "event_type", "event_id", maxPerSource = 2000L, salt = "cap")),
+
+    // winsorized robust stats: discrete rank-quantile clip bounds on the
+    // cents grid (integer ceil-division ranks — n·0.05 in doubles can ceil
+    // one rank high), exact integer sums, one double division at the end
+    "q_events_winsorize" -> ((s, d) =>
+      graft.core.Profiling.winsorizedStats(
+        graft.sources.Events.load(s, d).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", "event_id", loPct = 5, hiPct = 95)),
+
+    // approximate functional-dependency discovery: is lhs a key for rhs —
+    // one two-level hash aggregation per candidate pair, integer-ppm
+    // confidence; o_orderkey→o_custkey is exact (PK), the others are not
+    "q_profile_fds" -> ((s, d) =>
+      graft.core.Profiling.functionalDependencies(ord(s, d), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus")))),
+
+    // cluster canonicalization by QUALITY: chains base — shortened copy —
+    // extended copy, quality = text length; the EXTENDED copy (max id,
+    // longest text) must win its component, proving the argmax is real
+    // selection, not dropNearDuplicates' min-id shortcut
+    "q_dedup_canonical" -> ((s, d) => {
+      val base = docs(s, d).filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val aug = base
+        .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"),
+          substring(col("text"), 1, 50).as("text")))
+        .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" extra extra pad")).as("text")))
+        .withColumn("q", length(col("text")).cast("long"))
+      val pairs = base
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000L).as("doc_b"))
+        .unionByName(base
+          .select((col("doc_id") + 100000L).as("doc_a"), (col("doc_id") + 200000L).as("doc_b")))
+      Dedup.canonicalizeClusters(aug, "doc_id", "q", pairs)
+    }),
+
+    // incremental component maintenance: history = chain (id)-(id+100000),
+    // batch = bridge (id+100000)-(id+200000) + brand-new pair
+    // (id+300000)-(id+400000); the contracted graph sees only batch
+    // endpoints, history is relabeled by one bounded join — final
+    // components are closed-form in id arithmetic for the oracle
+    "q_dedup_components_incr" -> ((s, d) => {
+      val ids = docs(s, d).filter(col("doc_id") % 10 === 0).select("doc_id")
+      val oldPairs = ids
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000L).as("doc_b"))
+      val batch = ids
+        .select((col("doc_id") + 100000L).as("doc_a"), (col("doc_id") + 200000L).as("doc_b"))
+        .unionByName(ids.select((col("doc_id") + 300000L).as("doc_a"),
+          (col("doc_id") + 400000L).as("doc_b")))
+      Dedup.incrementalComponents(
+        Dedup.connectedComponents(oldPairs, "doc_a", "doc_b"), batch)
+    }),
+
+    // per-group top-k WITHOUT a window sort: bounded-heap aggregate
+    // (LongTopK) with map-side partials — the oracle's naive global
+    // row_number pins both the kept set and the (ord DESC, id ASC) ranks
+    "q_group_topk" -> ((s, d) =>
+      graft.operators.TopK.groupTopK(
+        graft.sources.Events.load(s, d)
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+            col("event_id")),
+        Seq("event_type"), "cents", "event_id", k = 10)),
+
     // deterministic contrastive negatives: 3 hash-ring rotations give every
     // doc exactly 3 negatives AND exactly 3 appearances as a negative —
     // reproducible under retry (no rand()), self-pairs impossible; the
@@ -2562,6 +2636,105 @@ object Queries {
         |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
         |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
         |SELECT doc_id, n_chars, n_tokens FROM c WHERE cum <= 200000""".stripMargin,
+
+    // per-source cap replica: the naive global row_number the engine's
+    // slice/boundary decomposition must reproduce exactly
+    "q_curate_source_cap" ->
+      """SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR) || ':cap'), 1, 15)) AS BIGINT),
+        |        event_id) AS rn
+        |  FROM events) WHERE rn <= 2000""".stripMargin,
+
+    // winsorize replica: same integer ceil-division ranks, same cents
+    // grid, same discrete clip bounds
+    "q_events_winsorize" ->
+      """WITH v AS (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |b AS (SELECT event_type,
+        |    MIN(CASE WHEN rn = GREATEST((n * 5 + 99) // 100, 1) THEN cents END) AS lo_cents,
+        |    MIN(CASE WHEN rn = GREATEST((n * 95 + 99) // 100, 1) THEN cents END) AS hi_cents
+        |  FROM r GROUP BY 1)
+        |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(lo_cents) AS lo_cents, MIN(hi_cents) AS hi_cents,
+        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_cents,
+        |  CAST(CAST(SUM(LEAST(GREATEST(cents, lo_cents), hi_cents)) AS BIGINT) AS DOUBLE)
+        |    / COUNT(*) AS winsorized_mean_cents
+        |FROM v JOIN b USING (event_type) GROUP BY 1""".stripMargin,
+
+    // FD replica: per-pair fan-out CTEs; FLOOR before the BIGINT cast on
+    // both sides (Spark's double→long cast truncates, DuckDB's rounds)
+    "q_profile_fds" ->
+      """WITH f1 AS (SELECT COUNT(DISTINCT o_custkey) AS fan FROM orders GROUP BY o_orderkey),
+        |f2 AS (SELECT COUNT(DISTINCT o_orderstatus) AS fan FROM orders GROUP BY o_custkey),
+        |f3 AS (SELECT COUNT(DISTINCT o_orderstatus) AS fan FROM orders GROUP BY o_orderpriority)
+        |SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lhs_distinct,
+        |  CAST(COALESCE(SUM(fan), 0) AS BIGINT) AS n_pairs_distinct,
+        |  CAST(COALESCE(MAX(fan), 0) AS BIGINT) AS max_rhs_per_lhs,
+        |  COALESCE(MAX(fan), 0) <= 1 AS exact_fd,
+        |  CASE WHEN COALESCE(SUM(fan), 0) > 0 THEN CAST(FLOOR(
+        |    CAST(COUNT(*) AS BIGINT) * 1000000 / CAST(SUM(fan) AS BIGINT)) AS BIGINT) END AS conf_ppm
+        |FROM f1
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(fan), 0) AS BIGINT), CAST(COALESCE(MAX(fan), 0) AS BIGINT),
+        |  COALESCE(MAX(fan), 0) <= 1,
+        |  CASE WHEN COALESCE(SUM(fan), 0) > 0 THEN CAST(FLOOR(
+        |    CAST(COUNT(*) AS BIGINT) * 1000000 / CAST(SUM(fan) AS BIGINT)) AS BIGINT) END
+        |FROM f2
+        |UNION ALL
+        |SELECT 'o_orderpriority', 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(fan), 0) AS BIGINT), CAST(COALESCE(MAX(fan), 0) AS BIGINT),
+        |  COALESCE(MAX(fan), 0) <= 1,
+        |  CASE WHEN COALESCE(SUM(fan), 0) > 0 THEN CAST(FLOOR(
+        |    CAST(COUNT(*) AS BIGINT) * 1000000 / CAST(SUM(fan) AS BIGINT)) AS BIGINT) END
+        |FROM f3""".stripMargin,
+
+    // canonicalization replica: components are closed-form (base = id mod
+    // 100000 for the synthetic chains), argmax via row_number over
+    // (quality DESC, id) — rn = 1 is the canonical member
+    "q_dedup_canonical" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
+        |aug AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 100000, substr(text, 1, 50) FROM base
+        |  UNION ALL SELECT doc_id + 200000, text || ' extra extra pad' FROM base),
+        |m AS (SELECT doc_id % 100000 AS component, doc_id,
+        |    CAST(length(text) AS BIGINT) AS q FROM aug),
+        |r AS (SELECT component, doc_id, q,
+        |    row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY component) AS n
+        |  FROM m)
+        |SELECT CAST(component AS BIGINT) AS component, doc_id AS canonical_id,
+        |  q AS best_quality, CAST(n AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // incremental-components replica: the final labeling is closed-form —
+    // copies 0/1/2 of each base id merge into component = base id, the
+    // brand-new 3/4 pair labels to its min (base id + 300000)
+    "q_dedup_components_incr" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id AS node, doc_id AS component FROM ids
+        |UNION ALL SELECT doc_id + 100000, doc_id FROM ids
+        |UNION ALL SELECT doc_id + 200000, doc_id FROM ids
+        |UNION ALL SELECT doc_id + 300000, doc_id + 300000 FROM ids
+        |UNION ALL SELECT doc_id + 400000, doc_id + 300000 FROM ids""".stripMargin,
+
+    // group-topk replica: the naive full-sort row_number the heap
+    // aggregate must reproduce exactly, ties to smaller event_id
+    "q_group_topk" ->
+      """SELECT event_type, rank, cents, event_id FROM (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS BIGINT) AS rank
+        |  FROM events WHERE value IS NOT NULL) WHERE rank <= 10""".stripMargin,
 
     // hash-ring negative sampling replica: ranks from a window (fine at
     // oracle scale), offsets from the same "i:salt" sha recipe, rotation

@@ -357,4 +357,122 @@ object Profiling {
           (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
             col("__n").cast("double")).as("intercept"): _*)
   }
+
+  /** Approximate functional-dependency discovery over candidate column
+    * pairs — the schema-inference profile behind "is `lhs` a key for
+    * `rhs`?" (PK candidates, denormalization checks, join-key validation
+    * before a Comparison run). For each `(lhs, rhs)` pair:
+    *
+    *  - `n_lhs_distinct`  — distinct non-degenerate lhs groups,
+    *  - `n_pairs_distinct` — distinct (lhs, rhs) combinations,
+    *  - `max_rhs_per_lhs` — worst-case rhs fan-out under one lhs value,
+    *  - `exact_fd`        — true iff every lhs value maps to exactly one
+    *    rhs (fan-out 1 everywhere),
+    *  - `conf_ppm`        — n_lhs_distinct·10⁶ / n_pairs_distinct as an
+    *    INTEGER ppm (10⁶ = exact FD; lower = more violating lhs groups).
+    *    Integer division keeps the column oracle-exact.
+    *
+    * NULL handling is relational: a NULL lhs forms its own group (GROUP BY
+    * semantics) and NULL rhs values don't count toward the fan-out
+    * (COUNT(DISTINCT) semantics) — an lhs group whose rhs is always NULL
+    * has fan-out 0 and cannot violate the FD.
+    *
+    * Scale shape: one `groupBy(lhs).agg(countDistinct(rhs))` + a scalar
+    * roll-up per pair — each is a two-level hash aggregation with map-side
+    * partial de-duplication, no window, no sort, no data collected. Pairs
+    * run as independent jobs over the same scan (each prunes to its own 2
+    * columns); at 100 TB profile a few pairs per pass rather than the full
+    * p² grid.
+    */
+  def functionalDependencies(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "pairs must be non-empty")
+    pairs.map { case (l, r) =>
+      df.groupBy(col(l))
+        .agg(countDistinct(col(r)).as("__fanout"))
+        .agg(
+          count(lit(1)).as("__n_lhs"),
+          coalesce(sum(col("__fanout")), lit(0L)).as("__n_pairs"),
+          coalesce(max(col("__fanout")), lit(0L)).as("__max_fan"))
+        .select(
+          lit(l).as("lhs"),
+          lit(r).as("rhs"),
+          col("__n_lhs").cast("long").as("n_lhs_distinct"),
+          col("__n_pairs").cast("long").as("n_pairs_distinct"),
+          col("__max_fan").cast("long").as("max_rhs_per_lhs"),
+          (col("__max_fan") <= 1).as("exact_fd"),
+          // floor() explicitly: Spark's double→long cast truncates but
+          // DuckDB's ROUNDS, so the truncation must happen before the cast
+          // on both sides for the ppm grid to hash-match
+          when(col("__n_pairs") > 0,
+            floor(col("__n_lhs").cast("long") * lit(1000000L) / col("__n_pairs").cast("long")))
+            .cast("long").as("conf_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Winsorized (clipped) robust statistics per group: clip `valCol` to
+    * the [lo, hi] RANK-quantile bounds of its group, then report the
+    * clipped mean next to the raw mean — the outlier-robust location
+    * estimate a metrics pipeline wants when a few rows are 1000× off.
+    *
+    * Quantiles are DISCRETE order statistics, not interpolated: the lo
+    * bound is the value at 1-based rank `ceil(n·loPct/100)` (floored to
+    * rank 1) in `(value, id)` order, likewise hi — every intermediate
+    * stays on the integer cents grid (the rank itself is computed with
+    * INTEGER ceil-division, `(n·pct + 99) / 100`, because `n * 0.05` in
+    * IEEE doubles can ceil one rank higher than the exact decimal), so
+    * sums are exact and the final means are single deterministic double
+    * divisions. Ties break by `idCol`, making the bound total and
+    * reproducible.
+    *
+    * Output: `(keys…, n, lo_cents, hi_cents, mean_cents, winsorized_mean_cents)`.
+    *
+    * Scale shape: one window (`row_number` per group, the unavoidable sort
+    * behind an EXACT order statistic) + one hash agg. The sort is per
+    * group and spills; for 100 TB-scale groups swap the bound computation
+    * for `percentile_approx` and keep the clip/agg stages unchanged.
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      keys: Seq[String],
+      valCol: String,
+      idCol: String,
+      loPct: Int = 5,
+      hiPct: Int = 95): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(loPct >= 0 && hiPct <= 100 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 100, got $loPct, $hiPct")
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col(valCol) * 100).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__cents"), col(idCol))
+    val ranked = df
+      .filter(col(valCol).isNotNull)
+      .withColumn("__cents", cents)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    // ceil(n·pct/100) in pure integer arithmetic: (n·pct + 99) div 100
+    def ceilRank(pct: Int) =
+      greatest(floor((col("__n") * lit(pct.toLong) + lit(99L)) / lit(100L)).cast("long"), lit(1L))
+    val loRank = ceilRank(loPct)
+    val hiRank = ceilRank(hiPct)
+    val bounds = ranked
+      .withColumn("__lo_rank", loRank)
+      .withColumn("__hi_rank", hiRank)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min(when(col("__rn") === col("__lo_rank"), col("__cents"))).as("lo_cents"),
+        min(when(col("__rn") === col("__hi_rank"), col("__cents"))).as("hi_cents"))
+    // no explicit broadcast hint: bounds has one row per GROUP, which is
+    // small for low-cardinality keys but not by contract (per-user keys)
+    // — let AQE size it, as semanticDecontaminate's anti-join does
+    ranked
+      .join(bounds, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        (sum(col("__cents")).cast("double") / count(lit(1))).as("mean_cents"),
+        (sum(least(greatest(col("__cents"), col("lo_cents")), col("hi_cents")))
+          .cast("double") / count(lit(1))).as("winsorized_mean_cents"))
+  }
 }

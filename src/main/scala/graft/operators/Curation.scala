@@ -198,4 +198,55 @@ object Curation {
       .drop("__run")
     fullBuckets.union(boundary).drop("__cum", "__prev")
   }
+
+  /** Per-source document cap — the crawl-pipeline guard against one domain
+    * dominating the corpus: keep at most `maxPerSource` rows per
+    * `srcCol`, selected as a deterministic uniform sample (rows ranked by
+    * `hash60(id, salt)`, ties by id). Equivalent to
+    * `row_number() OVER (PARTITION BY source ORDER BY hash, id) <= K` —
+    * but computed WITHOUT sorting whole sources.
+    *
+    * Scale shape (the same cum/boundary split as [[selectTokenBudget]]):
+    * the hash's top 8 bits bucket each source into ≤256 ordered slices, a
+    * tiny per-(source, bucket) count table decides which slices are wholly
+    * kept / wholly dropped, and only the single BOUNDARY slice per
+    * over-cap source pays a `row_number` sort — 1/256th of the source, so
+    * a billion-doc domain sorts ~4M rows instead of 10⁹. Sources at or
+    * under the cap never touch a window at all (they pass a semi-join on
+    * the kept-slice table). The ordering inside a bucket extends the
+    * global hash order because the bucket IS the hash's leading byte.
+    */
+  def capPerSource(
+      df: DataFrame,
+      srcCol: String,
+      idCol: String,
+      maxPerSource: Long,
+      salt: String = "cap"): DataFrame = {
+    require(maxPerSource >= 1, s"maxPerSource must be >= 1, got $maxPerSource")
+    val reserved = Seq("__h", "__b", "__c", "__before", "__need", "__rn")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"input columns collide with capPerSource's scratch names — rename them first")
+    import org.apache.spark.sql.expressions.Window
+    val withH = df
+      .withColumn("__h", Sampling.hash60(col(idCol), salt))
+      .withColumn("__b", floor(col("__h") / lit(1L << 52)).cast("long")) // top 8 of 60 bits
+    val sliceCounts = withH.groupBy(col(srcCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val beforeWin = Window.partitionBy(col(srcCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = sliceCounts.withColumn("__before", coalesce(sum(col("__c")).over(beforeWin), lit(0L)))
+    val keepWhole = cuts
+      .filter(col("__before") + col("__c") <= maxPerSource)
+      .select(col(srcCol), col("__b"))
+    val boundary = cuts
+      .filter(col("__before") < maxPerSource && col("__before") + col("__c") > maxPerSource)
+      .select(col(srcCol), col("__b"), (lit(maxPerSource) - col("__before")).as("__need"))
+    val keptWhole = withH.join(keepWhole, Seq(srcCol, "__b"), "left_semi")
+    val bucketWin = Window.partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
+    val keptBoundary = withH
+      .join(boundary, Seq(srcCol, "__b"))
+      .withColumn("__rn", row_number().over(bucketWin))
+      .filter(col("__rn") <= col("__need"))
+      .drop("__rn", "__need")
+    keptWhole.unionByName(keptBoundary).drop("__h", "__b")
+  }
 }

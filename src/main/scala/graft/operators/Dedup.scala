@@ -1132,4 +1132,133 @@ object Dedup {
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Per-component canonical selection by QUALITY: for each pair-graph
+    * component, pick the member with the highest `qualityCol` (ties break
+    * to the smallest id, so the choice is total and deterministic). Output
+    * is one row per component: `(component, canonical_id, best_quality,
+    * n_members)`.
+    *
+    * This is the dedup endgame a curation pipeline actually wants: min-id
+    * survivors ([[dropNearDuplicates]]) keep whichever copy crawled first,
+    * but near-dup families usually contain one clean original and N
+    * mutilated mirrors — keeping the best-scoring member preserves corpus
+    * quality for free.
+    *
+    * Scale shape: the component labels carry only ids, so the quality join
+    * ships (id, quality) — never text — and the per-component argmax is a
+    * single hash aggregation with map-side combine (a `min` over a
+    * `(-quality, id)` struct; no window, no per-group sort). Everything
+    * downstream of [[connectedComponents]] is one shuffle on `component`.
+    */
+  def canonicalizeClusters(
+      df: DataFrame,
+      idCol: String,
+      qualityCol: String,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame =
+    canonicalFromComponents(connectedComponents(pairs, aCol, bCol), df, idCol, qualityCol)
+
+  private def canonicalFromComponents(
+      components: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      qualityCol: String): DataFrame = {
+    val members = components
+      .join(df.select(col(idCol).as("node"), col(qualityCol).as("__q")), Seq("node"))
+    // argmax(quality) with min-id tie-break == struct-min of (-quality, id):
+    // one aggregation, partial on the map side, no ordering shuffle.
+    members
+      .groupBy("component")
+      .agg(
+        min(struct((col("__q") * lit(-1)).as("nq"), col("node").as("id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("component"),
+        col("best.id").as("canonical_id"),
+        (col("best.nq") * lit(-1)).as("best_quality"),
+        col("n_members"))
+  }
+
+  /** Cluster-level near-dup dedup keeping the BEST-quality member of each
+    * component (ties → smallest id) instead of [[dropNearDuplicates]]'s
+    * min-id survivor. Rows not in any pair survive untouched. The loser
+    * set (clustered ids minus canonical ids) is bounded by the duplicate
+    * count, so the final anti-join broadcasts it under AQE — the corpus
+    * never shuffles.
+    */
+  def dropNearDuplicatesByQuality(
+      df: DataFrame,
+      idCol: String,
+      qualityCol: String,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val components = connectedComponents(pairs, aCol, bCol)
+    val canon = canonicalFromComponents(components, df, idCol, qualityCol)
+    val losers = components
+      .join(canon.select(col("component"), col("canonical_id")), Seq("component"))
+      .filter(col("node") =!= col("canonical_id"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental connected-components maintenance: fold a BATCH of new
+    * near-dup pairs into an existing `(node, component)` labeling without
+    * touching the historical pair graph — the companion to
+    * [[incrementalMinhashLinks]] for the daily-ingest corpus.
+    *
+    * Correctness rests on [[connectedComponents]]' labels being min-id
+    * canonical: contracting every historical component to its label node
+    * preserves connectivity, and the min label of a set of merged
+    * components IS the min node id of their union. So:
+    *
+    *  1. each new edge's endpoints are rewritten to their historical
+    *     component label (unseen nodes label themselves), dropping edges
+    *     that land inside one component;
+    *  2. components runs on that CONTRACTED graph — its size is bounded by
+    *     the BATCH edge count, independent of history;
+    *  3. history is relabeled by joining `component → merged root`, and
+    *     batch-only nodes take their contracted root directly.
+    *
+    * Output is exactly `connectedComponents(oldPairs ∪ newPairs)` (an
+    * OperatorsSpec case proves equivalence on randomized graphs). Scale
+    * shape: history is touched by two hash joins on bounded build sides —
+    * the batch endpoint set and the merged-root map (both O(|batch|), AQE
+    * broadcasts them) — so a 100 TB corpus pays one broadcast-relabel scan
+    * per day instead of re-running log-rounds propagation over every edge
+    * it has ever seen.
+    */
+  def incrementalComponents(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val edges = newPairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val labA = oldLabels.select(col("node").as("__a"), col("component").as("__ca"))
+    val labB = oldLabels.select(col("node").as("__b"), col("component").as("__cb"))
+    val contracted = edges
+      .join(labA, Seq("__a"), "left")
+      .join(labB, Seq("__b"), "left")
+      .select(
+        coalesce(col("__ca"), col("__a")).as("doc_a"),
+        coalesce(col("__cb"), col("__b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // merged: (old label | batch-only node) -> new min-id root; covers only
+    // labels whose components the batch actually touches
+    val merged = connectedComponents(contracted, "doc_a", "doc_b")
+      .select(col("node").as("component"), col("component").as("__root"))
+    val relabeledHistory = oldLabels
+      .join(merged, Seq("component"), "left")
+      .select(col("node"), coalesce(col("__root"), col("component")).as("component"))
+    val batchNodes = edges.select(col("__a").as("node"))
+      .union(edges.select(col("__b").as("node")))
+      .distinct()
+      .join(oldLabels.select("node"), Seq("node"), "left_anti")
+    val newNodeLabels = batchNodes
+      .join(merged.select(col("component").as("node"), col("__root")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__root"), col("node")).as("component"))
+    relabeledHistory.unionByName(newNodeLabels)
+  }
 }

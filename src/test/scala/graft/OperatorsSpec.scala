@@ -1748,4 +1748,141 @@ class OperatorsSpec extends SparkSpec {
     val gapLen = gaps.filter(_._1 == "a").map(g => g._3 - g._2).sum
     assert(spanLen + gapLen == 310L)
   }
+
+  test("canonicalizeClusters picks argmax quality, ties to min id") {
+    val frame = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // chain 1-2-3: 2 has best quality
+      (10L, 7L), (11L, 7L), // pair 10-11: quality tie → min id 10
+      (20L, 1L) // unclustered: never appears in output
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val canon = Dedup.canonicalizeClusters(frame, "doc_id", "q", pairs)
+      .orderBy("component")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(canon == Seq((1L, 2L, 99L, 3L), (10L, 10L, 7L, 2L)))
+  }
+
+  test("dropNearDuplicatesByQuality keeps best member + unclustered rows") {
+    val frame = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L),
+      (10L, 7L), (11L, 7L),
+      (20L, 1L)
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dropNearDuplicatesByQuality(frame, "doc_id", "q", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 10L, 20L)) // best of each cluster + the loner
+  }
+
+  test("capPerSource equals the naive per-source hash-rank top-K") {
+    import graft.operators.{Curation, Sampling}
+    import org.apache.spark.sql.expressions.Window
+    // one over-cap source (100 rows), one exactly-at-cap (10), one under (3)
+    val rows = (1L to 100L).map(i => (i, "big")) ++
+      (200L to 209L).map(i => (i, "atcap")) ++
+      (300L to 302L).map(i => (i, "small"))
+    val df = rows.toDF("id", "src")
+    val capped = Curation.capPerSource(df, "src", "id", maxPerSource = 10L, salt = "t")
+      .select("id").as[Long].collect().sorted.toSeq
+    // independent model: a global row_number sort per source
+    val naive = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(Sampling.hash60(col("id"), "t"), col("id"))))
+      .filter(col("rn") <= 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(capped == naive)
+    assert(capped.count(_ >= 300L) == 3) // under-cap source intact
+    assert(capped.count(i => i >= 200L && i <= 209L) == 10) // at-cap source intact
+    assert(capped.count(_ <= 100L) == 10) // over-cap source clipped to K
+  }
+
+  test("winsorizedStats clips at discrete rank quantiles on the cents grid") {
+    // group a: 1..19 plus an outlier; n=20 → loRank=ceil(20·5/100)=1,
+    // hiRank=ceil(20·95/100)=19 → clip to [1st, 19th] order statistic
+    val vals = (1 to 19).map(i => ("a", i.toLong, i.toDouble)) :+ (("a", 20L, 1000.0))
+    val out = graft.core.Profiling
+      .winsorizedStats(vals.toDF("k", "id", "v"), Seq("k"), "v", "id", loPct = 5, hiPct = 95)
+      .as[(String, Long, Long, Long, Double, Double)].head()
+    val (_, n, lo, hi, mean, wmean) = out
+    assert(n == 20L && lo == 100L && hi == 1900L)
+    assert(mean == ((1 to 19).map(_ * 100).sum + 100000L).toDouble / 20)
+    // outlier clipped to 1900 cents; all other values untouched
+    assert(wmean == ((1 to 19).map(_ * 100).sum + 1900L).toDouble / 20)
+  }
+
+  test("functionalDependencies: exact FD, violated FD, and NULL semantics") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(1), Some("x")), // lhs 1 → {x}: fan-out 1
+      (Some(2), Some("x")), (Some(2), Some("y")), // lhs 2 → {x,y}: violates
+      (Some(3), None), // rhs NULL: fan-out 0, cannot violate
+      (None, Some("z")) // NULL lhs is its own group
+    ).toDF("l", "r")
+    val rows = graft.core.Profiling.functionalDependencies(df, Seq(("l", "r")))
+      .as[(String, String, Long, Long, Long, Boolean, Option[Long])].collect().toSeq
+    assert(rows.size == 1)
+    val (_, _, nLhs, nPairs, maxFan, exact, ppm) = rows.head
+    // groups: 1, 2, 3, NULL → 4 lhs groups; distinct pairs: (1,x),(2,x),(2,y),(NULL,z)
+    assert(nLhs == 4L && nPairs == 4L && maxFan == 2L && !exact)
+    assert(ppm.contains(1000000L)) // 4·10⁶/4 — ppm alone can't see fan-out 0 groups
+  }
+
+  test("groupTopK equals the window row_number model, any partitioning") {
+    import graft.operators.TopK
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(41)
+    // heavy ties (ord drawn from 8 values), two keys, one group smaller than k
+    val rows = (1L to 400L).map(i =>
+      (if (i <= 395) "big" + (i % 2) else "tiny", rnd.nextInt(8).toLong - 3L, i))
+    val df = rows.toDF("k", "ord", "id")
+    val model = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("ord").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= 7)
+      .select("k", "rank", "ord", "id")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    for (parts <- Seq(1, 7)) {
+      val got = TopK.groupTopK(df.repartition(parts), Seq("k"), "ord", "id", k = 7)
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(got == model, s"parts=$parts")
+    }
+  }
+
+  test("groupTopK skips NULL ord rows and keeps whole under-k groups") {
+    import graft.operators.TopK
+    val df = Seq(
+      (Some(5L), 1L), (None, 2L), (Some(5L), 3L), (Some(1L), 4L)
+    ).toDF("ord", "id").withColumn("k", lit("g"))
+    val got = TopK.groupTopK(df, Seq("k"), "ord", "id", k = 10)
+      .select("rank", "ord", "id").as[(Long, Long, Long)].collect().toSeq.sorted
+    // NULL ord row never ranks; ties break to smaller id
+    assert(got == Seq((1L, 5L, 1L), (2L, 5L, 3L), (3L, 1L, 4L)))
+  }
+
+  test("incrementalComponents equals one-shot recompute on random graphs") {
+    val rnd = new scala.util.Random(73)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (oldE, newE) = edges.splitAt(edges.size / 2)
+      val oldLabels = Dedup.connectedComponents(oldE.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      val incr = Dedup.incrementalComponents(oldLabels, newE.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toSet
+      val full = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(incr == full, s"trial=$trial")
+    }
+  }
+
+  test("incrementalComponents: batch-only nodes, bridges, and inert edges") {
+    // history: {1,2} labeled 1, {10,11} labeled 10
+    val oldLabels = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    // batch: an edge INSIDE an old component (inert), a bridge 2-10 (merges
+    // both via contraction), and a brand-new pair 50-51
+    val incr = Dedup.incrementalComponents(
+      oldLabels, Seq((1L, 2L), (2L, 10L), (50L, 51L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(incr == Set((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L), (50L, 50L), (51L, 50L)))
+  }
 }
