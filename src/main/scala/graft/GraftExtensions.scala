@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CharBigrams, DoubleArrayDot, LongArrayDot, OovBigramCounts}
+import graft.functions.{CharBigrams, DoubleArrayDot, LongArrayDot, LongTopK, OovBigramCounts, UnicodeNormalize}
 
 /** SQL front-door for the codegen'd kernels: registers the two Catalyst
   * dot-product expressions in the session `FunctionRegistry`, so SQL-only
@@ -85,7 +85,33 @@ object GraftExtensions {
     (FunctionIdentifier("oov_bigram_counts"),
       info("oov_bigram_counts", classOf[OovBigramCounts],
         "oov_bigram_counts(s, vocab) - struct(n_bigrams, n_oov): total character bigrams of s and how many fall outside the vocab array<string>; NULL if either input is NULL."),
-      arity2("oov_bigram_counts")(OovBigramCounts(_, _))))
+      arity2("oov_bigram_counts")(OovBigramCounts(_, _))),
+    (FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize", classOf[UnicodeNormalize],
+        "unicode_normalize(s, form) - Unicode-normalize s to the literal form 'NFC'/'NFD'/'NFKC'/'NFKD'; NULL on NULL input. NFC before fingerprinting makes composed and decomposed encodings of the same text hash identically."),
+      { case Seq(s, f) if f.foldable && f.eval() != null =>
+          UnicodeNormalize(s, f.eval().toString)
+        case exprs =>
+          throw new IllegalArgumentException(
+            "unicode_normalize requires (string, form) with form a non-null string literal, " +
+              s"got ${exprs.length} argument(s)")
+      }),
+    (FunctionIdentifier("long_top_k"),
+      info("long_top_k", classOf[LongTopK],
+        "long_top_k(ord, id, k) - Aggregate: top-k (ord, id) bigint pairs per group by (ord DESC, id ASC), as array<struct<ord,id>> best-first. Bounded k-entry heap state with map-side partials - no group ever sorts. k must be a literal."),
+      { case Seq(ord, id, k) if k.foldable && k.eval() != null =>
+          val kv = k.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"long_top_k: k must be an integer literal, got $other")
+          }
+          LongTopK(ord, id, kv)
+        case exprs =>
+          throw new IllegalArgumentException(
+            "long_top_k requires (ord, id, k) with k a non-null integer literal, " +
+              s"got ${exprs.length} argument(s)")
+      }))
 
   /** Register the functions in an already-running session (equivalent to
     * having built it with the extension installed; idempotent — re-register

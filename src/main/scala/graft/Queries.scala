@@ -1787,6 +1787,33 @@ object Queries {
         Dedup.connectedComponents(oldPairs, "doc_a", "doc_b"), batch)
     }),
 
+    // schema-drift union: an int-keyed float-priced "old writer" variant and
+    // a statusful "new writer" variant consolidate into one frame — ints
+    // widen to bigint, float to double, absent columns become typed NULLs;
+    // pure projections over unionByName, no shuffle
+    "q_union_evolve" -> ((s, d) => {
+      val o = ord(s, d)
+      val v1 = o.select(
+        col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").cast("float").as("o_totalprice"))
+      val v2 = o.select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      graft.operators.SchemaEvolution.unionWithEvolution(Seq(v1, v2))
+    }),
+
+    // Unicode canonicalization for dedup: NFC + lower + whitespace collapse
+    // through the codegen'd unicode_normalize expression. The corpus is
+    // ASCII, so a decomposed-accent suffix ("CAFE" + U+0301) is appended
+    // in-query: both engines must compose it to "café" or the hash breaks
+    "q_text_canonical" -> ((s, d) =>
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.canonicalText(
+            concat(col("text"), lit(" CAFE\u0301 NAI\u0308VE"))).as("canon"))),
+
     // per-group top-k WITHOUT a window sort: bounded-heap aggregate
     // (LongTopK) with map-side partials — the oracle's naive global
     // row_number pins both the kept set and the (ord DESC, id ASC) ranks
@@ -2726,6 +2753,25 @@ object Queries {
         |UNION ALL SELECT doc_id + 200000, doc_id FROM ids
         |UNION ALL SELECT doc_id + 300000, doc_id + 300000 FROM ids
         |UNION ALL SELECT doc_id + 400000, doc_id + 300000 FROM ids""".stripMargin,
+
+    // schema-drift union replica: DuckDB re-plays the same widen-and-null
+    // projections; REAL→DOUBLE is the identical IEEE widening on both sides
+    "q_union_evolve" ->
+      """SELECT CAST(o_orderkey AS INT)::BIGINT AS o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS BIGINT), o_totalprice * 2, o_orderstatus
+        |FROM orders""".stripMargin,
+
+    // canonicalization replica: DuckDB's nfc_normalize must compose the
+    // same decomposed suffix (combining acute/diaeresis, appended via
+    // single-quoted concat because triple-quoted Scala does not process
+    // \uXXXX) to the same lowercase bytes
+    "q_text_canonical" ->
+      ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text || ' CAFE\u0301 NAI\u0308VE')), " +
+        "'\\s+', ' ', 'g')) AS canon FROM documents WHERE text IS NOT NULL"),
 
     // group-topk replica: the naive full-sort row_number the heap
     // aggregate must reproduce exactly, ties to smaller event_id

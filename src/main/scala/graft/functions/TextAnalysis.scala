@@ -100,6 +100,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(regexp_replace(text, "\\s+", " ")), 256)
 
+  /** Canonical text for cross-source dedup: Unicode NFC (composed "é" and
+    * "e"+combining-accent hash identically), lowercase, whitespace runs
+    * collapsed, trimmed. The normalization step is the codegen'd
+    * [[TextExpressions.unicodeNormalize]] expression; everything else is a
+    * built-in regexp chain — scan-side, shuffle-free. Feed the result to
+    * [[fingerprint]] / [[graft.operators.Dedup.exactDuplicateGroups]] so
+    * encoding-variant mirrors of the same page collapse to one group.
+    * NFC (not NFKC) on purpose: compatibility folding (ligatures, "¼" →
+    * "1/4") changes text semantics and is a corpus-policy decision —
+    * callers wanting it can pass the NFKC form to `unicodeNormalize`
+    * directly.
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(TextExpressions.unicodeNormalize(text, "NFC")), "\\s+", " "))
+
   /** Pre-training text cleaning: mask emails then URLs with stable tokens,
     * then collapse whitespace runs and trim. A pure `regexp_replace` chain —
     * codegen'd, shuffle-free, and the patterns are RE2-safe so any engine

@@ -38,6 +38,10 @@ object TextExpressions {
     * and how many fall outside the vocabulary. NULL if either input is NULL
     * (feed a `coalesce(t, '')` text column to score blank docs as (0, 0)).
     */
+  /** Unicode-normalize `s` to `form` (NFC/NFD/NFKC/NFKD). */
+  def unicodeNormalize(s: Column, form: String): Column =
+    GraftColumnBridge.column(UnicodeNormalize(GraftColumnBridge.expression(s), form))
+
   def oovBigramCounts(s: Column, vocab: Column): Column =
     GraftColumnBridge.column(OovBigramCounts(
       GraftColumnBridge.expression(s), GraftColumnBridge.expression(vocab)))
@@ -66,6 +70,10 @@ object TextExprKernels {
     * probes; the broadcast array is not reference-stable across rows, so a
     * cross-row memo would need value hashing that costs as much as the build.
     */
+  def unicodeNormalize(s: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.valueOf(form)))
+
   def oovCounts(s: UTF8String, vocab: ArrayData): InternalRow = {
     val n = s.numChars()
     if (n < 2) return InternalRow(0L, 0L)
@@ -128,4 +136,46 @@ case class OovBigramCounts(left: Expression, right: Expression) extends BinaryEx
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Unicode normalization of a string column to a canonical form — the
+  * text-canonicalization primitive in front of fingerprint/dedup: "café"
+  * composed (U+00E9) and decomposed (e + U+0301) must hash identically or
+  * every accent-bearing near-dup silently survives exact dedup.
+  *
+  * `form` is a compile-time constant (NFC/NFD/NFKC/NFKD), validated at
+  * construction, so the generated code references the enum constant
+  * directly — no per-row form lookup. The kernel delegates to
+  * `java.text.Normalizer` (the JDK's ICU-derived implementation): already
+  *-normalized ASCII fast-paths through `Normalizer.isNormalized`-style
+  * quick checks inside the JDK, so the common English-corpus case costs a
+  * scan, not a rebuild. NULL in, NULL out.
+  */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+  require(UnicodeNormalize.Forms.contains(form),
+    s"unicode_normalize: form must be one of ${UnicodeNormalize.Forms.mkString("/")}, got $form")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextExprKernels.unicodeNormalize(s.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.$form));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 }

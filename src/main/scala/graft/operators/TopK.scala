@@ -8,19 +8,27 @@ import graft.functions.AggExpressions
 /** Per-group top-k selection WITHOUT a window sort.
   *
   * The textbook formulation — `row_number() OVER (PARTITION BY keys ORDER
-  * BY ord DESC, id) <= k` — shuffles every row to its key's partition and
-  * sorts the entire group to keep k of them. With few hot keys (the usual
-  * "top documents per source / per language" shape) that is a full-corpus
-  * sort into a handful of reducers: the group sizes follow the corpus, not
-  * k, and at 100 TB the hot key's sort spills alone.
+  * BY ord DESC, id) <= k` — is no longer the catastrophe it was before
+  * Spark 3.5: the optimizer plans a map-side `WindowGroupLimit (Partial)`,
+  * so whole groups stop shipping to one reducer. But the group-limit scan
+  * needs SORTED input, so the plan still fully sorts every map partition
+  * (a corpus-wide O(n log n) local sort that spills on wide rows) and then
+  * re-sorts the survivors after the exchange — and a window cannot share a
+  * pass with ordinary aggregates, so "stats + top examples per source"
+  * costs two jobs.
   *
   * [[groupTopK]] instead aggregates with [[graft.functions.LongTopK]], a
-  * bounded k-entry heap with map-side partial aggregation: each map task
-  * reduces its slice of a group to <= k entries before the exchange, the
-  * final aggregation merges heaps, and nothing larger than k is ever
-  * sorted. Shuffle volume drops from |rows| to <= k·|maps|·|keys|, and the
-  * plan is ObjectHashAggregate → exchange → ObjectHashAggregate — no Sort
-  * node at all (PlanSpec pins this).
+  * bounded k-entry heap with map-side partial aggregation: O(n log k) heap
+  * updates, each map task reduces its slice of a group to <= k entries
+  * before the exchange, the final aggregation merges heaps, and nothing
+  * larger than k is ever sorted. The plan is ObjectHashAggregate →
+  * exchange → ObjectHashAggregate with ZERO Sort nodes (PlanSpec pins
+  * this), and because it is a plain aggregate it composes with sum/count/
+  * sketches in the SAME groupBy — one scan, one shuffle. The trade: heap
+  * state is per-group, so with millions of tiny groups the window's sorted
+  * scan is competitive — this operator is for the group-count << row-count
+  * shape ("top documents per source/language"), where the avoided sort
+  * dominates (BENCH_skew.json: topk_window vs topk_heap_agg).
   *
   * Output: `(keys…, rank, ordCol, idCol)` with rank 1 = best, ordered by
   * `(ord DESC, id ASC)` — ties broken by id so the kept set is total and

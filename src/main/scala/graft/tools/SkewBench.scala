@@ -172,6 +172,60 @@ object SkewBench {
     require(aggTotals(0) == aggTotals(1),
       s"salting changed the aggregation answer: ${aggTotals(0)} vs ${aggTotals(1)}")
 
+    // ---- per-group top-k: window (sort + WindowGroupLimit) vs heap agg ----
+    // Spark 4's rank-limit pushdown already solves the WORST window failure
+    // mode: `row_number <= k` plans a map-side `WindowGroupLimit (Partial)`,
+    // so whole groups no longer ship to one reducer. What remains — and
+    // what LongTopK removes — is the Sort node feeding EACH WindowGroupLimit:
+    // every map partition fully sorts its 9.6M-row share (O(n log n), spills
+    // at scale) before the group-limit can scan it, while the heap aggregate
+    // does O(n log k) updates with NO Sort node anywhere and composes with
+    // other aggregates in the same pass. Measured on the group shape the
+    // operator exists for (32 groups of ~300k rows — "top docs per source");
+    // a frozen unique row id makes the (cents DESC, rid) tie-break total,
+    // so the outputs must match row-for-row (count + order-free signature).
+    // 4× replication (~38M rows): at 9.6M the whole case is scan-bound on
+    // 32 threads and neither path's cost structure is visible
+    (0 until 4).map(r => lineitem.withColumn("__rep", lit(r.toLong)))
+      .reduce(_ unionAll _)
+      .withColumn("rid", monotonically_increasing_id())
+      .withColumn("gk", pmod(xxhash64(col("rid")), lit(32L)))
+      .withColumn("cents",
+        round(col("l_extendedprice") * 100).cast("long") * 4 + col("__rep"))
+      .select("gk", "cents", "rid")
+      .write.mode("overwrite").parquet(s"$workDir/topk")
+    def topkIn = spark.read.parquet(s"$workDir/topk")
+    def topkSig(df: DataFrame) = df.agg(count(lit(1)),
+      sum(xxhash64(col("gk"), col("rank"), col("cents"), col("rid")))).head()
+    def winTopk = {
+      import org.apache.spark.sql.expressions.Window
+      topkIn.withColumn("rank", row_number().over(
+          Window.partitionBy(col("gk")).orderBy(col("cents").desc, col("rid")))
+          .cast("long"))
+        .filter(col("rank") <= 10)
+        .select("gk", "rank", "cents", "rid")
+    }
+    def heapTopk = graft.operators.TopK
+      .groupTopK(topkIn, Seq("gk"), "cents", "rid", k = 10)
+      .select("gk", "rank", "cents", "rid")
+    // measure() re-times one plan instance, which REUSES its shuffle files —
+    // skipping exactly the map stage (the per-partition sort vs the heap
+    // scan) these cases exist to compare. Warm on a throwaway instance,
+    // then time a FRESH lineage so the map side re-executes.
+    def timeColdMap(name: String)(mk: => DataFrame): Long = {
+      mk.queryExecution.toRdd.count() // warm: JIT, page cache — then discard
+      val fresh = mk
+      val t0 = System.nanoTime()
+      val n = fresh.queryExecution.toRdd.count()
+      results += name -> (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[skewbench] $name%-24s ${results(name)}%7.2f s  ($n rows)")
+      n
+    }
+    timeColdMap("topk_window")(winTopk)
+    val topkRows = timeColdMap("topk_heap_agg")(heapTopk)
+    val (sigW, sigH) = (topkSig(winTopk), topkSig(heapTopk))
+    require(sigW == sigH, s"heap top-k diverged from the window model: $sigW vs $sigH")
+
     // ---- jaccard df-cap on the boilerplate corpus ----
     // Real DataFrame actions here (count/collect, not toRdd): Observation
     // metrics are delivered via the query-execution listener, which RDD-level
@@ -468,6 +522,7 @@ object SkewBench {
         s""""cc_giant_largest":$giantMax,""" +
         s""""kcore_onion_rounds":$onionRounds,"kcore_chain_capped_left":$kchainLeft,""" +
         s""""kmeans_n":$kmN,"kmeans_clusters":${kmStats.getLong(1)},""" +
+        s""""topk_out_rows":$topkRows,""" +
         s""""sketch_hll_state_rows":$hllStateRows,"sketch_hll_est":$hllEst,""" +
         s""""sketch_hll_exact":$hllExact,"sketch_kmv_jaccard_ppm":$kmvJ,""" +
         s""""sketch_kmv_est_union":$kmvU,"sketch_cms_counter_rows":$cmsRows,""" +

@@ -1874,6 +1874,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("unionWithEvolution widens numerics, nulls absent columns, unions by NAME") {
+    import graft.operators.SchemaEvolution
+    val a = Seq((1, 1.5f)).toDF("id", "v") // int id, float v
+    val b = Seq((2.5d, 10L, "x")).toDF("v", "id", "tag") // REORDERED cols, long id, double v
+    val out = SchemaEvolution.unionWithEvolution(Seq(a, b))
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "bigint"), ("v", "double"), ("tag", "string")))
+    val rows = out.as[(Long, Double, Option[String])].collect().toSet
+    assert(rows == Set((1L, 1.5d, None), (10L, 2.5d, Some("x"))))
+  }
+
+  test("unionWithEvolution widen matrix and irreconcilable-type error") {
+    import graft.operators.SchemaEvolution.widen
+    import org.apache.spark.sql.types._
+    assert(widen(IntegerType, LongType).contains(LongType))
+    assert(widen(ByteType, ShortType).contains(ShortType))
+    assert(widen(LongType, FloatType).contains(DoubleType))
+    assert(widen(FloatType, DoubleType).contains(DoubleType))
+    assert(widen(DateType, TimestampType).contains(TimestampType))
+    assert(widen(StringType, LongType).isEmpty)
+    assert(widen(ArrayType(LongType), ArrayType(IntegerType)).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SchemaEvolution.unionWithEvolution(Seq(
+        Seq(1L).toDF("c"), Seq("s").toDF("c")))
+    }
+    assert(e.getMessage.contains("'c'") && e.getMessage.contains("bigint"))
+  }
+
   test("incrementalComponents: batch-only nodes, bridges, and inert edges") {
     // history: {1,2} labeled 1, {10,11} labeled 10
     val oldLabels = Dedup.connectedComponents(

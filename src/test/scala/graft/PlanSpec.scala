@@ -790,4 +790,34 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
       s"corpus rows must not collapse to one partition:\n$p")
   }
+
+  test("groupTopK: partial+final heap aggregation, no Sort/Window anywhere") {
+    val p = plan("q_group_topk")
+    // the whole point vs row_number(): the corpus never sorts — the only
+    // per-group state is the k-entry heap, reduced map-side before the
+    // exchange (partial + final ObjectHashAggregate pair)
+    assert(!p.contains("Window"), s"no window:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Sort ")) == 0, s"no sort operator:\n$p")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"expected partial+final heap aggregation:\n$p")
+    assert(p.contains("partial_long_top_k"), s"expected map-side partial top-k:\n$p")
+  }
+
+  test("incrementalComponents: history relabel joins are broadcast, never shuffled") {
+    import org.apache.spark.sql.functions._
+    // 'history' stands in for the 100 TB labeling; the batch is tiny. Both
+    // relabel lookups (merged-root map, batch endpoint set) must broadcast —
+    // the history side of the final plan may not pay a join exchange.
+    val history = spark.range(0, 200000).select(
+      col("id").as("node"), (col("id") - col("id") % 2).as("component"))
+    val batch = spark.range(0, 50).select(
+      (col("id") * 2).as("doc_a"), (col("id") * 2 + 1000).as("doc_b"))
+    val out = graft.operators.Dedup.incrementalComponents(history, batch)
+    out.queryExecution.toRdd.count() // AQE decides broadcast at runtime
+    // executedPlan prints Final + Initial sections; only the final counts
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast relabel of history:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"history must not shuffle for relabeling:\n$p")
+  }
 }

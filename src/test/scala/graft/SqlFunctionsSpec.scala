@@ -62,4 +62,20 @@ class SqlFunctionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT long_array_dot(array(1L))").head())
     assert(e.getMessage.contains("long_array_dot"), e.getMessage)
   }
+
+  test("long_top_k aggregates from SQL: heap order, ties to min id, literal k") {
+    val rows = spark.sql(
+      """SELECT g, long_top_k(ord, id, 2) AS top FROM VALUES
+        |  ('a', 5L, 10L), ('a', 5L, 3L), ('a', 9L, 7L), ('a', 1L, 1L),
+        |  ('b', 2L, 2L)
+        |AS t(g, ord, id) GROUP BY g ORDER BY g""".stripMargin)
+      .collect()
+    val a = rows(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
+    val b = rows(1).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
+    assert(a == Seq((9L, 7L), (5L, 3L))) // tie at ord=5 keeps the smaller id
+    assert(b == Seq((2L, 2L)))
+    val e = intercept[Exception](
+      spark.sql("SELECT long_top_k(ord, id, id) FROM VALUES (1L, 1L) AS t(ord, id)").head())
+    assert(e.getMessage.contains("long_top_k"), e.getMessage)
+  }
 }

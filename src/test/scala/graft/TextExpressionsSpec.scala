@@ -76,4 +76,29 @@ class TextExpressionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("unicodeNormalize: NFC composes, NFKC folds compatibility, NULL passes") {
+    import graft.functions.{TextAnalysis, TextExpressions}
+    // "e" + COMBINING ACUTE vs precomposed "é"; "ﬁ" ligature for NFKC
+    val decomposed = "Cafe\u0301"
+    val precomposed = "Caf\u00e9"
+    val df = Seq((1, decomposed), (2, precomposed), (3, "ﬁn"), (4, null))
+      .toDF("id", "t")
+    val nfc = df.select(col("id"), TextExpressions.unicodeNormalize(col("t"), "NFC").as("n"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(nfc(1) == nfc(2) && nfc(1).contains(precomposed))
+    assert(nfc(4).isEmpty) // NULL in, NULL out
+    val nfkc = df.select(col("id"), TextExpressions.unicodeNormalize(col("t"), "NFKC").as("n"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(nfkc(3).contains("fin")) // ligature folded
+    assert(nfc(3).contains("ﬁn")) // NFC must NOT fold compatibility chars
+    // canonicalText: encoding-variant mirrors collapse to identical strings
+    val canon = df.filter(col("id") <= 2)
+      .select(TextAnalysis.canonicalText(concat(lit("  A  B\t"), col("t"))).as("c"))
+      .as[String].collect().toSet
+    assert(canon == Set("a b caf\u00e9"))
+    intercept[IllegalArgumentException] {
+      TextExpressions.unicodeNormalize(col("t"), "NFX")
+    }
+  }
 }
