@@ -1787,6 +1787,14 @@ object Queries {
         Dedup.connectedComponents(oldPairs, "doc_a", "doc_b"), batch)
     }),
 
+    // equi-depth histogram: 8 rank-quantile bins over totalprice cents —
+    // the window runs over the distinct-value DOMAIN (value resolution),
+    // never the corpus; pure integer bin assignment, values never split
+    "q_profile_eqdepth" -> ((s, d) =>
+      graft.core.Profiling.equiDepthHistogram(
+        ord(s, d).select(round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "cents", nBins = 8)),
+
     // schema-drift union: an int-keyed float-priced "old writer" variant and
     // a statusful "new writer" variant consolidate into one frame — ints
     // widen to bigint, float to double, absent columns become typed NULLs;
@@ -2753,6 +2761,18 @@ object Queries {
         |UNION ALL SELECT doc_id + 200000, doc_id FROM ids
         |UNION ALL SELECT doc_id + 300000, doc_id + 300000 FROM ids
         |UNION ALL SELECT doc_id + 400000, doc_id + 300000 FROM ids""".stripMargin,
+
+    // equi-depth replica: identical integer cum-before · nBins // n bin rule
+    "q_profile_eqdepth" ->
+      """WITH d AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, COUNT(*) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS bef,
+        |    SUM(c) OVER () AS n FROM d)
+        |SELECT CAST(bef * 8 // n AS BIGINT) AS bin, MIN(v) AS lo, MAX(v) AS hi,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM cum GROUP BY 1""".stripMargin,
 
     // schema-drift union replica: DuckDB re-plays the same widen-and-null
     // projections; REAL→DOUBLE is the identical IEEE widening on both sides

@@ -475,4 +475,47 @@ object Profiling {
         (sum(least(greatest(col("__cents"), col("lo_cents")), col("hi_cents")))
           .cast("double") / count(lit(1))).as("winsorized_mean_cents"))
   }
+
+  /** Exact equi-DEPTH histogram: `nBins` rank-quantile bins over an
+    * INTEGRAL value column (pre-grid doubles with `round(x*100)` — the
+    * cents convention every oracle-exact operator here uses). Equi-width
+    * bins ([[histogram]]) starve on skewed distributions — one bin takes
+    * 90% of the mass; equi-depth puts ~1/nBins of the ROWS in each bin,
+    * which is what quantile-gate thresholds and drift comparisons want.
+    *
+    * A value is never split across bins: its bin is
+    * `floor(rows_before_it · nBins / total_rows)` (pure integer
+    * arithmetic), so a value whose mass straddles a boundary stays whole
+    * in the earlier bin and a hot value occupying several bins' worth of
+    * mass yields EMPTY bins after it rather than a lie. Output:
+    * `(bin, lo, hi, n_rows, n_distinct)` — deterministic, engine-exact.
+    *
+    * Scale shape (the [[graft.operators.Curation.selectTokenBudget]]
+    * argument): the corpus pays one hash aggregation to the DISTINCT-value
+    * domain; the cumulative-sum window then runs over that domain only,
+    * which is bounded by VALUE RESOLUTION (≤ a few million cents points),
+    * not corpus size — so the single-partition window is a deliberate,
+    * bounded choice, and 100 TB of rows never sorts.
+    */
+  def equiDepthHistogram(df: DataFrame, valCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val domain = df.filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val before = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    domain
+      .withColumn("__before", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(all))
+      // integer floor-div: Spark `div` == DuckDB `//`, exact on the grid
+      .withColumn("bin", call_function("div", col("__before") * lit(nBins.toLong), col("__n")))
+      .groupBy("bin")
+      .agg(
+        min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"),
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+  }
 }

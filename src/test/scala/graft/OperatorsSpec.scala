@@ -1874,6 +1874,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("equiDepthHistogram: ~1/nBins mass per bin, hot values never split") {
+    // 100 rows: value 7 holds 60 of them (1.2 bins' worth at nBins=2... use 4)
+    // values 1..40 one row each, value 7 sixty rows → total 100, nBins=4 → 25/bin
+    val rows = (1 to 40).map(_.toLong) ++ Seq.fill(60)(7L)
+    val out = graft.core.Profiling
+      .equiDepthHistogram(rows.toDF("v"), "v", nBins = 4)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // domain order: 1..6 (6 rows), 7 (61 rows incl. its own 1), 8..40
+    // before(7)=6 → bin 0; 7's mass runs through bins 1,2 → they are EMPTY;
+    // before(8)=67 → bin 2 exists from value 8 on
+    assert(out.map(_._1) == Seq(0L, 2L, 3L), s"hot value absorbs bins: $out")
+    val bin0 = out.head
+    assert(bin0._2 == 1L && bin0._3 == 7L && bin0._4 == 67L) // lo, hi, n_rows
+    assert(out.map(_._4).sum == 100L) // every row binned exactly once
+  }
+
   test("unionWithEvolution widens numerics, nulls absent columns, unions by NAME") {
     import graft.operators.SchemaEvolution
     val a = Seq((1, 1.5f)).toDF("id", "v") // int id, float v

@@ -352,4 +352,33 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stats == expected)
   }
+
+  test("long_top_k aggregates across micro-batches: streamed == batch top-k") {
+    // the TypedImperativeAggregate's serialize/merge path is exactly what
+    // streaming state updates exercise: each micro-batch merges its partial
+    // heaps into the state store's, so complete-mode output must equal the
+    // batch aggregation over all input seen
+    val tmp = Files.createTempDirectory("graft-topk-stream").toString
+    val in = streamedEvents(tmp)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    val agged = in.groupBy("event_type")
+      .agg(graft.functions.AggExpressions.longTopK(col("cents"), col("event_id"), 5).as("top"))
+    val q = agged.writeStream
+      .format("memory").queryName("topk_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), col("pos"), col("col.ord"), col("col.id"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val streamed = flat(spark.table("topk_out"))
+    val batch = flat(
+      batchEvents
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+        .groupBy("event_type")
+        .agg(graft.functions.AggExpressions.longTopK(col("cents"), col("event_id"), 5).as("top")))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
