@@ -8,10 +8,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{CharBigrams, DoubleArrayDot, LongArrayDot, LongTopK, OovBigramCounts, UnicodeNormalize}
 
-/** SQL front-door for the codegen'd kernels: registers the two Catalyst
-  * dot-product expressions in the session `FunctionRegistry`, so SQL-only
-  * users (`spark.sql(...)`, thrift/connect clients) can reach the hot-path
-  * primitives the operator library builds on:
+/** SQL front-door for the custom Catalyst kernels: registers the
+  * codegen'd scalar expressions (dot products, bigram kernels,
+  * `unicode_normalize`) and the bounded-heap `long_top_k` aggregate in the
+  * session `FunctionRegistry`, so SQL-only users (`spark.sql(...)`,
+  * thrift/connect clients) can reach the hot-path primitives the operator
+  * library builds on:
   *
   * {{{
   *   SELECT double_array_dot(embedding, embedding) AS norm2 FROM embeddings

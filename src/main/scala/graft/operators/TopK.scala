@@ -54,4 +54,25 @@ object TopK {
         col("col.ord").as(ordCol),
         col("col.id").as(idCol)): _*)
   }
+
+  /** [[groupTopK]] carrying the FULL row of each winner, not just (ord,
+    * id): the heap never ships payload columns — only (ord, id) pairs ride
+    * the aggregation — and the winners (≤ k·|keys| rows, bounded by
+    * construction) semi-join back against the corpus on (keys, id), which
+    * AQE broadcasts. Two scans of the input, still zero Sort nodes, versus
+    * the window's sort-everything-with-payload single pass — at wide-row
+    * corpora shipping text through a sort costs more than a second scan.
+    * `idCol` must identify rows uniquely within a group or the join
+    * re-attaches all rows sharing the winning id.
+    */
+  def groupTopKRows(
+      df: DataFrame,
+      keys: Seq[String],
+      ordCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val winners = groupTopK(df, keys, ordCol, idCol, k)
+      .select(keys.map(col) ++ Seq(col("rank"), col(idCol)): _*)
+    df.join(winners, keys :+ idCol)
+  }
 }

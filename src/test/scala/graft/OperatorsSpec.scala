@@ -1847,6 +1847,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("groupTopKRows re-attaches payload to winners via the bounded join") {
+    import graft.operators.TopK
+    val df = Seq(
+      ("g", 3L, 1L, "pay-a"), ("g", 9L, 2L, "pay-b"),
+      ("g", 5L, 3L, "pay-c"), ("h", 1L, 4L, "pay-d")
+    ).toDF("k", "ord", "id", "payload")
+    val got = TopK.groupTopKRows(df, Seq("k"), "ord", "id", k = 2)
+      .select("k", "rank", "ord", "id", "payload")
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      ("g", 1L, 9L, 2L, "pay-b"), ("g", 2L, 5L, 3L, "pay-c"),
+      ("h", 1L, 1L, 4L, "pay-d")))
+  }
+
   test("groupTopK skips NULL ord rows and keeps whole under-k groups") {
     import graft.operators.TopK
     val df = Seq(
