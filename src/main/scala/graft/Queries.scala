@@ -950,6 +950,16 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // temperature-weighted domain mixing (α = ½): rates derived from the
+    // observed lang counts — en (largest) keeps exactly 20%, the tail
+    // languages keep up to √(nMax/n)× more; kept ROWS are returned so the
+    // oracle pins exact membership (sqrt is correctly-rounded IEEE, so the
+    // double threshold is engine-exact), not just per-domain counts
+    "q_sample_temperature" -> ((s, d) =>
+      Sampling.temperatureMix(
+        docs(s, d).select("doc_id", "lang"), "doc_id", "lang",
+        Sampling.Temperature.Sqrt, largestRate = 0.2, salt = "tmix")),
+
     // declarative constraint suite over orders — one aggregation pass for
     // all six checks; o_custkey uniqueness FAILS by design (customers
     // repeat), the totalprice range check tolerates 100k ppm
@@ -1733,6 +1743,18 @@ object Queries {
         graft.sources.Events.load(s, d).select("event_id", "event_type", "value"),
         "event_type", "event_id", maxPerSource = 2000L, salt = "cap")),
 
+    // per-source score calibration: within-source percent rank of n_chars
+    // on the integer ppm grid, computed WITHOUT a per-source window (range
+    // partition on (source, score, id) + tiny per-source base/count join);
+    // one global ≥ 0.9 threshold then takes each source's own top decile —
+    // the oracle's naive row_number window pins every ppm value
+    "q_curate_calibrate" -> ((s, d) =>
+      graft.operators.Curation.calibrateScores(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id")
+        .filter(col("cal_ppm") >= 900000L)
+        .select("doc_id", "source", "n_chars", "cal_ppm")),
+
     // winsorized robust stats: discrete rank-quantile clip bounds on the
     // cents grid (integer ceil-division ranks — n·0.05 in doubles can ceil
     // one rank high), exact integer sums, one double division at the end
@@ -1821,6 +1843,27 @@ object Queries {
         .select(col("doc_id"),
           graft.functions.TextAnalysis.canonicalText(
             concat(col("text"), lit(" CAFE\u0301 NAI\u0308VE"))).as("canon"))),
+
+    // markup stripping over synthesized crawl HTML: the page is BUILT from
+    // the row (title from id, style block, a script on every 3rd doc,
+    // entity-laden footer incl. the double-decode trap &amp;lt;) so both
+    // engines construct the identical input, and the stripped text must
+    // hash byte-for-byte — a wrong pattern, replacement, flag, or decode
+    // order breaks it; the oracle SQL is GENERATED from the same chain
+    "q_text_markup" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><style>p { color: red; }</style></head>" +
+          "<body onload=\"init()\"><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"))
+          .otherwise(lit("")),
+        lit("<!-- footer --><p>a&nbsp;b &lt;tag&gt; &quot;q&quot; " +
+          "&#39;s&#39; T&amp;C &amp;lt;</p></body></html>"))
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.stripMarkup(html).as("clean"))
+    }),
 
     // per-group top-k WITHOUT a window sort: bounded-heap aggregate
     // (LongTopK) with map-side partials — the oracle's naive global
@@ -2672,6 +2715,31 @@ object Queries {
         |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
         |SELECT doc_id, n_chars, n_tokens FROM c WHERE cum <= 200000""".stripMargin,
 
+    // temperature-mix replica: same counts, same correctly-rounded
+    // 2000·sqrt(nmax/n) threshold (no pow — not correctly rounded, would
+    // drift across engines), same 60-bit hash keep-rule
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT max(n) AS nmax FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+        |WHERE CAST(concat('0x', substr(sha256(CAST(d.doc_id AS VARCHAR) || ':tmix'), 1, 15)) AS BIGINT)
+        |        % 10000 < least(10000, floor(2000 * sqrt(m.nmax / c.n)))""".stripMargin,
+
+    // calibration replica: the naive per-source row_number window the
+    // engine's range-partition + base-offset decomposition must match on
+    // every integer ppm value
+    "q_curate_calibrate" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_chars,
+        |    CAST(CASE WHEN n = 1 THEN 1000000
+        |         ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT) AS cal_ppm
+        |  FROM r)
+        |SELECT doc_id, source, n_chars, cal_ppm FROM c WHERE cal_ppm >= 900000""".stripMargin,
+
     // per-source cap replica: the naive global row_number the engine's
     // slice/boundary decomposition must reproduce exactly
     "q_curate_source_cap" ->
@@ -2792,6 +2860,22 @@ object Queries {
     "q_text_canonical" ->
       ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text || ' CAFE\u0301 NAI\u0308VE')), " +
         "'\\s+', ' ', 'g')) AS canon FROM documents WHERE text IS NOT NULL"),
+
+    // markup-strip replica: the SQL is GENERATED from the operator's own
+    // pattern/replacement chains (stripMarkupSql), so the two cannot
+    // drift; only the page construction is restated here
+    "q_text_markup" -> {
+      val html = "'<html><head><style>p { color: red; }</style></head>" +
+        "<body onload=\"init()\"><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</h1><p>' || text || '</p>' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN " +
+        "'<script type=\"text/javascript\">var x = 1 < 2;</script>' " +
+        "ELSE '' END || " +
+        "'<!-- footer --><p>a&nbsp;b &lt;tag&gt; &quot;q&quot; " +
+        "&#39;s&#39; T&amp;C &amp;lt;</p></body></html>'"
+      s"SELECT doc_id, ${graft.functions.TextAnalysis.stripMarkupSql(html)} AS clean " +
+        "FROM documents WHERE text IS NOT NULL"
+    },
 
     // group-topk replica: the naive full-sort row_number the heap
     // aggregate must reproduce exactly, ties to smaller event_id

@@ -249,4 +249,51 @@ object Curation {
       .drop("__rn", "__need")
     keptWhole.unionByName(keptBoundary).drop("__h", "__b")
   }
+
+  /** Per-source score calibration: append `calCol` = the row's
+    * within-source percent rank of `scoreCol`, on an integer ppm grid —
+    * `(rank − 1)·10⁶ div (n − 1)` with rank 1-based over the total order
+    * `(scoreCol, idCol)` inside each source (a single-row source
+    * calibrates to 1 000 000). Raw quality scores are not comparable
+    * across sources (a classifier trained on web text scores news and
+    * forums on different scales; length-based proxies shift with
+    * language), so "keep the global top decile by raw score" silently
+    * keeps whole sources and drops others — calibration makes one global
+    * threshold mean the same thing in every source. Ties calibrate by
+    * `idCol` (a total order is what makes the ppm value engine-exact and
+    * retry-stable; equal scores get adjacent, not equal, ranks), and the
+    * integer div keeps the grid replayable anywhere — no float
+    * `percent_rank` whose `(rank−1)/(n−1)` a different engine might fuse
+    * differently.
+    *
+    * Scale shape: NOT a `row_number() OVER (PARTITION BY source)` window —
+    * that puts the largest source's entire row set in ONE task, the
+    * classic 100 TB window killer (English is half the corpus). Instead
+    * [[Sampling.withGlobalRank]] range-partitions on `(source, score,
+    * id)` — one global rank, skew spread across the range partitions —
+    * and the per-source base rank and count come from a tiny per-source
+    * aggregate joined back by AQE broadcast. `scoreCol` must be non-null
+    * and NaN-free (NULL ordering differs across engines; filter first).
+    */
+  def calibrateScores(
+      df: DataFrame,
+      srcCol: String,
+      scoreCol: String,
+      idCol: String,
+      calCol: String = "cal_ppm"): DataFrame = {
+    val reserved = Seq("__gr", "__base", "__n", calCol)
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"input columns collide with calibrateScores's scratch/output names ($reserved) — rename them first")
+    val ranked = Sampling.withGlobalRank(df, Seq(srcCol, scoreCol, idCol), "__gr")
+    val bounds = ranked.groupBy(col(srcCol))
+      .agg(min(col("__gr")).as("__base"), count(lit(1)).as("__n"))
+    ranked.join(bounds, Seq(srcCol)) // one row per source: AQE broadcasts
+      .withColumn(calCol,
+        // `div`, not `/` + cast: long division through a double can round
+        // x.999… up before truncation and land one grid step off the
+        // oracle's exact integer division
+        when(col("__n") === 1, lit(1000000L))
+          .otherwise(expr("(__gr - __base) * 1000000L div (__n - 1)")))
+      .drop("__gr", "__base", "__n")
+  }
 }

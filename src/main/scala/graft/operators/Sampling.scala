@@ -325,6 +325,86 @@ object Sampling {
     df.sparkSession.createDataFrame(ranked, schema)
   }
 
+  /** The three temperature points [[temperatureMix]] supports. Arbitrary
+    * exponents are deliberately excluded: a keep-decision computed through
+    * `pow` is NOT reproducible across engines (IEEE 754 requires correct
+    * rounding of `+ - * / sqrt` but not of `pow`/`exp`/`ln`, so two
+    * engines can disagree in the last ulp and flip rows at a grid
+    * boundary), while every formula below is a composition of
+    * correctly-rounded operations — bit-identical anywhere.
+    */
+  sealed trait Temperature
+  object Temperature {
+    /** α = 0: equal EXPECTED kept-count per domain (capped at keeping a
+      * whole domain) — rate ∝ nMax/n. */
+    case object Uniform extends Temperature
+    /** α = ½ (τ = 2): the standard multilingual flattening — rate ∝
+      * √(nMax/n), so kept counts grow with √n. */
+    case object Sqrt extends Temperature
+    /** α = 1: no flattening; every domain keeps `largestRate`. */
+    case object Proportional extends Temperature
+  }
+
+  /** Temperature-weighted domain mixing — the "don't let English drown the
+    * tail languages" knob of multilingual/multi-source pre-training: keep
+    * each domain (language, source, …) at a rate that flattens the
+    * corpus's natural size distribution toward the chosen temperature,
+    * anchored so the LARGEST domain keeps exactly `largestRate` of its
+    * rows. Unlike [[mixCorpora]], the rates are not hand-picked — they are
+    * derived from the observed per-domain counts, which is how mixtures
+    * are actually tuned when the corpus changes under you daily.
+    *
+    * Keep-rule (grid units, T = round(largestRate·granularity), n = domain
+    * count, nMax = largest domain count, all integer or correctly-rounded
+    * double arithmetic — see [[Temperature]]):
+    *
+    *   thresh = Proportional: T
+    *            Sqrt:         min(gran, ⌊T·√(nMax/n)⌋)
+    *            Uniform:      min(gran, ⌊T·(nMax/n)⌋)
+    *   keep row ⇔ hashBucket(key, salt, gran) < thresh
+    *
+    * so the kept set inherits [[hashSample]]'s properties per domain:
+    * deterministic, nested in `largestRate`, a pure filter.
+    *
+    * Scale shape: one map-side-combined count aggregation over the corpus
+    * (tiny result: one row per domain — a mixture domain is low-cardinality
+    * BY CONTRACT; don't point this at a key column), its 1-row max folded
+    * in by an explicit-broadcast cross join, the count frame rejoined by
+    * AQE broadcast, and the keep-decision is scan-side — the corpus itself
+    * never shuffles. Rows with a NULL domain are excluded (an equi-join
+    * drop, mirrored by the oracle): a mixture is an explicit contract over
+    * named domains, and silently pooling NULLs would skew every rate.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      keyCol: String,
+      domainCol: String,
+      temperature: Temperature,
+      largestRate: Double,
+      salt: String = "",
+      granularity: Int = 10000): DataFrame = {
+    require(largestRate > 0.0 && largestRate <= 1.0,
+      s"largestRate out of (0,1]: $largestRate")
+    require(granularity >= 1, s"granularity must be >= 1, got $granularity")
+    val reserved = Seq("__n", "__nmax")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      "input columns collide with temperatureMix's scratch names (__n, __nmax) — rename them first")
+    val t = math.round(largestRate * granularity)
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val nMax = counts.agg(max(col("__n")).as("__nmax"))
+    val thresh: Column = temperature match {
+      case Temperature.Proportional => lit(t)
+      case Temperature.Sqrt =>
+        least(lit(granularity.toLong), floor(lit(t) * sqrt(col("__nmax") / col("__n"))))
+      case Temperature.Uniform =>
+        least(lit(granularity.toLong), floor(lit(t) * (col("__nmax") / col("__n"))))
+    }
+    df.join(counts, Seq(domainCol)) // tiny post-agg side: AQE broadcasts
+      .crossJoin(broadcast(nMax))   // 1 row by construction
+      .filter(hashBucket(col(keyCol), salt, granularity) < thresh)
+      .drop("__n", "__nmax")
+  }
+
   /** Deterministic NEGATIVE sampling for contrastive training: k
     * pseudo-random partner rows per anchor, reproducible across runs,
     * engines and partitionings — `df.sample`-style negatives re-draw under

@@ -1944,4 +1944,23 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(incr == Set((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L), (50L, 50L), (51L, 50L)))
   }
+
+  test("stripMarkup: blocks dropped wholesale, tags spaced, entities decoded once") {
+    val cases = Seq(
+      "<p>Hello<br/>world</p>" -> "Hello world",
+      // script/style CONTENT disappears, even with < > inside it
+      "<script>if (a<b) { x(); }</script>after" -> "after",
+      "<SCRIPT src=\"x.js\">var y = 1 > 0;</script >tail" -> "tail",
+      "<style type=\"text/css\">p>a { color: red; }</style>ok" -> "ok",
+      "<!-- hidden\n lines -->shown" -> "shown",
+      // tags become SPACES: adjacent cells must not weld into one token
+      "<td>a</td><td>b</td>" -> "a b",
+      // double-decode trap: &amp;lt; is the TEXT "&lt;", never a tag
+      "a&nbsp;b &amp;lt; &lt;x&gt;" -> "a b &lt; <x>",
+      "&quot;q&quot; &#39;s&#39; T&amp;C" -> "\"q\" 's' T&C",
+      "no markup  and   spaces" -> "no markup and spaces")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t")).as("c")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
 }

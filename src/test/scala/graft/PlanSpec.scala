@@ -820,4 +820,34 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast relabel of history:\n$p")
     assert(!p.contains("SortMergeJoin"), s"history must not shuffle for relabeling:\n$p")
   }
+
+  test("temperatureMix: per-domain counts broadcast back; the corpus never shuffles for the join") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(0, 300000).select(
+      col("id").as("k"), concat(lit("d"), col("id") % 7).as("dom"))
+    val out = graft.operators.Sampling.temperatureMix(
+      corpus, "k", "dom", graft.operators.Sampling.Temperature.Sqrt, largestRate = 0.2)
+    out.queryExecution.toRdd.count() // AQE sizes the tiny count frame at runtime
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the per-domain count frame to broadcast over the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle to meet its own domain counts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the 1-row max folds in by broadcast:\n$p")
+  }
+
+  test("calibrateScores: no per-source window; the per-source bounds join broadcasts") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(0, 200000).select(
+      col("id").as("doc_id"), concat(lit("s"), col("id") % 5).as("source"),
+      (col("id") * 37 % 1000).as("score"))
+    val out = graft.operators.Curation.calibrateScores(corpus, "source", "score", "doc_id")
+    out.queryExecution.toRdd.count()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the 100 TB hazard this operator avoids: row_number() partitioned by a
+    // low-cardinality source funnels the biggest source into ONE task
+    assert(!p.contains("Window"), s"no per-source window may appear:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the per-source base/count frame to broadcast:\n$p")
+  }
 }

@@ -278,4 +278,48 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L), s"got $kept")
   }
+
+  test("temperatureMix: thresholds match the closed form; kept sets nested in the rate") {
+    // domains A 400 / B 100 / C 25 rows → nMax = 400; with T = 2000 of
+    // 10000, sqrt thresholds are A: 2000, B: 4000, C: 8000
+    val df = spark.range(0, 525).select(col("id").as("k"),
+      when(col("id") < 400, "A").when(col("id") < 500, "B").otherwise("C").as("dom"))
+    val g = 10000
+    def kept(rate: Double, temp: Sampling.Temperature): Set[Long] =
+      Sampling.temperatureMix(df, "k", "dom", temp, rate, salt = "t", granularity = g)
+        .select("k").as[Long].collect().toSet
+    def domOf(id: Long): (String, Long) =
+      if (id < 400) ("A", 400L) else if (id < 500) ("B", 100L) else ("C", 25L)
+    // exact membership replicated driver-side from the documented keep-rule
+    def expect(rate: Double, th: Long => Long): Set[Long] =
+      (0L until 525L).filter(id => Sampling.hash60Jvm(id.toString, "t") % g < th(domOf(id)._2)).toSet
+    val sqrtKept = kept(0.2, Sampling.Temperature.Sqrt)
+    assert(sqrtKept == expect(0.2,
+      n => math.min(g.toLong, math.floor(2000.0 * math.sqrt(400.0 / n)).toLong)))
+    val uniKept = kept(0.2, Sampling.Temperature.Uniform)
+    assert(uniKept == expect(0.2,
+      n => math.min(g.toLong, math.floor(2000.0 * (400.0 / n)).toLong)))
+    // uniform temperature at this rate keeps ALL of the smallest domain
+    // (threshold 2000·16 caps at the full grid)
+    assert((500L until 525L).toSet.subsetOf(uniKept))
+    assert(kept(0.2, Sampling.Temperature.Proportional) == expect(0.2, _ => 2000L))
+    // nested: lowering the anchor rate only removes rows, never swaps them
+    assert(kept(0.1, Sampling.Temperature.Sqrt).subsetOf(sqrtKept))
+  }
+
+  test("calibrateScores: integer ppm percent ranks per source, ties by id, singleton = 1e6") {
+    val df = Seq(
+      ("s1", 10L, 1L), ("s1", 20L, 2L), ("s1", 20L, 3L), ("s1", 30L, 4L), ("s1", 40L, 5L),
+      ("s2", 7L, 6L)).toDF("source", "score", "id")
+    val got = Curation.calibrateScores(df, "source", "score", "id")
+      .select("id", "cal_ppm").as[(Long, Long)].collect().toMap
+    // s1 ranks 1..5 over (score, id): the tied 20s split by id; s2 is a
+    // singleton and calibrates to the top of the grid
+    assert(got == Map(1L -> 0L, 2L -> 250000L, 3L -> 500000L, 4L -> 750000L,
+      5L -> 1000000L, 6L -> 1000000L), s"got $got")
+    // partition-independence: the ppm grid is a property of the data
+    val again = Curation.calibrateScores(df.repartition(7), "source", "score", "id")
+      .select("id", "cal_ppm").as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
 }
