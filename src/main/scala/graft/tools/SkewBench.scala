@@ -226,6 +226,40 @@ object SkewBench {
     val (sigW, sigH) = (topkSig(winTopk), topkSig(heapTopk))
     require(sigW == sigH, s"heap top-k diverged from the window model: $sigW vs $sigH")
 
+    // ---- per-source calibration on a dominant-source corpus ----
+    // 5M rows, 80% in ONE source — the distribution calibrateScores exists
+    // for: the naive row_number window funnels the 4M-row source into a
+    // single task's sort, while the range-partitioned global-rank
+    // decomposition spreads exactly the same rank work across all cores.
+    // Output equality is proven by signature, so the speedup is pure
+    // execution strategy.
+    val calIn = spark.range(0, 5000000L).select(
+        col("id").as("doc_id"),
+        when(col("id") % 10 < 8, "en")
+          .otherwise(concat(lit("s"), col("id") % 10)).as("source"),
+        (col("id") * 2654435761L % 1000000L).as("score"))
+      .localCheckpoint() // fixture construction is not part of either timing
+    def calSig(df: DataFrame) = df.agg(count(lit(1)),
+      sum(xxhash64(col("doc_id"), col("cal_ppm")))).head()
+    def winCal = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+      calIn
+        .withColumn("__rk",
+          row_number().over(w.orderBy(col("score"), col("doc_id"))).cast("long"))
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("cal_ppm", when(col("__n") === 1, lit(1000000L))
+          .otherwise(expr("(__rk - 1) * 1000000L div (__n - 1)")))
+        .select("doc_id", "source", "score", "cal_ppm")
+    }
+    def rankCal = graft.operators.Curation
+      .calibrateScores(calIn, "source", "score", "doc_id")
+      .select("doc_id", "source", "score", "cal_ppm")
+    timeColdMap("calibrate_window")(winCal)
+    val calRows = timeColdMap("calibrate_rank_decomp")(rankCal)
+    val (csW, csR) = (calSig(winCal), calSig(rankCal))
+    require(csW == csR, s"calibrate decomposition diverged from the window model: $csW vs $csR")
+
     // ---- jaccard df-cap on the boilerplate corpus ----
     // Real DataFrame actions here (count/collect, not toRdd): Observation
     // metrics are delivered via the query-execution listener, which RDD-level
@@ -522,7 +556,7 @@ object SkewBench {
         s""""cc_giant_largest":$giantMax,""" +
         s""""kcore_onion_rounds":$onionRounds,"kcore_chain_capped_left":$kchainLeft,""" +
         s""""kmeans_n":$kmN,"kmeans_clusters":${kmStats.getLong(1)},""" +
-        s""""topk_out_rows":$topkRows,""" +
+        s""""topk_out_rows":$topkRows,"calibrate_rows":$calRows,""" +
         s""""sketch_hll_state_rows":$hllStateRows,"sketch_hll_est":$hllEst,""" +
         s""""sketch_hll_exact":$hllExact,"sketch_kmv_jaccard_ppm":$kmvJ,""" +
         s""""sketch_kmv_est_union":$kmvU,"sketch_cms_counter_rows":$cmsRows,""" +
