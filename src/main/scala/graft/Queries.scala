@@ -71,8 +71,9 @@ object Queries {
   // colliding (stopped queries may linger in the registry briefly).
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Run `body` with `spark.sql.shuffle.partitions` lowered to `n`,
-    * restoring the previous value after. The streaming catalog rows use
+  /** Run `body` against a session clone whose
+    * `spark.sql.shuffle.partitions` is lowered to `n`. The streaming
+    * catalog rows use
     * it: a stateful streaming operator instantiates one state store per
     * shuffle partition per micro-batch, and the fixture replays 4-5
     * micro-batches of ~60k rows — at the session's 32 partitions the
@@ -86,11 +87,16 @@ object Queries {
     * its checkpointed count, which is why this wraps the whole
     * run-to-termination, never a restart.
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: SparkSession => T): T = {
+    // scoped via a CLONED session (shared SparkContext, fresh SessionState)
+    // rather than set/restore on the caller's session: an unrelated query
+    // planned concurrently on `s` must never observe the streaming rows'
+    // 8-partition override, and an exception can't leave the wrong value
+    // behind. All graft confs are builder-level (they live in SparkConf),
+    // so the clone inherits them.
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(child)
   }
 
   private def memoizedCompare(s: SparkSession, d: String, scenario: String)(
@@ -1442,15 +1448,15 @@ object Queries {
     // batches is not guaranteed, and a dropped "late" batch would make the
     // result depend on listing order (watermark EVICTION is covered by
     // StreamingSpec; this row pins cross-batch state accumulation).
-    "q_stream_windowed" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_windowed" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
       val work = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
-      graft.sources.Events.load(s, d)
+      graft.sources.Events.load(ss, d)
         .select(col("event_id"), col("ts"), col("event_type"),
           round(col("value") * 1e6).cast("long").as("value"))
         .repartitionByRange(4, col("ts"))
         .write.mode("overwrite").parquet(s"$work/src")
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$work/src").schema)
+      val stream = ss.readStream
+        .schema(ss.read.parquet(s"$work/src").schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$work/src")
       val sink = s"stream_windowed_${streamSinkSeq.incrementAndGet()}"
@@ -1460,7 +1466,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink).select(
+      ss.table(sink).select(
         unix_micros(col("window_start")).as("window_start_us"),
         col("event_type"), col("n_events"),
         col("total_value").as("total_value_micros"))
@@ -1472,15 +1478,15 @@ object Queries {
     // lateness exceeds the fixture span, making the result order-proof),
     // and the appended sink files are re-read for the hash. Duplicates are
     // byte-identical rows, so WHICH copy survives cannot change the output.
-    "q_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
       val work = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
-      val ev = graft.sources.Events.load(s, d)
+      val ev = graft.sources.Events.load(ss, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       ev.union(ev.filter(col("event_id") % 10 === 0))
         .repartitionByRange(4, col("ts"))
         .write.mode("overwrite").parquet(s"$work/src")
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$work/src").schema)
+      val stream = ss.readStream
+        .schema(ss.read.parquet(s"$work/src").schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$work/src")
       val q = graft.streaming.StreamingOps.dedupEvents(stream, "90 days")
@@ -1490,7 +1496,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$work/out").select(
+      ss.read.parquet(s"$work/out").select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
     }),
@@ -1509,14 +1515,14 @@ object Queries {
     // the per-batch constant over a continuous stream. The 8-partition
     // wrapper (see withShufflePartitions) sizes the state sharding to the
     // fixture instead of paying 32 stores' fixed cost per batch.
-    "q_stream_join" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_join" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
       val work = java.nio.file.Files.createTempDirectory("graft-stream-join").toString
-      graft.sources.Events.load(s, d)
+      graft.sources.Events.load(ss, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .repartitionByRange(4, col("ts"))
         .write.mode("overwrite").parquet(s"$work/src")
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$work/src").schema)
+      val stream = ss.readStream
+        .schema(ss.read.parquet(s"$work/src").schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$work/src")
       val q = graft.streaming.StreamingOps.viewsBeforePurchase(stream, "4 hours", "90 days")
@@ -1526,7 +1532,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$work/out").select(
+      ss.read.parquet(s"$work/out").select(
         col("purchase_id"), col("user_id"),
         unix_micros(col("p_ts")).as("p_us"),
         unix_micros(col("v_ts")).as("v_us"),
@@ -1544,10 +1550,10 @@ object Queries {
     // shares q_events_changelog's oracle CTE. (Cross-batch ordering of one
     // key's changes — where merge order WOULD matter — is exactly what a
     // keyed CDC feed's partitioning contract rules out.)
-    "q_stream_upsert" -> ((s, d) => withShufflePartitions(s, 8) {
+    "q_stream_upsert" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
       val work = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
       val cut = lit(1705708800000000L) // 2024-01-20T00:00:00Z as epoch micros
-      val ev = graft.sources.Events.load(s, d)
+      val ev = graft.sources.Events.load(ss, d)
         .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
           col("event_type"), col("value"))
       graft.operators.Changelog.latestByKey(
@@ -1558,15 +1564,15 @@ object Queries {
           when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
         .repartition(4, col("user_id"))
         .write.mode("overwrite").parquet(s"$work/src")
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$work/src").schema)
+      val stream = ss.readStream
+        .schema(ss.read.parquet(s"$work/src").schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$work/src")
       val q = graft.streaming.StreamingOps.upsertSink(
         stream, s"$work/snap", s"$work/ckpt", Seq("user_id"), Seq("us", "event_id"), "op",
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       q.awaitTermination()
-      graft.streaming.StreamingOps.readSnapshot(s, s"$work/snap").get
+      graft.streaming.StreamingOps.readSnapshot(ss, s"$work/snap").get
         .select("user_id", "event_id", "us", "event_type", "value")
     }),
 
@@ -1776,8 +1782,12 @@ object Queries {
     // extended copy, quality = text length; the EXTENDED copy (max id,
     // longest text) must win its component, proving the argmax is real
     // selection, not dropNearDuplicates' min-id shortcut
+    // doc_id < 100000 keeps the +100000/+200000 synthetic copies disjoint
+    // from real ids at every GenScale replication factor (scale strides
+    // doc_id upward), so the closed-form oracle labeling holds at any sf
     "q_dedup_canonical" -> ((s, d) => {
-      val base = docs(s, d).filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+      val base = docs(s, d).filter(col("text").isNotNull &&
+          col("doc_id") % 10 === 0 && col("doc_id") < 100000L)
         .select("doc_id", "text")
       val aug = base
         .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"),
@@ -1798,7 +1808,11 @@ object Queries {
     // endpoints, history is relabeled by one bounded join — final
     // components are closed-form in id arithmetic for the oracle
     "q_dedup_components_incr" -> ((s, d) => {
-      val ids = docs(s, d).filter(col("doc_id") % 10 === 0).select("doc_id")
+      // doc_id < 100000: see q_dedup_canonical — offsets must not entangle
+      // with real ids when GenScale strides doc_id past the offset base
+      val ids = docs(s, d)
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 100000L)
+        .select("doc_id")
       val oldPairs = ids
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000L).as("doc_b"))
       val batch = ids
@@ -2804,7 +2818,7 @@ object Queries {
     // (quality DESC, id) — rn = 1 is the canonical member
     "q_dedup_canonical" ->
       """WITH base AS (SELECT doc_id, text FROM documents
-        |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
+        |  WHERE text IS NOT NULL AND doc_id % 10 = 0 AND doc_id < 100000),
         |aug AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL SELECT doc_id + 100000, substr(text, 1, 50) FROM base
@@ -2823,7 +2837,8 @@ object Queries {
     // copies 0/1/2 of each base id merge into component = base id, the
     // brand-new 3/4 pair labels to its min (base id + 300000)
     "q_dedup_components_incr" ->
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+      """WITH ids AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id < 100000)
         |SELECT doc_id AS node, doc_id AS component FROM ids
         |UNION ALL SELECT doc_id + 100000, doc_id FROM ids
         |UNION ALL SELECT doc_id + 200000, doc_id FROM ids
@@ -3282,36 +3297,43 @@ object Queries {
     // fingerprint replica: same scenario CTEs (minus the price column the
     // query excludes), same '0x'+sha256-prefix row hash, same bucket mod,
     // exact DECIMAL(38,0) sums — one wrong byte in the concat order, hash
-    // width, or null handling breaks the hash match
-    "q_compare_fingerprint" ->
-      """WITH src AS (SELECT * FROM orders WHERE o_orderkey % 19 != 0),
+    // width, or null handling breaks the hash match. Each column is
+    // isnull-tagged ('0' | '1'+value) exactly as Fingerprint.tagged does,
+    // so NULL-position swaps hash differently on both engines.
+    "q_compare_fingerprint" -> {
+      def tag(c: String): String =
+        s"concat(CASE WHEN $c IS NULL THEN '0' ELSE '1' END, COALESCE(CAST($c AS VARCHAR), ''))"
+      val rowTags = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority").map(tag).mkString(",\n      ")
+      s"""WITH src AS (SELECT * FROM orders WHERE o_orderkey % 19 != 0),
         |t0 AS (SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
         |  o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 13 != 0),
         |tgt AS (SELECT * FROM t0 UNION ALL SELECT * FROM t0
         |        WHERE o_orderkey % 1000 = 17 AND o_orderkey % 7 != 0
         |          AND o_orderkey % 11 != 0 AND o_orderkey % 23 != 0),
+        |sh AS (SELECT ${tag("o_orderkey")} AS tk,
+        |    concat_ws('|', $rowTags) AS tr FROM src),
+        |th AS (SELECT ${tag("o_orderkey")} AS tk,
+        |    concat_ws('|', $rowTags) AS tr FROM tgt),
         |sf AS (SELECT
-        |    CAST(concat('0x', substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(concat('0x', substr(sha256(tk), 1, 15)) AS BIGINT) % 64 AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS src_rows,
-        |    CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
-        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,
-        |      CAST(o_orderdate AS VARCHAR), o_orderpriority)), 1, 15)) AS BIGINT))
+        |    CAST(SUM(CAST(concat('0x', substr(sha256(tr), 1, 15)) AS BIGINT))
         |      AS DECIMAL(38,0)) AS src_fp
-        |  FROM src GROUP BY 1),
+        |  FROM sh GROUP BY 1),
         |tf AS (SELECT
-        |    CAST(concat('0x', substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(concat('0x', substr(sha256(tk), 1, 15)) AS BIGINT) % 64 AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS tgt_rows,
-        |    CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
-        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,
-        |      CAST(o_orderdate AS VARCHAR), o_orderpriority)), 1, 15)) AS BIGINT))
+        |    CAST(SUM(CAST(concat('0x', substr(sha256(tr), 1, 15)) AS BIGINT))
         |      AS DECIMAL(38,0)) AS tgt_fp
-        |  FROM tgt GROUP BY 1)
+        |  FROM th GROUP BY 1)
         |SELECT COALESCE(sf.bucket, tf.bucket) AS bucket,
         |  COALESCE(src_rows, 0) AS src_rows, COALESCE(tgt_rows, 0) AS tgt_rows,
         |  (src_rows IS NOT DISTINCT FROM tgt_rows
         |   AND src_fp IS NOT DISTINCT FROM tgt_fp) AS bucket_match
-        |FROM sf FULL OUTER JOIN tf ON tf.bucket = sf.bucket""".stripMargin,
+        |FROM sf FULL OUTER JOIN tf ON tf.bucket = sf.bucket""".stripMargin
+    },
 
     "q_compare_row_lvl" ->
       (cmpCte +

@@ -23,13 +23,23 @@ import org.apache.spark.sql.functions._
   * stays far under 10³⁸). Column string forms are engine-stable for
   * integers, strings, and dates; floating-point columns should be
   * quantized or excluded by the caller (formatting differs across
-  * engines). `concat_ws` skips NULLs identically in Spark and DuckDB, so
-  * NULL handling is consistent, at the usual concat ambiguity cost.
+  * engines). NULLs are encoded explicitly: every column contributes an
+  * isnull flag ('0'/'1') followed by its coalesced string form, so two
+  * rows that differ only in WHICH column is NULL — (k,'b',NULL) vs
+  * (k,NULL,'b') — hash differently. A bare `concat_ws` would skip the
+  * NULL and collapse both to the same bytes, and a triage mode that
+  * reports `bucket_match=true` for such a slice silently hides a real
+  * diff the row-level engine never re-checks.
   */
 object Fingerprint {
 
   private def shaLong(s: Column): Column =
     conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+  /** `'1'+value` for non-null, `'0'` for null — unambiguous under concat. */
+  private def tagged(c: Column): Column =
+    concat(when(c.isNull, lit("0")).otherwise(lit("1")),
+      coalesce(c.cast("string"), lit("")))
 
   /** One row per non-empty bucket: `(bucket, n_rows, fp)`. */
   def bucketFingerprints(
@@ -39,9 +49,9 @@ object Fingerprint {
       buckets: Int): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(buckets >= 1 && buckets <= (1 << 20), s"buckets out of range: $buckets")
-    val keyStr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val keyStr = concat_ws("|", keyCols.map(c => tagged(col(c))): _*)
     val rowStr = concat_ws("|",
-      (keyCols ++ valueCols).map(c => col(c).cast("string")): _*)
+      (keyCols ++ valueCols).map(c => tagged(col(c))): _*)
     df.select(
         pmod(shaLong(keyStr), lit(buckets.toLong)).as("bucket"),
         shaLong(rowStr).as("__rh"))

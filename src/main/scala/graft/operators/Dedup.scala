@@ -1235,7 +1235,12 @@ object Dedup {
       newPairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
-    val edges = newPairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    // same input hygiene as connectedComponents: a NULL endpoint would be
+    // rejected by the contracted-edge != filter yet survive batchNodes'
+    // anti-join, emitting a spurious (NULL, NULL) labeling row
+    val edges = newPairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
     val labA = oldLabels.select(col("node").as("__a"), col("component").as("__ca"))
     val labB = oldLabels.select(col("node").as("__b"), col("component").as("__cb"))
     val contracted = edges

@@ -124,9 +124,15 @@ object Temporal {
       tsNsCol: String,
       bucketNs: Long): DataFrame = {
     require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    // floor bucketing via the compensated-div idiom: Spark's `div`
+    // truncates toward zero while DuckDB's `//` floors, so a bare div
+    // diverges on pre-1970 (negative) timestamps; (s - pmod(s,n)) div n
+    // floors identically on both engines for any sign
     df.filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
       .select(col(keyCol).as("__u"),
-        call_function("div", col(tsNsCol), lit(bucketNs)).as("__b"))
+        call_function("div",
+          col(tsNsCol) - pmod(col(tsNsCol), lit(bucketNs)),
+          lit(bucketNs)).as("__b"))
       .groupBy("__u")
       .agg(collect_set(col("__b")).as("__bs"))
       .select(array_min(col("__bs")).as("__c"), explode(col("__bs")).as("__b"))

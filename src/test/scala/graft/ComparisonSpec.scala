@@ -402,6 +402,27 @@ class ComparisonSpec extends SparkSpec {
       s"the value mutation must flip a count-equal bucket: $diff")
   }
 
+  test("bucket fingerprints: NULL-position swaps are NOT false negatives") {
+    import graft.core.Fingerprint
+    // (k,'b',NULL) vs (k,NULL,'b') — identical under a bare concat_ws hash,
+    // which would report bucket_match=true and the row-level engine would
+    // never re-check the slice; the isnull-tagged encoding must flip it
+    val src = Seq((1L, Option("b"), Option.empty[String]),
+                  (2L, Option("x"), Option("y"))).toDF("k", "v", "p")
+    val tgt = Seq((1L, Option.empty[String], Option("b")),
+                  (2L, Option("x"), Option("y"))).toDF("k", "v", "p")
+    val diff = Fingerprint.fingerprintDiff(src, tgt, Seq("k"), Seq("v", "p"), buckets = 4)
+      .collect()
+    assert(diff.exists(!_.getAs[Boolean]("bucket_match")),
+      "swapping which column is NULL must dirty the key's bucket")
+    // and NULL vs empty-string is distinguished too
+    val src2 = Seq((1L, Option(""))).toDF("k", "v")
+    val tgt2 = Seq((1L, Option.empty[String])).toDF("k", "v")
+    val d2 = Fingerprint.fingerprintDiff(src2, tgt2, Seq("k"), Seq("v"), buckets = 2).collect()
+    assert(d2.exists(!_.getAs[Boolean]("bucket_match")),
+      "NULL and '' must fingerprint differently")
+  }
+
   test("randomized perturbation property: reports match a naive driver-side model (seeded)") {
     // The golden fixture pins ONE scenario; this pins the count semantics
     // on a seeded random corpus against an independent collections-based

@@ -84,6 +84,18 @@ class OperatorsSpec extends SparkSpec {
     assert(gotR == ref, s"random mismatch: got ${gotR.size} ref ${ref.size}")
   }
 
+  test("retentionCohorts floors negative timestamps (pre-1970) like the oracle's //") {
+    import graft.operators.Temporal
+    val day = 10L
+    // user 1 at ts -5: floor(-5/10) = -1, NOT Spark div's trunc-to-zero 0;
+    // its return at ts 5 (bucket 0) is then offset 1 from cohort -1
+    val ev = Seq((1L, -5L), (1L, 5L), (2L, -25L)).toDF("user_id", "ts_ns")
+    val got = Temporal.retentionCohorts(ev, "user_id", "ts_ns", bucketNs = day)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(got == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L, (-3L, 0L) -> 1L), s"got $got")
+  }
+
   test("rollingDistinctApprox tracks the exact path within HLL error on real event data") {
     import graft.operators.Temporal
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -1943,6 +1955,15 @@ class OperatorsSpec extends SparkSpec {
       oldLabels, Seq((1L, 2L), (2L, 10L), (50L, 51L)).toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toSet
     assert(incr == Set((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L), (50L, 50L), (51L, 50L)))
+    // NULL endpoints are dropped wholesale (connectedComponents hygiene):
+    // no spurious (NULL, NULL) labeling row may leak through batchNodes
+    val withNulls = Seq((Some(2L), Option.empty[Long]), (None, Some(60L)),
+      (Some(50L), Some(51L))).toDF("doc_a", "doc_b")
+    val incr2 = Dedup.incrementalComponents(oldLabels, withNulls)
+      .as[(Option[Long], Option[Long])].collect().toSet
+    assert(incr2 == Set((Some(1L), Some(1L)), (Some(2L), Some(1L)),
+      (Some(10L), Some(10L)), (Some(11L), Some(10L)),
+      (Some(50L), Some(50L)), (Some(51L), Some(50L))), s"got $incr2")
   }
 
   test("stripMarkup: blocks dropped wholesale, tags spaced, entities decoded once") {
