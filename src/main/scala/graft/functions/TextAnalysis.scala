@@ -359,10 +359,9 @@ object TextAnalysis {
     * column pruning gives each pass only the columns it needs. (A window
     * function over `partition by win` would save the join but buffers
     * whole win-partitions — the hot-window hazard the aggregation avoids.)
-    * Window strings are the join key at test scale for oracle exactness;
-    * at deployment scale substitute `sha2(win, 256)` (or xxhash64 where
-    * cross-engine reproducibility is not needed) to bound shuffle key
-    * width — the counts are hash-invariant. Output: (doc, n_windows,
+    * The join key is a 128-bit binary sha prefix of the window (counts
+    * are hash-invariant, and the fixed 16-byte key bounds shuffle volume
+    * regardless of `w`). Output: (doc, n_windows,
     * dup_windows, dup_fraction); documents shorter than `w` tokens have no
     * windows and emit no row.
     */
@@ -372,9 +371,14 @@ object TextAnalysis {
       textCol: String,
       w: Int = 5): DataFrame = {
     require(w >= 2, s"window size must be >= 2, got $w")
+    // count by a 128-bit binary window hash, not the window string: the
+    // aggregation and count-back join shuffle every window row, and the
+    // fixed 16-byte key bounds that volume regardless of `w` (the counts
+    // are hash-invariant; 2¹²⁸ keyspace is collision-free in practice)
     val wins = df.select(
       col(idCol).as("doc"),
       explode(windowsOfWords(tokens(col(textCol)), w)).as("win"))
+      .select(col("doc"), unhex(substring(sha2(col("win"), 256), 1, 32)).as("win"))
     val counts = wins.groupBy("win").agg(count(lit(1)).as("__n"))
     wins.join(counts, "win")
       .groupBy("doc")
@@ -857,20 +861,24 @@ object TextAnalysis {
     */
   def skipgramPairs(df: DataFrame, textCol: String, window: Int = 2): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val w = tokens(col(textCol))
+    // pairs are (w1, w2) STRUCTS end-to-end: the original concat-then-
+    // regex-split roundtrip re-split every exploded pair twice with a
+    // regex, which a StageDiag trace at the sf10 rung showed dominating
+    // the extraction stage. The words array is projected once so the
+    // per-distance slices reference a computed attribute instead of
+    // re-tokenizing per element.
+    val w = col("__w")
     val pairArrays = (1 to window).map { j =>
-      when(size(w) <= j, array().cast("array<string>"))
+      when(size(w) <= j, array().cast("array<struct<w1:string,w2:string>>"))
         .otherwise(zip_with(
           slice(w, lit(1), size(w) - j),
           slice(w, lit(1 + j), size(w) - j),
-          (a, b) => concat(a, lit(" "), b)))
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
     }
     df.filter(nonBlank(col(textCol)))
-      .select(explode(flatten(array(pairArrays: _*))).as("__pair"))
-      // tokens are whitespace-split, so the single space is unambiguous
-      .select(
-        split(col("__pair"), " ").getItem(0).as("w1"),
-        split(col("__pair"), " ").getItem(1).as("w2"))
+      .select(tokens(col(textCol)).as("__w"))
+      .select(explode(flatten(array(pairArrays: _*))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
       .groupBy("w1", "w2")
       .agg(count(lit(1)).as("n_pair"))
   }
@@ -892,7 +900,13 @@ object TextAnalysis {
       window: Int = 2,
       minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val pairs = skipgramPairs(df, textCol, window)
+    // The aggregated pair table is consumed TWICE (the tp total and the
+    // scored join) and is vocab²·window-bounded — tiny next to the token
+    // stream it aggregates. Without the lazy localCheckpoint the two
+    // consumers each re-ran the full extract-explode-aggregate pipeline
+    // (exchange reuse does not bridge the two branches under AQE), which a
+    // StageDiag trace at the sf10 rung showed as the two dominant stages.
+    val pairs = skipgramPairs(df, textCol, window).localCheckpoint(false)
     val uni = df
       .filter(nonBlank(col(textCol)))
       .select(explode(tokens(col(textCol))).as("tok"))

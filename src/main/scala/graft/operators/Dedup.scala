@@ -184,9 +184,16 @@ object Dedup {
     val base = df.select(
       col(idCol).as("doc"),
       TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("__tk"))
+    // 128-bit BINARY hash key (16 bytes) instead of the 64-char sha hex
+    // string: the voting aggregation and count-back join shuffle every
+    // window row, so key width IS the shuffle volume — the hex form was
+    // ~70 bytes/row at the sf10 rung (1.85 GB per exchange), the binary
+    // prefix ~22. Collision-freedom at 2¹²⁸ is as good as the full
+    // digest's for any corpus that fits on hardware.
     val wins = base
       .select(col("doc"), posexplode(TextAnalysis.windowsOfWords(col("__tk"), w)))
-      .select(col("doc"), col("pos"), sha2(col("col"), 256).as("__h"))
+      .select(col("doc"), col("pos"),
+        unhex(substring(sha2(col("col"), 256), 1, 32)).as("__h"))
     val meta = wins
       .groupBy("__h")
       .agg(
@@ -194,14 +201,23 @@ object Dedup {
         min(struct(col("doc"), col("pos"))).as("__first"))
       .filter(col("__cnt") >= minCount)
       .select(col("__h"), col("__first"))
+    // Both probe joins are HINTED shuffle-hash on the duplicate-minority
+    // side (meta = windows occurring ≥ minCount, cover = docs with any
+    // covered span): left to AQE the builds sit near the broadcast
+    // threshold and the strategy flips run-to-run between broadcast and
+    // sort-merge — the SMJ mode sorts the full window stream / the full
+    // token-array corpus frame, measured 2.7× slower at the sf10 rung
+    // (38 s vs 14 s, bimodal). A hash build on the minority side never
+    // sorts either side; its per-partition memory is bounded by the same
+    // partitions-sized-to-data contract every aggregation here relies on.
     val cover = wins
-      .join(meta, "__h")
+      .join(meta.hint("shuffle_hash"), "__h")
       .filter(!(col("doc") === col("__first.doc") && col("pos") === col("__first.pos")))
       .select(col("doc"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("cpos"))
       .groupBy("doc")
       .agg(collect_set(col("cpos")).as("__cov"))
     base
-      .join(cover, Seq("doc"), "left")
+      .join(cover.hint("shuffle_hash"), Seq("doc"), "left")
       .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
       .select(
         col("doc"),

@@ -1,0 +1,82 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import scala.jdk.CollectionConverters._
+
+/** Superlinear-growth guard over a scale ladder — the "fail loudly" half
+  * of the [[ScaleProbe]] protocol. Each rung of the ladder is one
+  * ScaleProbe JSON line (separate JVM per rung, cold shuffles); this tool
+  * merges them into the committed `BENCH_scale_ladder.json` shape AND
+  * `require`s that no query grew faster than a declared bound between
+  * consecutive rungs. A regression like round 9's `q_text_pmi` (25× wall
+  * for 10× data at the sf10 rung) then fails the run instead of waiting
+  * for a human to read the JSON.
+  *
+  * Usage: `LadderGuard <bound> <out.json> <rung1.json> <rung2.json> [...]`
+  * — `bound` is the max allowed wall-time ratio between consecutive rungs
+  * (rungs are 10× data steps by protocol, so a bound of 12 means "at most
+  * mildly superlinear"). Exit 1 + the violation list on stderr when any
+  * query crosses it.
+  *
+  * Noise floor: a ratio over a sub-300 ms base measures scheduler jitter,
+  * not a plan, so bases are floored at 0.3 s and rung times under 1 s are
+  * never violations regardless of ratio.
+  */
+object LadderGuard {
+
+  final case class Rung(sfDir: String, totalSec: Double, queries: Seq[(String, Double)])
+
+  /** Violation lines for every consecutive-rung query growth above `bound`. */
+  def violations(rungs: Seq[Rung], bound: Double): Seq[String] = {
+    require(bound > 1.0, s"bound must be > 1, got $bound")
+    rungs.iterator.sliding(2).withPartial(false).flatMap { case Seq(a, b) =>
+      val base = a.queries.toMap
+      b.queries.collect {
+        case (q, t) if base.contains(q) && t >= 1.0 &&
+            t / math.max(base(q), 0.3) > bound =>
+          f"$q: ${a.sfDir} ${base(q)}%.2f s -> ${b.sfDir} $t%.2f s = " +
+            f"${t / math.max(base(q), 0.3)}%.1fx > bound ${bound}%.1fx"
+      }
+    }.toSeq
+  }
+
+  def parseRung(json: String): Rung = {
+    val node = new ObjectMapper().readTree(json)
+    require(node.has("queries") && node.has("sf"),
+      "not a ScaleProbe line: missing 'queries'/'sf'")
+    val qs = node.get("queries").properties().asScala.toSeq
+      .map(e => e.getKey -> e.getValue.asDouble())
+    Rung(node.get("sf").asText(), node.get("value").asDouble(), qs)
+  }
+
+  def ladderJson(rungs: Seq[Rung], bound: Double): String = {
+    def stage(r: Rung): String = {
+      val qs = r.queries.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"sf_dir":"${r.sfDir}","total_sec":${r.totalSec},"queries":{$qs}}"""
+    }
+    s"""{"metric":"scale_ladder","unit":"sec","protocol":"ScaleProbe per rung (fresh JVM, cold shuffles) + LadderGuard bound ${bound}x per 10x step","stages":[${rungs.map(stage).mkString(",")}]}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: LadderGuard <bound> <out.json> <rung1.json> <rung2.json> [...]")
+    val bound = args(0).toDouble
+    val out = args(1)
+    val rungs = args.drop(2).toSeq.map { f =>
+      val lines = scala.io.Source.fromFile(f).getLines().toSeq
+      val probe = lines.filter(_.contains("\"metric\":\"scale_probe\""))
+      require(probe.nonEmpty, s"$f: no scale_probe JSON line")
+      parseRung(probe.last)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out), ladderJson(rungs, bound))
+    val bad = violations(rungs, bound)
+    if (bad.nonEmpty) {
+      System.err.println(s"LADDER GUARD FAILED (${bad.size} violations):")
+      bad.foreach(v => System.err.println("  " + v))
+      sys.exit(1)
+    }
+    println(s"ladder ok: ${rungs.size} rungs, bound ${bound}x, written to $out")
+  }
+}

@@ -10,22 +10,77 @@ import org.apache.spark.sql.SparkSession
   * replays, none of which say anything about how the scale-designed plans
   * grow.
   *
-  * Usage: `ScaleProbe <sfDir> <q1,q2,…>` — Bench-comparable protocol: a
-  * warm pass materializes ONE instance (pages faulted, codegen JIT'd,
-  * catalog caches primed), then a FRESH instance of the same query is
-  * timed. The fresh instance matters: re-counting the SAME DataFrame
+  * Usage: `ScaleProbe [--isolate] <sfDir> <q1,q2,…>` — Bench-comparable
+  * protocol: a warm pass materializes ONE instance (pages faulted, codegen
+  * JIT'd, catalog caches primed), then a FRESH instance of the same query
+  * is timed. The fresh instance matters: re-counting the SAME DataFrame
   * skips every map stage whose shuffle files survive from the warm run,
   * which silently measures only the result stage (~6× too fast on shuffle
   * queries). One JSON line on stdout.
+  *
+  * `--isolate` runs EVERY query in its own child JVM (same classpath,
+  * same --add-opens/-Xmx, warm+timed inside the child) and merges the
+  * children's JSON. This is the ladder-grade protocol: the in-JVM
+  * sequence measurably contaminates later queries — the round-9 sf10 rung
+  * recorded 86 s for a query that times at 4.5 s in a fresh JVM, and a
+  * round-10 re-probe still saw 25 s vs 7 s standalone for
+  * `q_profile_corr` even with the gc-between-queries hygiene — so
+  * cross-query ratios are only trustworthy when no query inherits another
+  * query's JVM. Cost: one Spark-session startup per query (~10 s),
+  * irrelevant next to rung wall times.
   */
 object ScaleProbe {
+
+  /** Re-invoke this JVM's java on one (sfDir, query), return its JSON line. */
+  private def runChild(sfDir: String, name: String): Option[(Double, String)] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-XX:"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ScaleProbe", sfDir, name)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    if (rc != 0) { System.err.println(s"[scaleprobe] child $name rc=$rc"); return None }
+    // extract this query's seconds from the child's one-line JSON
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.Ee+-]+)")
+      .matcher(out)
+    if (!m.find()) { System.err.println(s"[scaleprobe] child $name: no result in: $out"); None }
+    else Some((m.group(1).toDouble, out))
+  }
+
   def main(args: Array[String]): Unit = {
-    val (sfDir, names) = args match {
+    val isolate = args.headOption.contains("--isolate")
+    val rest = if (isolate) args.drop(1) else args
+    val (sfDir, names) = rest match {
       case Array(d, qs) => (d, qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case _ =>
-        System.err.println("usage: ScaleProbe <sfDir> <query1,query2,...>")
+        System.err.println("usage: ScaleProbe [--isolate] <sfDir> <query1,query2,...>")
         sys.exit(2)
         throw new IllegalStateException
+    }
+    if (isolate) {
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      names.foreach { n =>
+        runChild(sfDir, n).foreach { case (sec, _) =>
+          results += n -> sec
+          System.err.println(f"[scaleprobe] $n%-26s $sec%8.2f s  (isolated)")
+        }
+      }
+      require(results.size == names.size,
+        s"isolated probe lost ${names.size - results.size} queries (see stderr)")
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_probe","unit":"sec","value":${results.values.sum},""" +
+        s""""queries":$qs,"sf":"$sfDir","n_queries":${results.size},"isolated":true}""")
+      return
     }
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")

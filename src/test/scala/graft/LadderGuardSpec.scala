@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.LadderGuard
+import graft.tools.LadderGuard.Rung
+
+/** The guard must actually guard: a crafted superlinear rung FAILS, benign
+  * growth and noise-floor cases pass. */
+class LadderGuardSpec extends AnyFunSuite {
+
+  private val sf1 = Rung("/sf1", 10.0,
+    Seq("q_fast" -> 0.05, "q_lin" -> 2.0, "q_bad" -> 3.0))
+
+  test("deliberately superlinear growth is a violation") {
+    val sf10 = Rung("/sf10", 120.0,
+      Seq("q_fast" -> 0.4, "q_lin" -> 16.0, "q_bad" -> 80.0))
+    val v = LadderGuard.violations(Seq(sf1, sf10), bound = 12.0)
+    assert(v.size == 1 && v.head.startsWith("q_bad:"), v.mkString("; "))
+    assert(v.head.contains("26.7x"), v.head)
+  }
+
+  test("sub-second rung times are noise, never violations") {
+    // 0.05 s -> 0.9 s is 18x by division but both are scheduler noise
+    val sf10 = Rung("/sf10", 10.0, Seq("q_fast" -> 0.9, "q_lin" -> 15.0))
+    assert(LadderGuard.violations(Seq(sf1, sf10), 12.0).isEmpty)
+  }
+
+  test("sub-300ms bases are floored: 0.05 s -> 3 s is 10x, not 60x") {
+    val sf10 = Rung("/sf10", 10.0, Seq("q_fast" -> 3.0))
+    assert(LadderGuard.violations(Seq(sf1, sf10), 12.0).isEmpty)
+    assert(LadderGuard.violations(Seq(sf1, sf10), 9.0).nonEmpty)
+  }
+
+  test("three rungs check consecutive pairs independently") {
+    val sf10 = Rung("/sf10", 10.0, Seq("q_lin" -> 20.0))
+    val sf100 = Rung("/sf100", 10.0, Seq("q_lin" -> 600.0))
+    val v = LadderGuard.violations(Seq(sf1, sf10, sf100), 12.0)
+    assert(v.size == 1 && v.head.contains("/sf10") && v.head.contains("/sf100"))
+  }
+
+  test("parseRung reads a ScaleProbe line; ladderJson round-trips") {
+    val line = """{"metric":"scale_probe","unit":"sec","value":5.5,""" +
+      """"queries":{"q_a":1.25,"q_b":4.25},"sf":"/tmp/x","n_queries":2}"""
+    val r = LadderGuard.parseRung(line)
+    assert(r.sfDir == "/tmp/x" && r.totalSec == 5.5 &&
+      r.queries == Seq("q_a" -> 1.25, "q_b" -> 4.25))
+    val merged = LadderGuard.ladderJson(Seq(r), 12.0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(merged)
+    assert(node.get("stages").size() == 1)
+    assert(node.get("stages").get(0).get("queries").get("q_b").asDouble() == 4.25)
+  }
+}
