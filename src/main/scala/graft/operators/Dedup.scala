@@ -998,8 +998,9 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 25): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxRounds)._1
+      maxRounds: Int = 25,
+      smallGraphEdges: Long = 65536L): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxRounds, smallGraphEdges)._1
 
   /** [[connectedComponents]] plus the number of label-propagation rounds it
     * took to converge — the observable the log-rounds complexity claim is
@@ -1010,13 +1011,14 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 25): (DataFrame, Int) = {
+      maxRounds: Int = 25,
+      smallGraphEdges: Long = 65536L): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val cacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     val prevCacheConf = spark.conf.getOption(cacheKey)
     spark.conf.set(cacheKey, "false")
     val (labels, round) = try {
-      connectedComponentsLoop(pairs, aCol, bCol, maxRounds)
+      connectedComponentsLoop(pairs, aCol, bCol, maxRounds, smallGraphEdges)
     } finally {
       prevCacheConf match {
         case Some(v) => spark.conf.set(cacheKey, v)
@@ -1040,11 +1042,64 @@ object Dedup {
     * cache is released before returning — persist keeps lineage, making
     * that safe.
     */
+  /** Driver union-find over a gate-bounded doubled edge list — identical
+    * min-id labeling to the distributed loop (union-by-min keeps every
+    * root the min of its set; strings compare by UTF-8 bytes, matching
+    * Spark's binary string ordering). Null endpoints mirror the loop's
+    * semantics exactly: they join nothing, their non-null partner stays
+    * isolated, and a single `(null, null)` labeling row appears iff any
+    * endpoint was null.
+    */
+  private def driverComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      doubledEdges: Array[(Any, Any)],
+      nodeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val lt: (Any, Any) => Boolean = nodeType match {
+      case StringType => (a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case _ => (a, b) =>
+        a.asInstanceOf[Number].longValue() < b.asInstanceOf[Number].longValue()
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    var hasNull = false
+    def add(x: Any): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    doubledEdges.foreach { case (a, b) =>
+      if (a == null || b == null) {
+        hasNull = true
+        if (a != null) add(a)
+        if (b != null) add(b)
+      } else {
+        add(a); add(b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size() + 1)
+    parent.keySet().iterator().forEachRemaining { n =>
+      out.add(org.apache.spark.sql.Row(n, find(n)))
+    }
+    if (hasNull) out.add(org.apache.spark.sql.Row(null, null))
+    spark.createDataFrame(out,
+      StructType(Seq(StructField("node", nodeType), StructField("component", nodeType))))
+  }
+
   private def connectedComponentsLoop(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int): (DataFrame, Int) = {
+      maxRounds: Int,
+      smallGraphEdges: Long): (DataFrame, Int) = {
     // undirected, deduped edge list — reused every round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -1052,7 +1107,29 @@ object Dedup {
       .repartition(col("dst"))
       .sortWithinPartitions("dst")
       .persist()
-    edges.count() // materialize: an empty cache still plans the exchange
+    val edgeCount = edges.count() // materialize: an empty cache still plans the exchange
+    // Small-graph fast path: when the (already materialized and counted)
+    // edge list is tiny, the log-rounds loop is ALL fixed cost — each
+    // round is 2 joins + a checkpoint + a scalar action, ~0.5-1 s of job
+    // launches for microseconds of actual work, which round 9 measured as
+    // a 1.6× regression on q_link_resolve's few-thousand-edge graph. A
+    // driver union-find over ≤ `smallGraphEdges` doubled edges is bounded
+    // (2·65536 rows ≈ a broadcast build side, so the C2 bounded-collect
+    // discipline holds — the gate IS the bound) and yields the identical
+    // min-id labeling. Stress benches that pin the loop's round counts
+    // pass smallGraphEdges = 0 to force the distributed path.
+    val nodeType = edges.schema("src").dataType
+    val fastPathType = nodeType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (fastPathType && edgeCount <= smallGraphEdges) {
+      val rows = edges.collect().map(r => (r.get(0), r.get(1)))
+      edges.unpersist(false)
+      return (driverComponents(pairs.sparkSession, rows, nodeType), 0)
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(false)

@@ -976,12 +976,43 @@ class OperatorsSpec extends SparkSpec {
     // must land near log2 (with slack for the min-label interleaving).
     // This is the small twin of SkewBench's 400k-node chain case.
     val chain = spark.range(1023).select(col("id").as("a"), (col("id") + 1).as("b"))
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, "a", "b", maxRounds = 32)
+    // smallGraphEdges = 0 forces the distributed loop — this test PINS the
+    // loop's round count, which the driver fast path would short-circuit
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, "a", "b",
+      maxRounds = 32, smallGraphEdges = 0L)
     val comps = labels.select("component").distinct().collect().map(_.getLong(0)).toSeq
     assert(comps == Seq(0L), s"one component labeled by its min node, got $comps")
     assert(rounds <= 16, s"log-rounds bound violated: $rounds rounds for diameter 1023")
     assert(rounds >= 5, s"a 1023-diameter chain cannot converge in $rounds rounds " +
       "- the rounds counter itself must be broken")
+  }
+
+  test("connectedComponents driver fast path equals the distributed loop") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(20260815L)
+    val pairs = (1 to 3000).map(_ => (rnd.nextInt(800).toLong, rnd.nextInt(800).toLong))
+      .filter { case (a, b) => a != b }
+    val df = pairs.toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(df, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.connectedComponents(df, "doc_a", "doc_b", smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop, s"fast path diverged: ${fast.size} vs ${loop.size} nodes")
+    // string node ids: min must follow UTF-8 byte order like the loop's min()
+    val sdf = Seq(("b", "aa"), ("aa", "z"), ("q", "qq")).toDF("doc_a", "doc_b")
+    val sFast = Dedup.connectedComponents(sdf, "doc_a", "doc_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sLoop = Dedup.connectedComponents(sdf, "doc_a", "doc_b", smallGraphEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sFast == sLoop && sFast("z") == "aa", s"got $sFast")
+    // null endpoints: partner stays isolated, one (null, null) row — parity
+    val ndf = Seq((Some(1L), Option.empty[Long]), (Some(5L), Some(6L)))
+      .toDF("doc_a", "doc_b")
+    val nFast = Dedup.connectedComponents(ndf, "doc_a", "doc_b")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    val nLoop = Dedup.connectedComponents(ndf, "doc_a", "doc_b", smallGraphEdges = 0L)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(nFast == nLoop, s"null parity broke: $nFast vs $nLoop")
   }
 
   test("repetitionStats: hand-computed dup line/n-gram fractions; empty inputs are 0") {
