@@ -1280,6 +1280,32 @@ object Queries {
         nlist = 16, nprobe = 4, m = 4, ncode = 16, iters = 0, refine = 2,
         pivotHash = Similarity.shaPivotHash)),
 
+    // catalog-level ANN RECALL row: per query (20 of them), how many of
+    // the exact brute-force top-3 the composed IVF-PQ pipeline recovered —
+    // the recall-vs-latency observable promoted from RecallSweep into the
+    // oracle-checked catalog, so a banding/probing regression shows up as
+    // a hash mismatch, not a silent recall drop. Operating point chosen by
+    // a parameter sweep on this corpus: nprobe 8/16 cells, m = 16 (4-dim
+    // subspaces — these embeddings are near-uniform, so coarser PQ is
+    // ADC-noise), refine 16 → 45/60 hits (75%); the q_sim_ivfpq_topk
+    // demo point (nprobe 4, m 4, refine 2) sits at 10%. Both sides are
+    // integer-exact (sha pivots, iters = 0), so DuckDB replays ann AND
+    // brute and the hit counts match bit-for-bit.
+    "q_sim_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = col("vec_id") < 20
+      val ann = Similarity.ivfPqTopK(e, "vec_id", "embedding", q, k = 3,
+          nlist = 16, nprobe = 8, m = 16, ncode = 16, iters = 0, refine = 16,
+          pivotHash = Similarity.shaPivotHash)
+        .select(col("query_id"), col("cand_id"), lit(1).as("__hit"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, k = 3)
+        .select("query_id", "cand_id")
+        .join(ann, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("__hit")).as("hits"))
+        .withColumn("k", lit(3L))
+    }),
+
     // targetChunkSize 25 exercises the triangle sub-chunking at test scale
     // (sf0.1's 200-row label blocks split into 8 chunks → 36 pair-tasks per
     // block instead of ONE task per label); the output is identical at any
@@ -2173,6 +2199,27 @@ object Queries {
     * fixed-point cosine top-3. Pivot hash = first 15 hex chars of
     * sha256(id), exactly [[graft.operators.Similarity.shaPivotHash]].
     */
+  /** Brute-force exact cosine top-3 replica at query boundary `qb`
+    * (queries = vec_id < qb, candidates = the rest) — the truth side of
+    * `q_sim_recall` and the whole of `q_sim_cosine_topk`.
+    */
+  private def bruteTopKOracleSql(qb: Int): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, CAST(SUM(qv*qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+      |d AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |        CAST(SUM(q.qv*c.qv) AS BIGINT) AS dot
+      |      FROM e q JOIN e c ON q.pos = c.pos
+      |      WHERE q.vec_id < $qb AND c.vec_id >= $qb
+      |      GROUP BY 1, 2),
+      |sc AS (SELECT query_id, cand_id,
+      |        CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      |       FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = cand_id)
+      |SELECT query_id, cand_id, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) rn
+      |  FROM sc) WHERE rn <= 3""".stripMargin
+
   /** DuckDB replica of the COMPOSED IVF-PQ pipeline (q_sim_ivfpq_topk,
     * iters = 0, sha pivot hash): the IVF half (cells from the first-16
     * sha-ordered corpus rows, nearest-cell assignment, nprobe = 4 probes,
@@ -2183,13 +2230,14 @@ object Queries {
     * single-method oracles so the composition can only diverge where the
     * composition itself does.
     */
-  private val ivfPqTopKOracleSql: String =
-    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+  private def ivfPqTopKOracleSql(qb: Int = 5, subWidth: Int = 16,
+      nprobe: Int = 4, surv: Int = 6): String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
       |  FROM embeddings),
-      |es AS (SELECT vec_id, pos // 16 AS subsp, pos, qv FROM e),
+      |es AS (SELECT vec_id, pos // $subWidth AS subsp, pos, qv FROM e),
       |n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
-      |piv AS (SELECT vec_id AS cell FROM embeddings WHERE vec_id >= 5
+      |piv AS (SELECT vec_id AS cell FROM embeddings WHERE vec_id >= $qb
       |  ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
       |  LIMIT 16),
       |cdots AS (SELECT a.vec_id AS rid, b.vec_id AS cell, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
@@ -2201,17 +2249,17 @@ object Queries {
       |ass AS (SELECT rid, cell,
       |    ROW_NUMBER() OVER (PARTITION BY rid ORDER BY cs DESC, cell) AS rn
       |  FROM sc0),
-      |cass AS (SELECT rid AS cand_id, cell FROM ass WHERE rid >= 5 AND rn = 1),
-      |qass AS (SELECT rid AS query_id, cell FROM ass WHERE rid < 5 AND rn <= 4),
+      |cass AS (SELECT rid AS cand_id, cell FROM ass WHERE rid >= $qb AND rn = 1),
+      |qass AS (SELECT rid AS query_id, cell FROM ass WHERE rid < $qb AND rn <= $nprobe),
       |cand AS (SELECT DISTINCT query_id, cand_id FROM qass JOIN cass USING (cell)),
-      |pivc AS (SELECT vec_id AS code FROM embeddings WHERE vec_id >= 5
+      |pivc AS (SELECT vec_id AS code FROM embeddings WHERE vec_id >= $qb
       |  ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
       |  LIMIT 16),
       |cb AS (SELECT es.subsp, es.vec_id AS code, es.pos, es.qv FROM es JOIN pivc ON pivc.code = es.vec_id),
       |cbn AS (SELECT subsp, code, CAST(SUM(qv * qv) AS BIGINT) AS cn2 FROM cb GROUP BY 1, 2),
       |cd AS (SELECT a.vec_id, a.subsp, cb.code, CAST(SUM(a.qv * cb.qv) AS BIGINT) AS dot
       |  FROM es a JOIN cb ON cb.subsp = a.subsp AND cb.pos = a.pos
-      |  WHERE a.vec_id >= 5 GROUP BY 1, 2, 3),
+      |  WHERE a.vec_id >= $qb GROUP BY 1, 2, 3),
       |enc AS (SELECT vec_id AS cand_id, subsp, code, cn2 FROM (
       |  SELECT cd.vec_id, cd.subsp, cd.code, cbn.cn2,
       |    ROW_NUMBER() OVER (PARTITION BY cd.vec_id, cd.subsp
@@ -2221,7 +2269,7 @@ object Queries {
       |lut AS (SELECT q.vec_id AS query_id, cb.subsp, cb.code,
       |    CAST(SUM(q.qv * cb.qv) AS BIGINT) AS pdot
       |  FROM es q JOIN cb ON cb.subsp = q.subsp AND cb.pos = q.pos
-      |  WHERE q.vec_id < 5 GROUP BY 1, 2, 3),
+      |  WHERE q.vec_id < $qb GROUP BY 1, 2, 3),
       |adc AS (SELECT c.query_id, c.cand_id,
       |    CAST(SUM(lut.pdot) AS DOUBLE) /
       |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(SUM(enc.cn2) AS DOUBLE))) AS approx_cosine
@@ -2232,7 +2280,7 @@ object Queries {
       |  GROUP BY 1, 2, nq.n2),
       |surv AS (SELECT query_id, cand_id FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, cand_id) AS rn
-      |  FROM adc) WHERE rn <= 6),
+      |  FROM adc) WHERE rn <= $surv),
       |d AS (SELECT query_id, cand_id, CAST(SUM(eq.qv * ec.qv) AS BIGINT) AS dot
       |  FROM surv
       |  JOIN e eq ON eq.vec_id = query_id
@@ -2989,7 +3037,7 @@ object Queries {
 
     "q_sim_pq_topk" -> pqTopKOracleSql,
 
-    "q_sim_ivfpq_topk" -> ivfPqTopKOracleSql,
+    "q_sim_ivfpq_topk" -> ivfPqTopKOracleSql(),
     // minhash+LSH verified pairs ⊆ brute-force pairs by construction (the
     // verify step recomputes exact Jaccard); equality with the brute-force
     // set additionally asserts full recall at the configured banding.
@@ -4541,22 +4589,18 @@ object Queries {
         |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM cc GROUP BY component""".stripMargin,
 
-    "q_sim_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-        |             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS qv
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, CAST(SUM(qv*qv) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
-        |d AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |        CAST(SUM(q.qv*c.qv) AS BIGINT) AS dot
-        |      FROM e q JOIN e c ON q.pos = c.pos
-        |      WHERE q.vec_id < 5 AND c.vec_id >= 5
-        |      GROUP BY 1, 2),
-        |sc AS (SELECT query_id, cand_id,
-        |        CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
-        |       FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = cand_id)
-        |SELECT query_id, cand_id, cosine FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) rn
-        |  FROM sc) WHERE rn <= 3""".stripMargin,
+    "q_sim_cosine_topk" -> bruteTopKOracleSql(5),
+
+    // recall replica: LEFT JOIN the brute-force top-3 (per-query truth)
+    // against the composed IVF-PQ top-3, both at query boundary 20 —
+    // COUNT(matched) per query IS the recall numerator
+    "q_sim_recall" ->
+      s"""SELECT b.query_id, CAST(COUNT(a.cand_id) AS BIGINT) AS hits,
+        |  CAST(3 AS BIGINT) AS k
+        |FROM (${bruteTopKOracleSql(20)}) b
+        |LEFT JOIN (${ivfPqTopKOracleSql(qb = 20, subWidth = 4, nprobe = 8, surv = 48)}) a
+        |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+        |GROUP BY b.query_id""".stripMargin,
 
     "q_multimodal_bytes" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
