@@ -283,6 +283,98 @@ object Graphs {
     * by the truncation (deterministically), relative order is what
     * centrality consumes.
     */
+  /** The materialized PageRank graph state: cached adjacency, cached node
+    * frame, broadcast base-rank row. Exposed `private[graft]` so PlanSpec
+    * can audit a raw (un-checkpointed) iteration frame — the zero-exchange
+    * property of the adjacency side must be pinned by a test, not assumed.
+    */
+  private[graft] final case class PrGraph(adj: DataFrame, nodes: DataFrame, b0: DataFrame)
+
+  /** Build + MATERIALIZE the adjacency/node caches (see [[pageRank]]'s
+    * scaladoc for why eager, why persist-not-checkpoint, and why the
+    * cached-partitioning conf must be false while this and all iteration
+    * planning run).
+    */
+  private[graft] def buildPrGraph(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      scale: Long): PrGraph = {
+    // Canonical edges cached FIRST: the bidirectional union reads the
+    // edge relation twice, and without a materialized cache each branch
+    // re-runs the ENTIRE pair pipeline (self-join + distinct — the two
+    // most expensive stages of the sf10 trace, ~70 s each, run twice).
+    // persist (not localCheckpoint) keeps lineage, so this cache can be
+    // RELEASED as soon as adj is built.
+    val edges = canonicalEdges(pairs, aCol, bCol).persist()
+    val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
+    // adjacency with the SOURCE degree attached, via ONE exchange: the
+    // repartition+sort lays rows out by src, and the count-over-src
+    // window computes deg inside that same layout (WindowExec's
+    // clustering+ordering requirement is already satisfied — no degree
+    // aggregation exchange, no degree join). Sorted before the columnar
+    // cache, so no iteration ever exchanges or sorts this side (see
+    // scaladoc for why persist, not localCheckpoint).
+    val adj = bidir
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .withColumn("deg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist()
+    // MATERIALIZE before planning the iterations: an InMemoryRelation
+    // only reports its final partitioning once its (AQE-planned) cached
+    // plan has executed — iteration joins planned against an empty cache
+    // still insert the 2|E|-row exchange the cache exists to remove
+    // (verified empirically; the unmaterialized plan keeps the
+    // exchange+sort above InMemoryTableScan). PageRank is inherently
+    // iterative state construction — like GraphX/Pregel it pays its
+    // graph build eagerly; this is the one catalog operator that departs
+    // from construction-time laziness, deliberately.
+    adj.count()
+    // edges served its purpose (adj is materialized); release the ~|E|
+    // columnar cache now. Lineage is intact, so an evicted adj partition
+    // can still recompute from source — the safety localCheckpoint lacks.
+    edges.unpersist(false)
+    // (node, deg): aggregation over adj's cached hash(src) distribution —
+    // no exchange; cached because every iteration's rank rebuild reads it
+    // (a 2|E|-row adj rescan per use would dwarf the |V|-row result).
+    val nodes = adj.groupBy(col("src").as("node"))
+      .agg(min(col("deg")).as("deg"))
+      .persist()
+    nodes.count()
+    // base₀ = scale div n as a one-row broadcast frame (the oracle's
+    // `b0` CTE); an empty edge list yields an empty result
+    val b0 = broadcast(nodes.agg(
+      call_function("div", lit(scale), count(lit(1))).as("__b0")))
+    PrGraph(adj, nodes, b0)
+  }
+
+  /** Initial rank frame: every node at `scale div n`. */
+  private[graft] def prInit(g: PrGraph): DataFrame =
+    g.nodes
+      .crossJoin(g.b0)
+      .select(col("node"), col("deg"), col("__b0").as("rank_scaled"))
+
+  /** One un-checkpointed rank iteration — the frame PlanSpec audits. */
+  private[graft] def prStep(ranks: DataFrame, g: PrGraph, dampPpm: Long): DataFrame = {
+    val contrib = ranks
+      .select(col("node").as("src"), expr("rank_scaled div deg").as("c"))
+      .join(g.adj.select(col("src"), col("dst")), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("c")).as("__in"))
+    // `div`, never `/`: Spark's `/` on longs returns DOUBLE (rounding),
+    // while `div` truncates like every other engine's integer division
+    g.nodes
+      .join(contrib, Seq("node"), "left")
+      .crossJoin(g.b0)
+      .select(col("node"), col("deg"),
+        call_function("div",
+          lit(1000000L - dampPpm) * col("__b0") +
+            lit(dampPpm) * coalesce(col("__in"), lit(0L)),
+          lit(1000000L)).as("rank_scaled"))
+  }
+
   def pageRank(
       pairs: DataFrame,
       aCol: String,
@@ -297,75 +389,10 @@ object Graphs {
     val prevCacheConf = spark.conf.getOption(cacheKey)
     spark.conf.set(cacheKey, "false")
     try {
-      // Canonical edges cached FIRST: the bidirectional union reads the
-      // edge relation twice, and without a materialized cache each branch
-      // re-runs the ENTIRE pair pipeline (self-join + distinct — the two
-      // most expensive stages of the sf10 trace, ~70 s each, run twice).
-      // persist (not localCheckpoint) keeps lineage, so this cache can be
-      // RELEASED as soon as adj is built.
-      val edges = canonicalEdges(pairs, aCol, bCol).persist()
-      val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
-        .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
-      // adjacency with the SOURCE degree attached, via ONE exchange: the
-      // repartition+sort lays rows out by src, and the count-over-src
-      // window computes deg inside that same layout (WindowExec's
-      // clustering+ordering requirement is already satisfied — no degree
-      // aggregation exchange, no degree join). Sorted before the columnar
-      // cache, so no iteration ever exchanges or sorts this side (see
-      // scaladoc for why persist, not localCheckpoint).
-      val adj = bidir
-        .repartition(col("src"))
-        .sortWithinPartitions("src")
-        .withColumn("deg",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
-        .persist()
-      // MATERIALIZE before planning the iterations: an InMemoryRelation
-      // only reports its final partitioning once its (AQE-planned) cached
-      // plan has executed — iteration joins planned against an empty cache
-      // still insert the 2|E|-row exchange the cache exists to remove
-      // (verified empirically; the unmaterialized plan keeps the
-      // exchange+sort above InMemoryTableScan). PageRank is inherently
-      // iterative state construction — like GraphX/Pregel it pays its
-      // graph build eagerly; this is the one catalog operator that departs
-      // from construction-time laziness, deliberately.
-      adj.count()
-      // edges served its purpose (adj is materialized); release the ~|E|
-      // columnar cache now. Lineage is intact, so an evicted adj partition
-      // can still recompute from source — the safety localCheckpoint lacks.
-      edges.unpersist(false)
-      // (node, deg): aggregation over adj's cached hash(src) distribution —
-      // no exchange; cached because every iteration's rank rebuild reads it
-      // (a 2|E|-row adj rescan per use would dwarf the |V|-row result).
-      val nodes = adj.groupBy(col("src").as("node"))
-        .agg(min(col("deg")).as("deg"))
-        .persist()
-      nodes.count()
-      // base₀ = scale div n as a one-row broadcast frame (the oracle's
-      // `b0` CTE); an empty edge list yields an empty result
-      val b0 = broadcast(nodes.agg(
-        call_function("div", lit(scale), count(lit(1))).as("__b0")))
-      var ranks = nodes
-        .crossJoin(b0)
-        .select(col("node"), col("deg"), col("__b0").as("rank_scaled"))
-        .localCheckpoint(false)
-      for (_ <- 1 to iters) {
-        val contrib = ranks
-          .select(col("node").as("src"), expr("rank_scaled div deg").as("c"))
-          .join(adj.select(col("src"), col("dst")), Seq("src"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("c")).as("__in"))
-        // `div`, never `/`: Spark's `/` on longs returns DOUBLE (rounding),
-        // while `div` truncates like every other engine's integer division
-        ranks = nodes
-          .join(contrib, Seq("node"), "left")
-          .crossJoin(b0)
-          .select(col("node"), col("deg"),
-            call_function("div",
-              lit(1000000L - dampPpm) * col("__b0") +
-                lit(dampPpm) * coalesce(col("__in"), lit(0L)),
-              lit(1000000L)).as("rank_scaled"))
-          .localCheckpoint(false)
-      }
+      val g = buildPrGraph(pairs, aCol, bCol, scale)
+      var ranks = prInit(g).localCheckpoint(false)
+      for (_ <- 1 to iters)
+        ranks = prStep(ranks, g, dampPpm).localCheckpoint(false)
       ranks.select(col("node"), col("rank_scaled"))
     } finally {
       prevCacheConf match {
