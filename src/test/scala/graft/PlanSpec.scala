@@ -56,6 +56,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin FullOuter"), "full outer must not broadcast")
   }
 
+  test("tolerance second pass is filter-pruned: mismatch filter sits directly on the cached join") {
+    // the expensive per-column compare must touch ONLY the checksum-
+    // mismatch minority — in the plan that reads as a Filter over both
+    // checksum columns whose narrow child chain ends at the cached
+    // joinedRaw scan, with every *_matched projection ABOVE it. A
+    // regression that hoists the per-column predicates below the filter
+    // (or drops the filter) re-scans the full join at 100 TB.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val (src, tgt) = Queries.compareScenario(spark, sf)
+    val res = graft.core.Comparison.compareDataFrames(spark, src, tgt,
+      graft.config.DatasetParams("plan_audit", Seq("o_orderkey"),
+        graft.config.TestParams(differenceTolerance = 0.01)))
+    try {
+      val extract = res.unmatchedRecords.values.headOption.getOrElse(
+        fail("scenario must produce at least one offending column"))
+      extract.queryExecution.toRdd.count()
+      def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+        case q: QueryStageExec => q +: collectPlans(q.plan)
+        case other => other +: other.children.flatMap(collectPlans)
+      }
+      val all = collectPlans(extract.queryExecution.executedPlan)
+      val mismatchFilters = all.collect {
+        case f: FilterExec if f.condition.toString.contains("_chk_sum_src") &&
+          f.condition.toString.contains("_chk_sum_target") => f
+      }
+      assert(mismatchFilters.nonEmpty,
+        s"no checksum-mismatch filter in the extract plan:\n${extract.queryExecution.executedPlan}")
+      // the filter's subtree must be the cached join scan and nothing else
+      // — no join, no aggregation, no per-column match projection below it
+      mismatchFilters.foreach { f =>
+        val below = collectPlans(f).drop(1)
+        assert(below.exists(_.isInstanceOf[InMemoryTableScanExec]),
+          s"mismatch filter must read the persisted joinedRaw cache:\n$f")
+        // per-column predicate columns are <col>_matched (all_rows_matched
+        // is a legitimate joinedRaw column and must not trip this)
+        assert(!below.exists(p => p.toString.contains("o_custkey_matched") ||
+            p.toString.contains("o_totalprice_matched")),
+          s"per-column tolerance predicates leaked below the mismatch filter:\n$f")
+      }
+    } finally res.unpersist()
+  }
+
   test("row checksum derivation stays inside whole-stage codegen") {
     val p = plan("q_p3_checksum")
     assert(p.contains("[codegen id :"))
