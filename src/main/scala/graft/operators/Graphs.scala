@@ -54,20 +54,26 @@ object Graphs {
     * PageRank who is CENTRAL, the core says who survives when the
     * periphery is stripped.
     *
-    * Scale shape, per round: one degree aggregation (map-side combined)
-    * and two anti-joins against the low-degree node set — the low set is
-    * eagerly `localCheckpoint`ed (it is read twice and gates the loop;
-    * re-deriving it would re-run the degree agg), the shrinking edge
-    * relation is checkpointed per round to truncate lineage, and the
-    * anti-join build side is left to AQE: in early rounds the low set can
-    * be a large fraction of all nodes (no broadcast assumption survives
-    * 100×), in late rounds AQE broadcasts the dwindling remainder. The
-    * driver sees one emptiness probe per round, never node data. Round
-    * COUNT is bounded by the peeling depth of the degree distribution —
-    * worst case (a path) is O(n), real co-occurrence/linkage graphs
-    * finish in a handful; `maxRounds` is the safety bound, and stopping
-    * there early yields a SUPERSET of the true core (documented
-    * approximation, never silent loss).
+    * Scale shape: the canonical edge set is cached ONCE (columnar
+    * persist, the PageRank adjacency discipline) and every round derives
+    * the CURRENT subgraph as base-minus-accumulated-removed via two
+    * anti-joins against the removed-node set, then one map-side-combined
+    * degree aggregation. No per-round edge materialization exists: an
+    * earlier shape re-`localCheckpoint`ed the full shrinking edge
+    * relation every round, which the sf10 ladder rung exposed as 30-50 s
+    * per round of pure checkpoint write (112 M edges re-stored to peel
+    * 600 nodes) — 21× wall for 10× data. Only the removed set (bounded
+    * by |V|, usually tiny) checkpoints per round, with superseded
+    * generations freed eagerly. The anti-join build side is left to AQE:
+    * while `removed` is small it broadcasts and the cached base never
+    * shuffles; an adversarial graph that peels most of its nodes degrades
+    * to a shuffle join, never worse than re-materializing. The driver
+    * sees one emptiness probe per round, never node data. Round COUNT is
+    * bounded by the peeling depth of the degree distribution — worst case
+    * (a path) is O(n), real co-occurrence/linkage graphs finish in a
+    * handful; `maxRounds` is the safety bound, and stopping there early
+    * yields a SUPERSET of the true core (documented approximation, never
+    * silent loss).
     *
     * Output: `(node, core_deg)` for every node of the k-core, with its
     * degree inside the core. Empty when the whole graph peels away.
@@ -93,25 +99,62 @@ object Graphs {
       maxRounds: Int = 50): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 1000, s"maxRounds out of range: $maxRounds")
-    var edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint()
+    // columnar cache + eager materialization: every round scans this (see
+    // buildPrGraph for why persist-then-count, not localCheckpoint)
+    val base = canonicalEdges(pairs, aCol, bCol).persist()
+    base.count()
+    var removed: Option[DataFrame] = None
+    var removedCount = 0L
+    // An eager checkpoint is a LogicalRDD — size-UNKNOWN to the planner,
+    // which plans the anti-joins sort-merge and re-exchanges the cached
+    // base every round (measured 2.3× at the sf1 rung). While the
+    // accumulated removed set is provably driver/executor-safe (≤ 5 M
+    // node ids ≈ tens of MB) the hint pins broadcast-hash anti-joins, so
+    // rounds are pure narrow filters over the columnar base; an
+    // adversarial graph that peels more than the bound falls back to the
+    // planner's choice, never worse than re-materializing.
+    val broadcastRemovedMax = 5000000L
+    def current: DataFrame = removed match {
+      case None => base
+      case Some(r0) =>
+        val r = if (removedCount <= broadcastRemovedMax) broadcast(r0) else r0
+        base
+          .join(r.withColumnRenamed("n", "lo"), Seq("lo"), "left_anti")
+          .join(r.withColumnRenamed("n", "hi"), Seq("hi"), "left_anti")
+    }
     var round = 0
     var fixed = false
     while (!fixed && round < maxRounds) {
-      val low = degrees(edges)
+      val low = degrees(current)
         .filter(col("deg") < k)
         .select(col("n"))
         .localCheckpoint()
-      if (low.isEmpty) fixed = true
+      val lowCount = low.count()
+      if (lowCount == 0L) fixed = true
       else {
-        edges = edges
-          .join(low.withColumnRenamed("n", "lo"), Seq("lo"), "left_anti")
-          .join(low.withColumnRenamed("n", "hi"), Seq("hi"), "left_anti")
-          .localCheckpoint()
+        val nextRemoved = removed match {
+          case None => low
+          case Some(r) => r.unionByName(low).localCheckpoint()
+        }
+        // free superseded small checkpoints eagerly (irrevocable, fine:
+        // nothing references the old generations again)
+        if (removed.isDefined) { removed.foreach(releaseCheckpoint); releaseCheckpoint(low) }
+        removed = Some(nextRemoved)
+        removedCount += lowCount
         round += 1
       }
     }
-    (degrees(edges).select(col("n").as("node"), col("deg").as("core_deg")), round)
+    (degrees(current).select(col("n").as("node"), col("deg").as("core_deg")), round)
   }
+
+  /** Unpersist the block-manager storage behind an EAGER `localCheckpoint`
+    * frame (a `LogicalRDD` root). No-op for any other plan shape.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Multi-source BFS: minimum hop distance from a seed set, bounded at
     * `maxHops` — the link-based curation primitive ("keep documents within
