@@ -105,7 +105,14 @@ object StreamBench {
       // windowed aggregation: state = open windows; 1-hour windows with a
       // bounded watermark close behind the stream.
       run("windowed_unbounded", StreamingOps.windowedStats(stream, "1 hour", "90 days")),
-      run("windowed_1h_watermark", StreamingOps.windowedStats(stream, "1 hour", "1 hour")))
+      run("windowed_1h_watermark", StreamingOps.windowedStats(stream, "1 hour", "1 hour")),
+      // custom flatMapGroupsWithState sessionization: per-user open-session
+      // state with an event-time timeout — the one stateful operator whose
+      // eviction is the OPERATOR's own timeout logic, not a built-in
+      // watermark rule, so its growth-vs-plateau behavior needs its own row
+      run("sessionize_30m_gap",
+        StreamingOps.sessionizeEvents(spark, stream,
+          gapUs = 1800000000L, lateness = "1 hour").toDF()))
 
     val body = scenarios.map { case (n, rows) => s""""$n":${json(rows)}""" }
       .mkString("{", ",", "}")
