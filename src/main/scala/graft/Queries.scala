@@ -99,6 +99,26 @@ object Queries {
     body(child)
   }
 
+  /** [[withShufflePartitions]] plus the streaming state-store confs the
+    * 100 TB deployment needs: keyed state lives in RocksDB (disk-backed,
+    * off executor heap) with changelog checkpointing, so a CDC-upsert
+    * keyspace or a long-watermark dedup scales with local SSD instead of
+    * JVM memory, and per-batch checkpoint upload is the delta, not a full
+    * SST snapshot. The default HDFSBackedStateStoreProvider holds every
+    * version of every key-value map on-heap — the one configuration that
+    * made the streaming family a scale risk. Semantics are identical
+    * (provider is a pluggable KV layer under the same operator contract),
+    * which the unchanged oracle rows prove.
+    */
+  private def withStreamingConfs[T](s: SparkSession, n: Int)(body: SparkSession => T): T =
+    withShufflePartitions(s, n) { child =>
+      child.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      child.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      body(child)
+    }
+
   private def memoizedCompare(s: SparkSession, d: String, scenario: String)(
       build: => graft.core.ComparisonResult): graft.core.ComparisonResult =
     cmpCache.getOrElseUpdate((System.identityHashCode(s), d, scenario), build)
@@ -1474,7 +1494,7 @@ object Queries {
     // batches is not guaranteed, and a dropped "late" batch would make the
     // result depend on listing order (watermark EVICTION is covered by
     // StreamingSpec; this row pins cross-batch state accumulation).
-    "q_stream_windowed" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
+    "q_stream_windowed" -> ((s, d) => withStreamingConfs(s, 8) { ss =>
       val work = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
       graft.sources.Events.load(ss, d)
         .select(col("event_id"), col("ts"), col("event_type"),
@@ -1504,7 +1524,7 @@ object Queries {
     // lateness exceeds the fixture span, making the result order-proof),
     // and the appended sink files are re-read for the hash. Duplicates are
     // byte-identical rows, so WHICH copy survives cannot change the output.
-    "q_stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
+    "q_stream_dedup" -> ((s, d) => withStreamingConfs(s, 8) { ss =>
       val work = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
       val ev = graft.sources.Events.load(ss, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -1541,7 +1561,7 @@ object Queries {
     // the per-batch constant over a continuous stream. The 8-partition
     // wrapper (see withShufflePartitions) sizes the state sharding to the
     // fixture instead of paying 32 stores' fixed cost per batch.
-    "q_stream_join" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
+    "q_stream_join" -> ((s, d) => withStreamingConfs(s, 8) { ss =>
       val work = java.nio.file.Files.createTempDirectory("graft-stream-join").toString
       graft.sources.Events.load(ss, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -1576,7 +1596,7 @@ object Queries {
     // shares q_events_changelog's oracle CTE. (Cross-batch ordering of one
     // key's changes — where merge order WOULD matter — is exactly what a
     // keyed CDC feed's partitioning contract rules out.)
-    "q_stream_upsert" -> ((s, d) => withShufflePartitions(s, 8) { ss =>
+    "q_stream_upsert" -> ((s, d) => withStreamingConfs(s, 8) { ss =>
       val work = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
       val cut = lit(1705708800000000L) // 2024-01-20T00:00:00Z as epoch micros
       val ev = graft.sources.Events.load(ss, d)

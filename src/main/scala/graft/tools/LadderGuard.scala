@@ -41,10 +41,29 @@ object LadderGuard {
     }.toSeq
   }
 
+  /** The guard's blind spots, made visible: queries the noise floor exempts
+    * (larger-rung time under 1 s, where a ratio measures scheduler jitter)
+    * and queries present in a rung but absent from its predecessor (no base
+    * to ratio against — e.g. a rung-specific subset). Neither can fail the
+    * run, so both must at least reach stderr.
+    */
+  def exemptions(rungs: Seq[Rung], bound: Double): Seq[String] =
+    rungs.iterator.sliding(2).withPartial(false).flatMap { case Seq(a, b) =>
+      val base = a.queries.toMap
+      b.queries.flatMap {
+        case (q, t) if !base.contains(q) =>
+          Some(f"$q: in rung ${b.sfDir} ($t%.2f s) but absent from ${a.sfDir} — growth unguarded")
+        case (q, t) if t < 1.0 && t / math.max(base(q), 0.3) > bound =>
+          Some(f"$q: ratio ${t / math.max(base(q), 0.3)}%.1fx exceeds bound but " +
+            f"${b.sfDir} time $t%.2f s is under the 1 s noise floor — exempt")
+        case _ => None
+      }
+    }.toSeq
+
   def parseRung(json: String): Rung = {
     val node = new ObjectMapper().readTree(json)
-    require(node.has("queries") && node.has("sf"),
-      "not a ScaleProbe line: missing 'queries'/'sf'")
+    require(node.has("queries") && node.has("sf") && node.has("value"),
+      "not a ScaleProbe line: missing 'queries'/'sf'/'value'")
     val qs = node.get("queries").properties().asScala.toSeq
       .map(e => e.getKey -> e.getValue.asDouble())
     Rung(node.get("sf").asText(), node.get("value").asDouble(), qs)
@@ -52,8 +71,8 @@ object LadderGuard {
 
   def ladderJson(rungs: Seq[Rung], bound: Double): String = {
     def stage(r: Rung): String = {
-      val qs = r.queries.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      s"""{"sf_dir":"${r.sfDir}","total_sec":${r.totalSec},"queries":{$qs}}"""
+      val qs = r.queries.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString(",")
+      s"""{"sf_dir":${Jsons.str(r.sfDir)},"total_sec":${r.totalSec},"queries":{$qs}}"""
     }
     s"""{"metric":"scale_ladder","unit":"sec","protocol":"ScaleProbe per rung (fresh JVM, cold shuffles) + LadderGuard bound ${bound}x per 10x step","stages":[${rungs.map(stage).mkString(",")}]}"""
   }
@@ -71,6 +90,7 @@ object LadderGuard {
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out), ladderJson(rungs, bound))
+    exemptions(rungs, bound).foreach(e => System.err.println("  [guard-exempt] " + e))
     val bad = violations(rungs, bound)
     if (bad.nonEmpty) {
       System.err.println(s"LADDER GUARD FAILED (${bad.size} violations):")

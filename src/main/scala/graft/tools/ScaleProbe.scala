@@ -77,9 +77,9 @@ object ScaleProbe {
       }
       require(results.size == names.size,
         s"isolated probe lost ${names.size - results.size} queries (see stderr)")
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }.mkString("{", ",", "}")
       println(s"""{"metric":"scale_probe","unit":"sec","value":${results.values.sum},""" +
-        s""""queries":$qs,"sf":"$sfDir","n_queries":${results.size},"isolated":true}""")
+        s""""queries":$qs,"sf":${Jsons.str(sfDir)},"n_queries":${results.size},"isolated":true}""")
       return
     }
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
@@ -127,9 +127,9 @@ object ScaleProbe {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","unit":"sec","value":${results.values.sum},""" +
-      s""""queries":$qs,"sf":"$sfDir","n_queries":${results.size}}""")
+      s""""queries":$qs,"sf":${Jsons.str(sfDir)},"n_queries":${results.size}}""")
   }
 }
