@@ -17,12 +17,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   - a BOUNDED-lateness run (production shape): the watermark must hold
   *     state at a plateau once it starts advancing past old rows.
   *
+  * Plus a PROVIDER COMPARISON: the same keyspace-proportional operators
+  * (unbounded dedup = one state row per distinct event_id; keyed running
+  * stats via mapGroupsWithState = the CDC-upsert keyed-state shape) run at
+  * 1× and 10× keyspace under BOTH state-store providers — the default
+  * HDFSBackedStateStoreProvider (every loaded version map on executor
+  * heap) and RocksDBStateStoreProvider (the engine's configured provider:
+  * disk-backed, changelog-checkpointed). Each (provider, scenario, mult)
+  * runs in its OWN CHILD JVM — peak-heap is a JVM-global reading, so two
+  * providers sharing a JVM would charge the first provider's retained maps
+  * to the second — and reports provider state rows/bytes AND JVM heap
+  * (peak during the run + used after a post-run GC). The claim under test:
+  * HDFS heap grows ~linearly with keyspace; RocksDB heap stays ~flat.
+  *
   * The committed artifact (`BENCH_streaming.json`) records, per batch:
   * input rows, trigger wall, total state rows, state bytes — so a state
   * leak (eviction regression) shows as a diff in a committed JSON, the
   * same discipline as the scale ladder.
   *
   * Usage: `SPARK_GRAFT_SF_DIR=… StreamBench [outPath]`.
+  * (Internal child form: `StreamBench --one <provider> <scenario> <mult>`.)
   */
 object StreamBench {
 
@@ -47,49 +61,164 @@ object StreamBench {
         s""""state_bytes":${r.stateBytes}}""")
       .mkString("[", ",", "]")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = args.headOption.getOrElse("BENCH_streaming.json")
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def buildSession(provider: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       // state stores instantiate per shuffle partition per batch — size the
       // sharding to the fixture exactly like the catalog's streaming rows
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val c = provider match {
+      case "rocksdb" => b
+        .config("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      case _ => b // "hdfs": Spark's default HDFSBackedStateStoreProvider
+    }
+    val spark = c.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** The events fixture, keyspace-multiplied `mult`× (distinct synthetic
+    * event_id/user_id per copy — state ROWS scale with mult, the point),
+    * written as 8 ts-range files = 8 micro-batches.
+    */
+  private def writeSource(spark: SparkSession, sfDir: String, work: String, mult: Int): Unit = {
+    val ev = graft.sources.Events.load(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val multiplied =
+      if (mult <= 1) ev
+      else ev
+        .withColumn("__i", explode(array((0 until mult).map(i => lit(i.toLong)): _*)))
+        .select(
+          (col("event_id") + col("__i") * lit(1000000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("__i") * lit(1000000000000L)).as("user_id"),
+          col("event_type"), col("value"))
+    multiplied
+      .repartitionByRange(8, col("ts"))
+      .write.mode("overwrite").parquet(s"$work/src")
+  }
+
+  private def runScenario(
+      spark: SparkSession, work: String, name: String, df: DataFrame,
+      outputMode: String = "append"): Seq[BatchRow] = {
+    val ckpt = s"$work/ckpt-${name.replace('/', '_')}"
+    // append mode throughout (update only where the operator demands it):
+    // complete mode would legitimately keep every window forever and mask
+    // the eviction behavior this tool measures
+    val q = df.writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(outputMode)
+      .start()
+    q.awaitTermination()
+    val rows = progressRows(q)
+    System.err.println(f"[streambench] $name%-24s batches=${rows.size} " +
+      f"final_state_rows=${rows.lastOption.map(_.stateRows).getOrElse(0L)} " +
+      f"final_state_MB=${rows.lastOption.map(_.stateBytes / 1e6).getOrElse(0.0)}%.1f")
+    rows
+  }
+
+  private def heapPeak(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum
+  }
+
+  private def heapUsedAfterGc(): Long = {
+    System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(300)
+    val u = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    u.getUsed
+  }
+
+  /** Child-JVM entry: ONE (provider, scenario, mult) run, one JSON line. */
+  private def runOne(provider: String, scenario: String, mult: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession(provider)
+    val work = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    writeSource(spark, sfDir, work, mult)
+    val schema = spark.read.parquet(s"$work/src").schema
+    def stream: DataFrame = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(s"$work/src")
+    import graft.streaming.StreamingOps
+    val (df, mode) = scenario match {
+      // one state row per distinct event_id, never evicted (lateness
+      // exceeds the fixture span) — pure keyspace-proportional state
+      case "dedup_unbounded" => (StreamingOps.dedupEvents(stream, "90 days"), "append")
+      // mapGroupsWithState keyed running stats: the CDC-upsert keyed-state
+      // shape — one accumulator per user_id, NoTimeout, updated per batch
+      // (the operator requires Update output mode)
+      case "keyed_running_state" =>
+        (StreamingOps.userRunningStats(spark, stream).toDF(), "update")
+      case other => sys.error(s"unknown scenario: $other")
+    }
+    val rows = runScenario(spark, work, s"$provider/$scenario/x$mult", df, mode)
+    // heap AFTER the run, post-GC: the HDFS provider retains every loaded
+    // version map in executor memory (exactly what a long-running job
+    // carries); RocksDB keeps state off-heap/on-disk. Peak catches the
+    // in-flight high-water mark either way.
+    val after = heapUsedAfterGc()
+    val peak = heapPeak()
+    println(s"""{"provider":${Jsons.str(provider)},"scenario":${Jsons.str(scenario)},""" +
+      s""""mult":$mult,"final_state_rows":${rows.lastOption.map(_.stateRows).getOrElse(0L)},""" +
+      s""""final_state_bytes":${rows.lastOption.map(_.stateBytes).getOrElse(0L)},""" +
+      s""""sum_trigger_ms":${rows.map(_.triggerMs).sum},""" +
+      s""""jvm_heap_peak_bytes":$peak,"jvm_heap_after_gc_bytes":$after}""")
+    spark.stop()
+  }
+
+  /** Fork this JVM on `--one provider scenario mult`, return its JSON line. */
+  private def runChild(provider: String, scenario: String, mult: Int): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-XX:"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.StreamBench", "--one", provider, scenario, mult.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    if (rc != 0) { System.err.println(s"[streambench] child rc=$rc"); None }
+    else out.linesIterator.find(_.startsWith("""{"provider""""))
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--one")) {
+      runOne(args(1), args(2), args(3).toInt)
+      return
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.headOption.getOrElse("BENCH_streaming.json")
+    // eviction scenarios run under the engine's configured provider
+    // (RocksDB) — what production state behavior looks like
+    val spark = buildSession("rocksdb")
 
     // the events fixture replayed file-per-micro-batch in ts order — 8
     // range files = 8 micro-batches, enough to see growth vs plateau
     val work = java.nio.file.Files.createTempDirectory("graft-streambench").toString
-    graft.sources.Events.load(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .repartitionByRange(8, col("ts"))
-      .write.mode("overwrite").parquet(s"$work/src")
+    writeSource(spark, sfDir, work, 1)
     val schema = spark.read.parquet(s"$work/src").schema
 
     def stream: DataFrame = spark.readStream
       .schema(schema).option("maxFilesPerTrigger", 1).parquet(s"$work/src")
 
-    def run(name: String, df: DataFrame): (String, Seq[BatchRow]) = {
-      val ckpt = s"$work/ckpt-$name"
-      // append mode throughout: complete mode would legitimately keep every
-      // window forever and mask the eviction behavior this tool measures
-      val q = df.writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
-      val rows = progressRows(q)
-      System.err.println(f"[streambench] $name%-24s batches=${rows.size} " +
-        f"final_state_rows=${rows.lastOption.map(_.stateRows).getOrElse(0L)} " +
-        f"final_state_MB=${rows.lastOption.map(_.stateBytes / 1e6).getOrElse(0.0)}%.1f")
-      name -> rows
-    }
+    def run(name: String, df: DataFrame): (String, Seq[BatchRow]) =
+      name -> runScenario(spark, work, name, df)
 
     import graft.streaming.StreamingOps
     val scenarios = Seq(
@@ -113,13 +242,23 @@ object StreamBench {
       run("sessionize_30m_gap",
         StreamingOps.sessionizeEvents(spark, stream,
           gapUs = 1800000000L, lateness = "1 hour").toDF()))
-
-    val body = scenarios.map { case (n, rows) => s""""$n":${json(rows)}""" }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"stream_state","unit":"rows/bytes/ms","sf":"$sfDir",""" +
-      s""""scenarios":$body}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
+
+    // provider comparison, one child JVM per cell: {hdfs, rocksdb} ×
+    // {keyspace-proportional scenarios} × {1×, 10× keyspace}
+    val cells = for {
+      provider <- Seq("hdfs", "rocksdb")
+      scenario <- Seq("dedup_unbounded", "keyed_running_state")
+      mult <- Seq(1, 10)
+    } yield runChild(provider, scenario, mult)
+    val comparison = cells.flatten.mkString("[", ",", "]")
+
+    val body = scenarios.map { case (n, rows) => s"${Jsons.str(n)}:${json(rows)}" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"stream_state","unit":"rows/bytes/ms","sf":${Jsons.str(sfDir)},""" +
+      s""""provider":"rocksdb","scenarios":$body,""" +
+      s""""provider_comparison":$comparison}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     println(line)
   }
 }

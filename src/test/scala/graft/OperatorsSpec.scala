@@ -1614,6 +1614,19 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCore == refCore, s"core mismatch: got ${gotCore.size} ref ${refCore.size}")
   }
 
+  test("kCoreManaged: the release hook frees every persisted/checkpointed block") {
+    import graft.operators.Graphs
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val clique = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val g = (clique ++ Seq((5L, 6L), (6L, 7L))).toDF("a", "b")
+    val (core, rounds, release) = Graphs.kCoreManaged(g, "a", "b", k = 4)
+    assert(core.count() == 5 && rounds > 0)
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"kCoreManaged release() must leave no persisted RDDs behind, leaked ids: $leaked")
+  }
+
   test("bfsHops: level-synchronous frontier matches brute-force min distance") {
     import graft.operators.Graphs
     // path 1-2-3-4-5 with a chord 1-3, pendant 5-6, isolated seed 99,
