@@ -1694,6 +1694,20 @@ object Queries {
         .orderBy(col("rank_scaled").desc, col("node"))
         .limit(20)),
 
+    // convergence-gated PageRank: iterate until max |Δrank| ≤ 10% of the
+    // base rank (exact integer stop rule — the top-k-ordering tolerance:
+    // per-iteration delta decays ~11× on this graph, so ranks ordering
+    // the top-20 are stable well before the grid converges), bounded at
+    // 12 rounds. NOTHING pins the stopping round — the oracle unrolls all
+    // 12 rounds, computes every round's delta, and dynamically selects the
+    // first qualifying round, so the n_iters column proves both engines
+    // stopped at the same round at ANY scale factor
+    "q_graph_pagerank_tol" -> ((s, d) =>
+      graft.operators.Graphs.pageRankConverged(partEdges(s, d), "pa", "pb",
+          tolPpm = 100000L, maxIters = 12)._1
+        .orderBy(col("rank_scaled").desc, col("node"))
+        .limit(20)),
+
     // structural profile of the part co-occurrence graph (edges = distinct
     // part pairs sharing an order): degree-ordered oriented triangle count
     // — each triangle once, hub fan-out capped at O(√m) — vs the oracle's
@@ -2505,6 +2519,60 @@ object Queries {
        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** The CONVERGENCE-GATED PageRank replayed in SQL
+    * (q_graph_pagerank_tol): unroll `maxIters` rounds, compute every
+    * round's `max |Δrank|` against its predecessor, and dynamically pick
+    * the FIRST round whose delta is ≤ `max(1, b0·tolPpm // 10⁶)` (falling
+    * back to round `maxIters` when none qualifies) — the identical exact
+    * integer stop rule the Spark loop evaluates, so the two engines agree
+    * on the stopping round at any scale factor without any pinned count.
+    * Generated from the same (tolPpm, maxIters, damp) constants as the
+    * query entry.
+    */
+  private val pageRankConvergedOracleSql: String = {
+    val damp = 850000L
+    val tolPpm = 100000L
+    val maxIters = 12
+    def iteration(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT d.src AS node,
+         |   (${1000000L - damp} * b0.v + $damp * COALESCE(s.inr, 0)) // 1000000 AS rank
+         | FROM deg d CROSS JOIN b0 LEFT JOIN (
+         |   SELECT bd.dst AS node, CAST(SUM(rk.rank // dg.deg) AS BIGINT) AS inr
+         |   FROM $prev rk JOIN deg dg ON dg.src = rk.node
+         |   JOIN bd ON bd.src = rk.node GROUP BY 1) s ON s.node = d.src)""".stripMargin
+    val chain = (1 to maxIters)
+      .map(k => iteration(if (k == 1) "r0" else s"i${k - 1}", s"i$k"))
+      .mkString(",\n")
+    val deltas = (1 to maxIters)
+      .map { k =>
+        val prev = if (k == 1) "r0" else s"i${k - 1}"
+        s"SELECT $k AS k, MAX(ABS(cur.rank - prv.rank)) AS delta FROM i$k cur JOIN $prev prv USING (node)"
+      }
+      .mkString("\n  UNION ALL ")
+    val alli = (1 to maxIters)
+      .map(k => s"SELECT $k AS k, node, rank FROM i$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH r AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       |e AS (SELECT DISTINCT x.i AS lo, y.i AS hi
+       |  FROM r x JOIN r y ON y.b = x.b AND x.i < y.i),
+       |bd AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM e UNION ALL SELECT hi, lo FROM e),
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bd GROUP BY 1),
+       |b0 AS (SELECT 1000000000000 // CAST(COUNT(*) AS BIGINT) AS v FROM deg),
+       |r0 AS MATERIALIZED (SELECT src AS node, b0.v AS rank FROM deg CROSS JOIN b0),
+       |$chain,
+       |tol AS (SELECT GREATEST(1, b0.v * $tolPpm // 1000000) AS t FROM b0),
+       |d AS (
+       |  $deltas),
+       |kstar AS (SELECT COALESCE(MIN(k), $maxIters) AS ks
+       |  FROM d CROSS JOIN tol WHERE d.delta <= tol.t),
+       |alli AS (
+       |  $alli)
+       |SELECT node, CAST(rank AS BIGINT) AS rank_scaled,
+       |  CAST(kstar.ks AS BIGINT) AS n_iters
+       |FROM alli CROSS JOIN kstar WHERE alli.k = kstar.ks
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   /** DuckDB replica of the integer-exact k-means (q_cluster_kmeans,
     * k = 8, iters = 2): quantize → sha-sampled seed centroids → per-round
     * (squared-distance argmin assignment, floor-div integer centroid
@@ -2648,6 +2716,7 @@ object Queries {
 
   def oracleSql: Map[String, String] = Map(
     "q_graph_pagerank" -> pageRankOracleSql,
+    "q_graph_pagerank_tol" -> pageRankConvergedOracleSql,
     "q_cluster_kmeans" -> kmeansOracleSql,
     "q_graph_kcore" -> kCoreOracleSql,
     "q_graph_bfs" -> bfsOracleSql,

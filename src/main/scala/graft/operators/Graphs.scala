@@ -453,6 +453,78 @@ object Graphs {
           lit(1000000L)).as("rank_scaled"))
   }
 
+  /** [[pageRank]] with a CONVERGENCE early exit instead of a fixed
+    * iteration count: iterate until the max per-node rank movement
+    * `max |Δrank_scaled|` drops to `tolPpm` parts-per-million of the base
+    * rank `b0 = scale div n` (relative, so the stopping behavior is
+    * scale-free: 10× more nodes shrinks `b0` and the deltas together),
+    * bounded by `maxIters`. Every quantity stays on the integer grid —
+    * the delta, the threshold (`max(1, b0·tolPpm div 10⁶)`), and the
+    * stop rule are all exact integer comparisons — so an external engine
+    * replaying the same rule picks the IDENTICAL stopping round: the
+    * catalog oracle unrolls `maxIters` rounds in SQL, computes every
+    * round's delta, and selects the first qualifying round dynamically.
+    * No pinned round count exists anywhere; the n_iters output column is
+    * how the oracle PROVES both engines stopped at the same round.
+    *
+    * Cost model: one extra |V|-row join + scalar aggregate per iteration
+    * (the delta probe — both sides are the checkpointed rank frames, the
+    * driver sees one number), against the saving of every iteration not
+    * run. Superseded rank checkpoints are released as soon as the next
+    * round is materialized, so the loop holds TWO |V|-row frames at any
+    * moment regardless of depth — the fixed-iteration variant's
+    * accumulate-then-sweep would leak proportional to depth here.
+    *
+    * Returns `(node, rank_scaled, n_iters)` and the iteration count.
+    */
+  def pageRankConverged(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      tolPpm: Long = 20000L,
+      maxIters: Int = 12,
+      dampPpm: Long = 850000L,
+      scale: Long = 1000000000000L): (DataFrame, Int) = {
+    require(tolPpm >= 1 && tolPpm <= 1000000, s"tolPpm must be ppm, got $tolPpm")
+    require(maxIters >= 1 && maxIters <= 50, s"maxIters must be in [1, 50], got $maxIters")
+    require(dampPpm >= 0 && dampPpm <= 1000000, s"dampPpm must be ppm, got $dampPpm")
+    val spark = pairs.sparkSession
+    val cacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevCacheConf = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    try {
+      val g = buildPrGraph(pairs, aCol, bCol, scale)
+      // b0 is a broadcast 1-row frame either way; reading the scalar here
+      // is the same bounded collect the iteration plans embed
+      val b0 = g.b0.collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      val tol = math.max(1L, b0 * tolPpm / 1000000L)
+      var ranks = prInit(g).localCheckpoint(false)
+      var it = 0
+      var delta = Long.MaxValue
+      while (it < maxIters && delta > tol) {
+        val next = prStep(ranks, g, dampPpm).localCheckpoint(false)
+        // the delta probe is the action that materializes `next`; its two
+        // inputs are |V|-row checkpointed frames, its output one scalar
+        val row = next.select(col("node"), col("rank_scaled").as("__r1"))
+          .join(ranks.select(col("node"), col("rank_scaled").as("__r0")), Seq("node"))
+          .agg(max(abs(col("__r1") - col("__r0"))))
+          .collect()(0)
+        delta = if (row.isNullAt(0)) 0L else row.getLong(0)
+        releaseCheckpoint(ranks) // superseded generation; `next` is materialized
+        ranks = next
+        it += 1
+        System.err.println(s"[pageRankConverged] iter $it max|drank|=$delta tol=$tol")
+      }
+      (ranks.select(col("node"), col("rank_scaled"))
+        .withColumn("n_iters", lit(it.toLong)), it)
+    } finally {
+      prevCacheConf match {
+        case Some(v) => spark.conf.set(cacheKey, v)
+        case None => spark.conf.unset(cacheKey)
+      }
+    }
+  }
+
   def pageRank(
       pairs: DataFrame,
       aCol: String,

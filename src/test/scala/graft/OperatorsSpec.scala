@@ -1614,6 +1614,37 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCore == refCore, s"core mismatch: got ${gotCore.size} ref ${refCore.size}")
   }
 
+  test("pageRankConverged: early exit fires, and ranks equal the fixed-iteration variant at the stop round") {
+    import graft.operators.Graphs
+    // 8-cycle: 2-regular, so the uniform rank is an exact integer fixpoint
+    // — the very first iteration reproduces b0 at every node and the delta
+    // probe reads 0, the cleanest early-exit case
+    val cyc = (1L to 8L).map(i => (i, if (i == 8L) 1L else i + 1)).toDF("a", "b")
+    val (conv, it) = Graphs.pageRankConverged(cyc, "a", "b",
+      tolPpm = 100000L, maxIters = 10)
+    assert(it == 1, s"a regular graph converges at round 1, ran $it")
+    val got = conv.select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    val fixed = Graphs.pageRank(cyc, "a", "b", iters = it)
+      .as[(Long, Long)].collect().toMap
+    assert(got == fixed,
+      s"converged ranks must equal pageRank(iters=$it): got $got vs $fixed")
+    // n_iters rides along on every row — the column the oracle cross-checks
+    assert(conv.select("n_iters").distinct().as[Long].collect().toSeq == Seq(it.toLong))
+
+    // star + pendants mixes SLOWLY (hub/leaf rank oscillation decays at
+    // ~damp per round): the maxIters bound must cap the loop, and the
+    // result must equal the fixed variant run to that same bound
+    val star = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L)) ++
+      (6L to 9L).map(n => (5L, n))).toDF("a", "b")
+    val (capped, itCap) = Graphs.pageRankConverged(star, "a", "b",
+      tolPpm = 100000L, maxIters = 4)
+    assert(itCap == 4, s"slow-mixing graph must run to the bound, ran $itCap")
+    val gotCap = capped.select("node", "rank_scaled").as[(Long, Long)].collect().toMap
+    val fixedCap = Graphs.pageRank(star, "a", "b", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotCap == fixedCap)
+  }
+
   test("kCoreManaged: the release hook frees every persisted/checkpointed block") {
     import graft.operators.Graphs
     val before = spark.sparkContext.getPersistentRDDs.keySet
