@@ -1046,9 +1046,11 @@ object Queries {
     // junk rows (fail the quality gates)
     "q_curate" -> ((s, d) => {
       val dd = docs(s, d).select("doc_id", "text", "lang")
-      val dups = dd.filter(col("doc_id") % 10 === 0)
+      // doc_id < 100000 keeps the synthetic +100000/+200000 copies disjoint
+      // from real ids at every GenScale stride (see q_dedup_canonical)
+      val dups = dd.filter(col("doc_id") % 10 === 0 && col("doc_id") < 100000L)
         .withColumn("doc_id", col("doc_id") + lit(100000L))
-      val junk = dd.filter(col("doc_id") % 7 === 0)
+      val junk = dd.filter(col("doc_id") % 7 === 0 && col("doc_id") < 100000L)
         .withColumn("doc_id", col("doc_id") + lit(200000L))
         .withColumn("text", upper(substring(col("text"), 1, 15)))
       Curation.curate(dd.unionByName(dups).unionByName(junk), "doc_id", "text")
@@ -1155,7 +1157,8 @@ object Queries {
     // component id is the min-id survivor
     "q_dedup_components" -> ((s, d) => {
       val dd = docs(s, d).select("doc_id", "text", "lang")
-      val tenth = dd.filter(col("doc_id") % 10 === 0)
+      // doc_id < 100000: offsets must not entangle (see q_dedup_canonical)
+      val tenth = dd.filter(col("doc_id") % 10 === 0 && col("doc_id") < 100000L)
       val cpyA = tenth.withColumn("doc_id", col("doc_id") + lit(100000L))
       val cpyB = tenth.withColumn("doc_id", col("doc_id") + lit(200000L))
         .withColumn("text", concat(col("text"), lit(" zz11 zz22 zz33")))
@@ -1170,7 +1173,8 @@ object Queries {
     // contamination guard a per-doc hash split cannot give
     "q_sample_leakage" -> ((s, d) => {
       val dd = docs(s, d).select("doc_id", "lang")
-      val tenth = dd.filter(col("doc_id") % 10 === 0)
+      // doc_id < 100000: offsets must not entangle (see q_dedup_canonical)
+      val tenth = dd.filter(col("doc_id") % 10 === 0 && col("doc_id") < 100000L)
       val aug = dd
         .unionByName(tenth.withColumn("doc_id", col("doc_id") + lit(100000L)))
         .unionByName(tenth.withColumn("doc_id", col("doc_id") + lit(200000L)))
@@ -4346,9 +4350,9 @@ object Queries {
       """WITH aug AS (
         |  SELECT doc_id, lang FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, lang FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 100000, lang FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000
         |  UNION ALL
-        |  SELECT doc_id + 200000, lang FROM documents WHERE doc_id % 10 = 0),
+        |  SELECT doc_id + 200000, lang FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000),
         |g AS (SELECT doc_id, lang,
         |    CASE WHEN doc_id >= 100000 THEN doc_id % 100000 ELSE doc_id END AS split_group
         |  FROM aug),
@@ -4388,8 +4392,8 @@ object Queries {
     "q_curate" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL SELECT doc_id + 200000, upper(substr(text, 1, 15)) FROM documents WHERE doc_id % 7 = 0),
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000
+        |  UNION ALL SELECT doc_id + 200000, upper(substr(text, 1, 15)) FROM documents WHERE doc_id % 7 = 0 AND doc_id < 100000),
         |feat AS (
         |  SELECT doc_id, text,
         |    length(text) AS n_chars,
@@ -4645,10 +4649,10 @@ object Queries {
       """WITH RECURSIVE aug AS (
         |  SELECT doc_id, text, lang FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000
         |  UNION ALL
         |  SELECT doc_id + 200000, text || ' zz11 zz22 zz33', lang
-        |    FROM documents WHERE doc_id % 10 = 0),
+        |    FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000),
         |w AS (SELECT doc_id, lang,
         |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
         |  FROM aug),
