@@ -178,7 +178,11 @@ object StreamingOps {
 
   /** Per-user running session stats held in custom state. */
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
-  private final case class Acc(n: Long, total: Double)
+  /** Internal running-stats accumulator (public only for the state
+    * encoder's generated code, which can't reach a private constructor —
+    * same constraint as [[SessAcc]]).
+    */
+  final case class Acc(n: Long, total: Double)
 
   def userRunningStats(spark: SparkSession, events: DataFrame): Dataset[UserStat] = {
     import spark.implicits._

@@ -98,10 +98,17 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_WARM=0 skips the warm pass: at the sf100 rung a single
+    // query runs hundreds of seconds, so the JIT/page-fault constants the
+    // warm pass exists to amortize are <5% noise while the warm pass
+    // itself DOUBLES the rung cost (and its shuffle/persist spill doubles
+    // the peak disk footprint). Timed numbers stay a fresh-instance full
+    // recompute either way — only the pre-touch differs.
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      fn(spark, sfDir).queryExecution.toRdd.count() // warm (separate lineage)
+      if (warm) fn(spark, sfDir).queryExecution.toRdd.count() // warm (separate lineage)
       // The timed instance must not read ANY cross-instance cache: the
       // memoized comparison engine (a warm pass would otherwise turn
       // q_compare_* into a 0.07 s cache hit at sf10) or cached/checkpointed

@@ -513,6 +513,60 @@ object SkewBench {
     System.err.println(s"[skewbench] kcore: onion rounds=$onionRounds core=300; " +
       s"chain capped leftover=$kchainLeft (${results("kcore_chain_200k_capped")} s)")
 
+    // ---- comparison engine under a hot duplicated PK (M×N blow-up) ----
+    // The alignment join's keys are the PRIMARY keys, so a hot key can only
+    // come from duplicated PKs — the data-quality defect the engine exists
+    // to surface (§2.10.5). Full-outer SMJ is NOT AQE-skew-splittable
+    // (replicating a side fabricates unmatched rows), so the M·N rows of
+    // one duplicated key necessarily land in one task; the engine's
+    // contract is (1) that cost stays proportional to the M·N output — no
+    // quadratic re-sort, no meltdown beyond losing parallelism on the one
+    // partition — and (2) the duplicate counts SURFACE in the overall
+    // report. Control case: the same ~M² extra joined rows as unique
+    // 1-match keys spread across all partitions — equal row budget,
+    // maximal parallelism — so the committed pair of numbers reads as
+    // "price of the hot partition" and nothing else.
+    {
+      import graft.config.{DatasetParams, TestParams}
+      import graft.core.Comparison
+      val cmpM = 2000L
+      val ordCmp = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      val hotRow = ordCmp.filter(col("o_orderkey") === 1L).localCheckpoint()
+      val cmpStride = ordCmp.agg(max("o_orderkey")).head().getLong(0) + 1L
+      // key 1 duplicated cmpM× per side → cmpM² joined rows on ONE key
+      def dupSide = ordCmp.unionAll(
+        spark.range(cmpM - 1).crossJoin(hotRow).drop("id"))
+      // control: cmpM² extra UNIQUE keys, identical on both sides
+      def fillerSide = ordCmp.unionAll(
+        spark.range(cmpM * cmpM).crossJoin(hotRow)
+          .select((col("id") + lit(cmpStride)).as("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+      def timeCompare(name: String, src: DataFrame, tgt: DataFrame): Long = {
+        val t0 = System.nanoTime()
+        val res = Comparison.compareDataFrames(spark, src, tgt,
+          DatasetParams(name, Seq("o_orderkey"), TestParams(differenceTolerance = 0.01)))
+        val overall = res.overallTestReport.collect()
+        val rowRows = res.rowLvlTestReport.count()
+        results += name -> (System.nanoTime() - t0) / 1e9
+        res.unpersist()
+        System.err.println(f"[skewbench] $name%-24s ${results(name)}%7.2f s  ($rowRows row-lvl rows)")
+        val dup = overall(0).getMap[String, Long](
+          overall(0).fieldIndex("duplicate_count"))
+        dup.getOrElse("source", 0L)
+      }
+      val dupSurfaced = timeCompare("compare_hot_pk_m2000", dupSide, dupSide)
+      timeCompare("compare_uniform_4m", fillerSide, fillerSide)
+      require(dupSurfaced == cmpM,
+        s"overall report must surface the $cmpM duplicated-PK rows, got $dupSurfaced")
+      // the hot partition costs parallelism on ONE task, never an
+      // asymptotic blow-up: generous noise-proof bound, loud when broken
+      require(results("compare_hot_pk_m2000") <=
+          4.0 * results("compare_uniform_4m") + 15.0,
+        s"hot-PK compare melted down: ${results("compare_hot_pk_m2000")} s vs " +
+          s"uniform ${results("compare_uniform_4m")} s")
+    }
+
     // ---- k-means at fleet scale: 2M vectors, 16 latent centers ----
     // Synthetic clustered corpus: center = id mod 16, 8 dims of
     // center-determined base + ±0.01 hash noise. Pins that the broadcast
