@@ -38,6 +38,36 @@ class LadderGuardSpec extends AnyFunSuite {
     assert(v.size == 1 && v.head.contains("/sf10") && v.head.contains("/sf100"))
   }
 
+  test("exemptions surface the guard's blind spots: noise-floored ratios and rung-only queries") {
+    val sf10 = Rung("/sf10", 10.0,
+      Seq("q_fast" -> 0.9, "q_lin" -> 15.0, "q_new" -> 200.0))
+    // bound 2: with the 0.3 s base floor, a sub-1 s rung time can never
+    // exceed a ratio of 3.3 — the noise-floor exemption only bites for
+    // small bounds, which is exactly when it must be VISIBLE
+    val ex = LadderGuard.exemptions(Seq(sf1, sf10), 2.0)
+    // q_fast: 0.05 -> 0.9 is 3x over the floored base but under the 1 s
+    // noise floor; q_new is absent from sf1 so its growth is unguarded
+    assert(ex.exists(e => e.startsWith("q_fast:") && e.contains("noise floor")),
+      ex.mkString("; "))
+    assert(ex.exists(e => e.startsWith("q_new:") && e.contains("unguarded")),
+      ex.mkString("; "))
+    assert(ex.size == 2, ex.mkString("; "))
+  }
+
+  test("parseRung rejects a line missing 'value' with the diagnostic message, not an NPE") {
+    val bad = """{"metric":"scale_probe","queries":{"q_a":1.0},"sf":"/tmp/x"}"""
+    val e = intercept[IllegalArgumentException](LadderGuard.parseRung(bad))
+    assert(e.getMessage.contains("value"), e.getMessage)
+  }
+
+  test("ladderJson escapes quotes/backslashes in sfDir and query names") {
+    val r = Rung("""/tmp/we"ird\dir""", 1.0, Seq("""q_"x""" -> 1.0))
+    val merged = LadderGuard.ladderJson(Seq(r), 12.0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(merged)
+    assert(node.get("stages").get(0).get("sf_dir").asText() == """/tmp/we"ird\dir""")
+    assert(node.get("stages").get(0).get("queries").has("""q_"x"""))
+  }
+
   test("parseRung reads a ScaleProbe line; ladderJson round-trips") {
     val line = """{"metric":"scale_probe","unit":"sec","value":5.5,""" +
       """"queries":{"q_a":1.25,"q_b":4.25},"sf":"/tmp/x","n_queries":2}"""
