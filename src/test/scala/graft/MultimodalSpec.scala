@@ -258,4 +258,52 @@ class MultimodalSpec extends SparkSpec {
     // the planted families actually exercise the path
     assert(want.nonEmpty && want.exists(_._3 > 0))
   }
+
+  // ---- FfmpegVideoCodec: the reflective JavaCV binding ----
+  // ENVIRONMENT BLOCK: this zero-egress container ships no JavaCV jars or
+  // FFmpeg natives, so the real decode path cannot execute here. These
+  // specs pin everything that CAN run without the library: the
+  // availability probe, the exact failure contract (degrade on empty,
+  // fail LOUDLY on real payloads without the dependency), and the pure
+  // band/luma math the decode path is built from.
+
+  test("FfmpegVideoCodec: sandbox has no JavaCV — probe false, real payloads fail loudly") {
+    assume(!Multimodal.FfmpegVideoCodec.available,
+      "JavaCV unexpectedly present; the no-library contract specs don't apply")
+    // empty/null degrade BEFORE the library probe (corrupt-media contract)
+    assert(Multimodal.FfmpegVideoCodec.decodeDims(null) == ((0, 0, 0)))
+    assert(Multimodal.FfmpegVideoCodec.decodeDims(Array.emptyByteArray) == ((0, 0, 0)))
+    assert(Multimodal.FfmpegVideoCodec.features(null, 4).forall(_ == 0f))
+    val p = "not a real video".getBytes("UTF-8")
+    assert(Multimodal.FfmpegVideoCodec.resample(p, 1.0) eq p) // no-op scale short-circuits
+    // a NON-empty payload without the library must throw, not zero out —
+    // silent zeros would corrupt a corpus profile while looking healthy
+    val e = intercept[IllegalStateException](Multimodal.FfmpegVideoCodec.decodeDims(p))
+    assert(e.getMessage.contains("org.bytedeco:javacv-platform"))
+    assert(intercept[IllegalStateException](
+      Multimodal.FfmpegVideoCodec.features(p, 4)).getMessage.contains("javacv"))
+    assert(intercept[IllegalStateException](
+      Multimodal.FfmpegVideoCodec.resample(p, 0.5)).getMessage.contains("javacv"))
+  }
+
+  test("FfmpegVideoCodec band/luma math matches the WavCodec banding semantics") {
+    import Multimodal.FfmpegVideoCodec.{bandOf, meanLuma}
+    // frames 0..n-1 over k bands: monotone, first band starts at 0, last ends at k-1
+    val n = 1000L
+    val bands = (0L until n).map(bandOf(_, n, 8))
+    assert(bands.head == 0 && bands.last == 7 && bands == bands.sorted)
+    assert(bands.distinct.size == 8) // every band occupied on a divisible count
+    // fewer frames than bands: one frame per band, no out-of-range index
+    assert((0L until 3L).map(bandOf(_, 3L, 8)).forall(b => b >= 0 && b < 8))
+    // unknown count degrades with n=1: everything lands in the LAST band
+    assert(bandOf(5L, 1L, 8) == 7)
+    // Int-wrap regression: 40M frames × 64 bands overflows Int arithmetic
+    assert(bandOf(39999999L, 40000000L, 64) == 63)
+    // constant-gray raster: mean luma == gray/255 exactly (BT.601 sums to 1)
+    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try { g2.setColor(new java.awt.Color(100, 100, 100)); g2.fillRect(0, 0, 4, 3) }
+    finally g2.dispose()
+    assert(math.abs(meanLuma(img) - 100.0 / 255.0) < 1e-9)
+  }
 }
