@@ -110,12 +110,20 @@ object Queries {
     * (provider is a pluggable KV layer under the same operator contract),
     * which the unchanged oracle rows prove.
     */
+  /** The exact conf pair every catalog streaming row runs under — exposed
+    * (package-private) so StreamingSpec can pin BOTH the values and their
+    * observable effect (RocksDB changelog checkpoints on disk); a silent
+    * edit here fails that spec instead of quietly reverting the streaming
+    * family to on-heap state.
+    */
+  private[graft] val streamingStateConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   private def withStreamingConfs[T](s: SparkSession, n: Int)(body: SparkSession => T): T =
     withShufflePartitions(s, n) { child =>
-      child.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      child.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      streamingStateConfs.foreach { case (k, v) => child.conf.set(k, v) }
       body(child)
     }
 

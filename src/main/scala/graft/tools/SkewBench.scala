@@ -195,8 +195,12 @@ object SkewBench {
       .select("gk", "cents", "rid")
       .write.mode("overwrite").parquet(s"$workDir/topk")
     def topkIn = spark.read.parquet(s"$workDir/topk")
+    // pmod before sum: raw xxhash64 values are full-range longs, and a
+    // multimillion-row sum of those overflows (ANSI mode throws) — bound
+    // each term to [0, 1e9) so the signature stays exact to ~9e9 rows
     def topkSig(df: DataFrame) = df.agg(count(lit(1)),
-      sum(xxhash64(col("gk"), col("rank"), col("cents"), col("rid")))).head()
+      sum(pmod(xxhash64(col("gk"), col("rank"), col("cents"), col("rid")),
+        lit(1000000007L)))).head()
     def winTopk = {
       import org.apache.spark.sql.expressions.Window
       topkIn.withColumn("rank", row_number().over(
@@ -240,7 +244,7 @@ object SkewBench {
         (col("id") * 2654435761L % 1000000L).as("score"))
       .localCheckpoint() // fixture construction is not part of either timing
     def calSig(df: DataFrame) = df.agg(count(lit(1)),
-      sum(xxhash64(col("doc_id"), col("cal_ppm")))).head()
+      sum(pmod(xxhash64(col("doc_id"), col("cal_ppm")), lit(1000000007L)))).head()
     def winCal = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source"))

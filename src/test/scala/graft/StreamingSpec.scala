@@ -381,4 +381,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("catalog streaming confs put keyed state in RocksDB changelog checkpoints") {
+    // Pin the conf pair every catalog q_stream_* row runs under...
+    val confs = Queries.streamingStateConfs.toMap
+    assert(confs("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    assert(confs(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled") == "true")
+    // ...and their OBSERVABLE effect: a keyed-state stream under these
+    // confs checkpoints state as RocksDB `<v>.changelog` files, never the
+    // HDFS provider's on-heap-map `<v>.delta` files. A silent revert of the
+    // conf flips the file extension and fails here.
+    val ss = spark.newSession()
+    confs.foreach { case (k, v) => ss.conf.set(k, v) }
+    val base = Files.createTempDirectory("graft-rocksdb-pin").toString
+    batchEvents.drop("ts").withColumnRenamed("ts_ns", "ts")
+      .limit(200).write.mode("overwrite").parquet(s"$base/src")
+    val q = StreamingOps.dedupEvents(
+      Events.decorate(ss.readStream.schema(Events.rawSchema).parquet(s"$base/src")),
+      "10 minutes")
+      .writeStream.format("memory").queryName("rocksdb_pin").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val names = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/ckpt/state"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toVector
+      } finally s.close()
+    }
+    assert(names.exists(_.endsWith(".changelog")),
+      s"no RocksDB changelog checkpoint written; state files: $names")
+    assert(!names.exists(_.endsWith(".delta")),
+      s"HDFS-backed provider .delta files present — RocksDB conf not engaged: $names")
+  }
 }
