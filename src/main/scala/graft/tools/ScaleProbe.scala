@@ -75,11 +75,21 @@ object ScaleProbe {
           System.err.println(f"[scaleprobe] $n%-26s $sec%8.2f s  (isolated)")
         }
       }
-      require(results.size == names.size,
-        s"isolated probe lost ${names.size - results.size} queries (see stderr)")
+      // A lost child (OOM, disk-full, killed) must not vaporize the rung:
+      // the surviving children's measurements are real and already paid
+      // for. Emit the partial rung WITH the missing queries named — the
+      // round-11 sf100 rung lost its two compare children to disk
+      // exhaustion and the old require() here would have discarded the
+      // six completed graph/dedup measurements with them. Exit nonzero so
+      // a driving script still sees the failure.
+      val missing = names.filterNot(results.contains)
+      missing.foreach(q => System.err.println(s"[scaleprobe] MISSING: $q (child failed; see stderr above)"))
       val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }.mkString("{", ",", "}")
+      val missJson = missing.map(Jsons.str).mkString("[", ",", "]")
       println(s"""{"metric":"scale_probe","unit":"sec","value":${results.values.sum},""" +
-        s""""queries":$qs,"sf":${Jsons.str(sfDir)},"n_queries":${results.size},"isolated":true}""")
+        s""""queries":$qs,"sf":${Jsons.str(sfDir)},"n_queries":${results.size},""" +
+        s""""missing":$missJson,"isolated":true}""")
+      if (missing.nonEmpty) sys.exit(3)
       return
     }
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
