@@ -31,6 +31,35 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
 
+  /** Spark scratch dirs under java.io.tmpdir (blockmgr-* spill, spark-*
+    * staging). A child that dies hard — executor OOM, disk-full abort —
+    * regularly times out its own ShutdownHook and leaves tens of GB of
+    * spill behind; at the sf100 rung that stranded scratch then starves
+    * every LATER child of the same disk that killed its predecessor
+    * (observed: a 26 GB pagerank orphan pushing the next child from 60 GB
+    * free to 23). The parent sweeps anything a finished child left.
+    */
+  private def scratchDirs(): Set[java.nio.file.Path] = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))
+    val s = java.nio.file.Files.list(tmp)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("blockmgr-") || n.startsWith("spark-")
+      }.toSet
+    } finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) return
+    val s = java.nio.file.Files.walk(p)
+    val all = try s.iterator().asScala.toSeq finally s.close()
+    all.sortBy(-_.getNameCount)
+      .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
+  }
+
   /** Re-invoke this JVM's java on one (sfDir, query), return its JSON line. */
   private def runChild(sfDir: String, name: String): Option[(Double, String)] = {
     import scala.jdk.CollectionConverters._
@@ -45,9 +74,15 @@ object ScaleProbe {
       "graft.tools.ScaleProbe", sfDir, name)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val before = scratchDirs()
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     val rc = p.waitFor()
+    val leaked = scratchDirs() -- before
+    if (leaked.nonEmpty) {
+      System.err.println(s"[scaleprobe] sweeping ${leaked.size} scratch dir(s) left by $name")
+      leaked.foreach(deleteRecursively)
+    }
     if (rc != 0) { System.err.println(s"[scaleprobe] child $name rc=$rc"); return None }
     // extract this query's seconds from the child's one-line JSON
     val m = java.util.regex.Pattern

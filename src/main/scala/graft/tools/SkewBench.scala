@@ -561,8 +561,13 @@ object SkewBench {
       }
       val dupSurfaced = timeCompare("compare_hot_pk_m2000", dupSide, dupSide)
       timeCompare("compare_uniform_4m", fillerSide, fillerSide)
-      require(dupSurfaced == cmpM,
-        s"overall report must surface the $cmpM duplicated-PK rows, got $dupSurfaced")
+      // duplicate_count counts duplicated KEYS, not rows ("dups = #keys
+      // with count > 1", Comparison.collectStats — the reference's
+      // semantics): ONE hot key duplicated cmpM× surfaces as exactly 1;
+      // the 2000-way multiplicity surfaces in the row-level report's
+      // M·N−1 per-key duplicate counts instead.
+      require(dupSurfaced == 1L,
+        s"overall report must surface the one duplicated PK, got $dupSurfaced")
       // the hot partition costs parallelism on ONE task, never an
       // asymptotic blow-up: generous noise-proof bound, loud when broken
       require(results("compare_hot_pk_m2000") <=
