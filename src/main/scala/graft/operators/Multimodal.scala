@@ -99,7 +99,7 @@ object Multimodal {
       * real scaler (deterministic; a real impl re-encodes at the new dims).
       */
     override def resample(payload: Array[Byte], scale: Double): Array[Byte] =
-      if (payload == null || payload.isEmpty || scale >= 1.0) payload
+      if (payload == null || payload.isEmpty || scale >= 1.0 || scale <= 0.0) payload
       else payload.take(math.max(1, (payload.length * scale * scale).toInt))
   }
 
@@ -201,7 +201,7 @@ object Multimodal {
       * an alpha-free raster — the JDK JPEG writer rejects ARGB).
       */
     override def resample(payload: Array[Byte], scale: Double): Array[Byte] = {
-      if (payload == null || payload.isEmpty || scale >= 1.0) return payload
+      if (payload == null || payload.isEmpty || scale >= 1.0 || scale <= 0.0) return payload
       val img = decode(payload)
       if (img == null) return payload
       val w = math.max(1, math.round(img.getWidth * scale).toInt)
@@ -442,7 +442,7 @@ object Multimodal {
       * Non-PCM-16 or undecodable payloads pass through unchanged.
       */
     override def resample(payload: Array[Byte], scale: Double): Array[Byte] = {
-      if (payload == null || payload.isEmpty || scale >= 1.0) return payload
+      if (payload == null || payload.isEmpty || scale >= 1.0 || scale <= 0.0) return payload
       try {
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
         try {
@@ -812,6 +812,21 @@ object Multimodal {
           "add org.bytedeco:javacv-platform (bundles the ffmpeg natives " +
           s"per-OS) to the executor classpath — $GrabberClass not found.")
 
+    /** A reflective-binding mistake (wrong constructor/method signature →
+      * `NoSuchMethodException` etc.) is a BUG in this codec's assumed JavaCV
+      * API shape, not corrupt media — swallowing it into the degrade path
+      * would contradict the fail-loudly contract. Distinguished from
+      * `InvocationTargetException`, which means the BOUND method itself
+      * threw (a decode error from inside FFmpeg) and degrades like any
+      * corrupt payload.
+      */
+    private def bindingFailure(e: ReflectiveOperationException): Nothing =
+      throw new IllegalStateException(
+        s"FfmpegVideoCodec: JavaCV reflective binding failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — the classpath " +
+          "has JavaCV but this codec's assumed API shape does not match; " +
+          "fix the binding rather than treating the media as corrupt", e)
+
     /** Band index for frame `i` of `n` over `k` equal time bands — long
       * arithmetic for the same Int-wrap reason as [[WavCodec]] (i·k
       * overflows beyond ~33M frames). Pure; unit-tested without JavaCV.
@@ -856,7 +871,11 @@ object Multimodal {
         (cls.getMethod("getImageWidth").invoke(g).asInstanceOf[Int],
           cls.getMethod("getImageHeight").invoke(g).asInstanceOf[Int],
           cls.getMethod("getLengthInVideoFrames").invoke(g).asInstanceOf[Int])
-      } catch { case scala.util.control.NonFatal(_) => (0, 0, 0) }
+      } catch {
+        case _: java.lang.reflect.InvocationTargetException => (0, 0, 0)
+        case e: ReflectiveOperationException => bindingFailure(e)
+        case scala.util.control.NonFatal(_) => (0, 0, 0)
+      }
     }
 
     override def features(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -885,11 +904,19 @@ object Multimodal {
         }
         (0 until dim).map(b =>
           if (counts(b) == 0) 0f else (sums(b) / counts(b)).toFloat).toArray
-      } catch { case scala.util.control.NonFatal(_) => Array.fill(dim)(0f) }
+      } catch {
+        case _: java.lang.reflect.InvocationTargetException => Array.fill(dim)(0f)
+        case e: ReflectiveOperationException => bindingFailure(e)
+        case scala.util.control.NonFatal(_) => Array.fill(dim)(0f)
+      }
     }
 
     override def resample(payload: Array[Byte], scale: Double): Array[Byte] = {
-      if (payload == null || payload.isEmpty || scale >= 1.0) return payload
+      // scale <= 0 is a degenerate request, not a downsample: without the
+      // guard, stride = max(1, round(1/0.0).toInt) truncates Long.MaxValue
+      // to -1 and every frame re-encodes at 1×1 — pass through instead,
+      // like the >= 1.0 no-op bound.
+      if (payload == null || payload.isEmpty || scale >= 1.0 || scale <= 0.0) return payload
       requireJavacv()
       try withGrabber(payload) { (cls, g) =>
         val w0 = cls.getMethod("getImageWidth").invoke(g).asInstanceOf[Int]

@@ -25,7 +25,17 @@ import scala.jdk.CollectionConverters._
   */
 object LadderGuard {
 
-  final case class Rung(sfDir: String, totalSec: Double, queries: Seq[(String, Double)])
+  /** `missing` = queries the probe ATTEMPTED at this rung whose child JVM
+    * died (OOM, disk-full, killed) — ScaleProbe emits them so a partial
+    * rung is machine-readable; the guard carries them into the committed
+    * ladder JSON (a reader of the artifact must not need the bench notes
+    * to learn a rung is partial).
+    */
+  final case class Rung(
+      sfDir: String,
+      totalSec: Double,
+      queries: Seq[(String, Double)],
+      missing: Seq[String] = Seq.empty)
 
   /** Violation lines for every consecutive-rung query growth above `bound`. */
   def violations(rungs: Seq[Rung], bound: Double): Seq[String] = {
@@ -50,7 +60,16 @@ object LadderGuard {
   def exemptions(rungs: Seq[Rung], bound: Double): Seq[String] =
     rungs.iterator.sliding(2).withPartial(false).flatMap { case Seq(a, b) =>
       val base = a.queries.toMap
-      b.queries.flatMap {
+      val next = b.queries.toMap
+      // a-not-in-b: measured at the smaller rung but never at the larger
+      // one (rung-specific subset, or a child the probe lost) — those
+      // queries have NO growth measurement at this step, which the guard
+      // cannot fail on, so it must at least be said out loud.
+      val unmeasured = a.queries.collect {
+        case (q, t) if !next.contains(q) =>
+          f"$q: in rung ${a.sfDir} ($t%.2f s) but absent from ${b.sfDir} — no growth measurement at this step"
+      }
+      unmeasured ++ b.queries.flatMap {
         case (q, t) if !base.contains(q) =>
           Some(f"$q: in rung ${b.sfDir} ($t%.2f s) but absent from ${a.sfDir} — growth unguarded")
         case (q, t) if t < 1.0 && t / math.max(base(q), 0.3) > bound =>
@@ -66,13 +85,19 @@ object LadderGuard {
       "not a ScaleProbe line: missing 'queries'/'sf'/'value'")
     val qs = node.get("queries").properties().asScala.toSeq
       .map(e => e.getKey -> e.getValue.asDouble())
-    Rung(node.get("sf").asText(), node.get("value").asDouble(), qs)
+    val missing =
+      if (!node.has("missing")) Seq.empty[String]
+      else node.get("missing").elements().asScala.map(_.asText()).toSeq
+    Rung(node.get("sf").asText(), node.get("value").asDouble(), qs, missing)
   }
 
   def ladderJson(rungs: Seq[Rung], bound: Double): String = {
     def stage(r: Rung): String = {
       val qs = r.queries.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString(",")
-      s"""{"sf_dir":${Jsons.str(r.sfDir)},"total_sec":${r.totalSec},"queries":{$qs}}"""
+      val miss =
+        if (r.missing.isEmpty) ""
+        else s""","missing":${r.missing.map(Jsons.str).mkString("[", ",", "]")}"""
+      s"""{"sf_dir":${Jsons.str(r.sfDir)},"total_sec":${r.totalSec},"queries":{$qs}$miss}"""
     }
     s"""{"metric":"scale_ladder","unit":"sec","protocol":"ScaleProbe per rung (fresh JVM, cold shuffles) + LadderGuard bound ${bound}x per 10x step","stages":[${rungs.map(stage).mkString(",")}]}"""
   }

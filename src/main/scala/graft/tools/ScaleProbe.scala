@@ -31,36 +31,42 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
 
-  /** Spark scratch dirs under java.io.tmpdir (blockmgr-* spill, spark-*
-    * staging). A child that dies hard — executor OOM, disk-full abort —
-    * regularly times out its own ShutdownHook and leaves tens of GB of
-    * spill behind; at the sf100 rung that stranded scratch then starves
-    * every LATER child of the same disk that killed its predecessor
-    * (observed: a 26 GB pagerank orphan pushing the next child from 60 GB
-    * free to 23). The parent sweeps anything a finished child left.
+  /** Best-effort recursive delete of a child's private scratch root. A
+    * child that dies hard — executor OOM, disk-full abort — regularly
+    * times out its own ShutdownHook and leaves tens of GB of spill
+    * behind; at the sf100 rung that stranded scratch then starves every
+    * LATER child of the same disk that killed its predecessor (observed:
+    * a 26 GB pagerank orphan pushing the next child from 60 GB free to
+    * 23). Best-effort by DESIGN: the walk itself can race the dying
+    * child's own shutdown-hook cleanup (NoSuchFileException) or hit an
+    * unreadable entry (UncheckedIOException) — neither may crash the
+    * parent and vaporize the surviving measurements the sweep exists to
+    * preserve, so everything is caught, logged, and skipped.
     */
-  private def scratchDirs(): Set[java.nio.file.Path] = {
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))
-    val s = java.nio.file.Files.list(tmp)
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("blockmgr-") || n.startsWith("spark-")
-      }.toSet
-    } finally s.close()
-  }
+      if (!java.nio.file.Files.exists(p)) return
+      val s = java.nio.file.Files.walk(p)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.sortBy(-_.getNameCount)
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scaleprobe] scratch sweep of $p skipped: $e")
+    }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.exists(p)) return
-    val s = java.nio.file.Files.walk(p)
-    val all = try s.iterator().asScala.toSeq finally s.close()
-    all.sortBy(-_.getNameCount)
-      .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
-  }
-
-  /** Re-invoke this JVM's java on one (sfDir, query), return its JSON line. */
+  /** Re-invoke this JVM's java on one (sfDir, query), return its JSON line.
+    *
+    * Scratch OWNERSHIP is structural, not diffed: each child gets its own
+    * fresh `java.io.tmpdir` subdirectory (Spark derives spark.local.dir
+    * from it, so all blockmgr- and spark- scratch lands inside), and the
+    * parent deletes that one root wholesale after the child exits. A
+    * concurrent Spark JVM on the same box — another probe rung, a
+    * StreamBench child, an unrelated job — can never lose its live
+    * shuffle dirs to this sweep, which the previous diff-the-shared-tmpdir
+    * approach could not guarantee.
+    */
   private def runChild(sfDir: String, name: String): Option[(Double, String)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
@@ -69,20 +75,19 @@ object ScaleProbe {
       .getInputArguments.asScala.filter(a =>
         a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
         a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-XX:"))
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir", "/tmp")),
+      s"graft-probe-${name.replaceAll("[^A-Za-z0-9_.-]", "_")}-")
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      s"-Djava.io.tmpdir=$scratch",
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.ScaleProbe", sfDir, name)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val before = scratchDirs()
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     val rc = p.waitFor()
-    val leaked = scratchDirs() -- before
-    if (leaked.nonEmpty) {
-      System.err.println(s"[scaleprobe] sweeping ${leaked.size} scratch dir(s) left by $name")
-      leaked.foreach(deleteRecursively)
-    }
+    deleteRecursively(scratch)
     if (rc != 0) { System.err.println(s"[scaleprobe] child $name rc=$rc"); return None }
     // extract this query's seconds from the child's one-line JSON
     val m = java.util.regex.Pattern

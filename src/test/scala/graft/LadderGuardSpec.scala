@@ -46,12 +46,33 @@ class LadderGuardSpec extends AnyFunSuite {
     // small bounds, which is exactly when it must be VISIBLE
     val ex = LadderGuard.exemptions(Seq(sf1, sf10), 2.0)
     // q_fast: 0.05 -> 0.9 is 3x over the floored base but under the 1 s
-    // noise floor; q_new is absent from sf1 so its growth is unguarded
+    // noise floor; q_new is absent from sf1 so its growth is unguarded;
+    // q_bad is measured at sf1 but never at sf10 — no growth measurement
     assert(ex.exists(e => e.startsWith("q_fast:") && e.contains("noise floor")),
       ex.mkString("; "))
     assert(ex.exists(e => e.startsWith("q_new:") && e.contains("unguarded")),
       ex.mkString("; "))
-    assert(ex.size == 2, ex.mkString("; "))
+    assert(ex.exists(e => e.startsWith("q_bad:") && e.contains("no growth measurement")),
+      ex.mkString("; "))
+    assert(ex.size == 3, ex.mkString("; "))
+  }
+
+  test("a partial rung's missing list survives parse -> merge into the committed artifact") {
+    val line = """{"metric":"scale_probe","unit":"sec","value":5.5,""" +
+      """"queries":{"q_a":1.25},"sf":"/sf100","n_queries":1,""" +
+      """"missing":["q_compare_row_lvl","q_compare_overall"],"isolated":true}"""
+    val r = LadderGuard.parseRung(line)
+    assert(r.missing == Seq("q_compare_row_lvl", "q_compare_overall"))
+    val merged = LadderGuard.ladderJson(Seq(r), 12.0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(merged)
+    val stage = node.get("stages").get(0)
+    assert(stage.has("missing"), merged)
+    assert(stage.get("missing").size() == 2)
+    assert(stage.get("missing").get(0).asText() == "q_compare_row_lvl")
+    // a complete rung carries NO missing key — absence means complete
+    val full = LadderGuard.ladderJson(Seq(r.copy(missing = Seq.empty)), 12.0)
+    val fullNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(full)
+    assert(!fullNode.get("stages").get(0).has("missing"), full)
   }
 
   test("parseRung rejects a line missing 'value' with the diagnostic message, not an NPE") {

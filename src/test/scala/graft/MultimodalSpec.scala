@@ -276,6 +276,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.FfmpegVideoCodec.features(null, 4).forall(_ == 0f))
     val p = "not a real video".getBytes("UTF-8")
     assert(Multimodal.FfmpegVideoCodec.resample(p, 1.0) eq p) // no-op scale short-circuits
+    // degenerate scales short-circuit BEFORE the library probe too: without
+    // the guard, scale=0 would stride at max(1, round(1/0.0).toInt) = 1 and
+    // re-encode every frame at 1×1 instead of rejecting the request
+    assert(Multimodal.FfmpegVideoCodec.resample(p, 0.0) eq p)
+    assert(Multimodal.FfmpegVideoCodec.resample(p, -0.5) eq p)
+    assert(Multimodal.FakeCodec.resample(p, 0.0) eq p)
+    assert(Multimodal.ImageIoCodec.resample(p, -1.0) eq p)
+    assert(Multimodal.WavCodec.resample(p, 0.0) eq p)
     // a NON-empty payload without the library must throw, not zero out —
     // silent zeros would corrupt a corpus profile while looking healthy
     val e = intercept[IllegalStateException](Multimodal.FfmpegVideoCodec.decodeDims(p))
