@@ -1740,8 +1740,12 @@ object Queries {
     // unrolls 8 peel rounds — ≥ the fixpoint depth at the checked scales
     // (3 at sf0.001, 5 at sf0.01); rounds past fixpoint are no-ops, so
     // the margin is free.
+    // kCoreReleased: the managed lifecycle — heavy graph caches (|E| base
+    // persist, |V| degree checkpoint) are released at construction; only
+    // the small core-node result frame stays resident, so repeated
+    // invocations in a long-lived session don't accumulate graph storage
     "q_graph_kcore" -> ((s, d) =>
-      graft.operators.Graphs.kCore(partEdges(s, d), "pa", "pb", k = 80)),
+      graft.operators.Graphs.kCoreReleased(partEdges(s, d), "pa", "pb", k = 80)),
 
     // link-based curation reach: min hop distance (≤ 3) from the size-1
     // parts to everything they co-occur with, level-synchronous frontier

@@ -54,26 +54,32 @@ object Graphs {
     * PageRank who is CENTRAL, the core says who survives when the
     * periphery is stripped.
     *
-    * Scale shape: the canonical edge set is cached ONCE (columnar
-    * persist, the PageRank adjacency discipline) and every round derives
-    * the CURRENT subgraph as base-minus-accumulated-removed via two
-    * anti-joins against the removed-node set, then one map-side-combined
-    * degree aggregation. No per-round edge materialization exists: an
-    * earlier shape re-`localCheckpoint`ed the full shrinking edge
-    * relation every round, which the sf10 ladder rung exposed as 30-50 s
-    * per round of pure checkpoint write (112 M edges re-stored to peel
-    * 600 nodes) — 21× wall for 10× data. Only the removed set (bounded
-    * by |V|, usually tiny) checkpoints per round, with superseded
-    * generations freed eagerly. The anti-join build side is left to AQE:
-    * while `removed` is small it broadcasts and the cached base never
-    * shuffles; an adversarial graph that peels most of its nodes degrades
-    * to a shuffle join, never worse than re-materializing. The driver
-    * sees one emptiness probe per round, never node data. Round COUNT is
-    * bounded by the peeling depth of the degree distribution — worst case
-    * (a path) is O(n), real co-occurrence/linkage graphs finish in a
-    * handful; `maxRounds` is the safety bound, and stopping there early
-    * yields a SUPERSET of the true core (documented approximation, never
-    * silent loss).
+    * Scale shape — INCREMENTAL degree maintenance, so total aggregation
+    * work across all peel rounds is O(|E|), not rounds × O(|E|): the
+    * canonical edge set is cached ONCE (columnar persist, the PageRank
+    * adjacency discipline) and degrees are aggregated ONCE up front; every
+    * round then (1) filters the |V|-row degree frame for sub-k nodes,
+    * (2) probes the cached base with the removed set BROADCAST (two
+    * narrow codegen'd hash-join scans, no base shuffle) to emit one
+    * decrement per removed-incident edge's surviving endpoint, and
+    * (3) rebuilds the degree frame as survivors-minus-decrements. Each
+    * base edge contributes at most two decrement rows over the WHOLE
+    * peeling (once per endpoint removal; the second lands on an
+    * already-removed node and drops at the join), so the shuffled volume
+    * across all rounds is bounded by 2|E| — the previous shape
+    * re-aggregated degrees against the full base every round, which the
+    * sf100 rung measured as a superlinear 13.4× per 10× step on a
+    * deep-peeling graph (rounds grow with scale AND each round paid
+    * O(|E|)). Only the shrinking |V|-row degree frame checkpoints per
+    * round, with superseded generations freed eagerly. An adversarial
+    * graph that peels more than the broadcast bound in one round falls
+    * back to the planner's join choice, never worse than re-aggregating.
+    * The driver sees one emptiness probe per round, never node data.
+    * Round COUNT is bounded by the peeling depth of the degree
+    * distribution — worst case (a path) is O(n), real co-occurrence/
+    * linkage graphs finish in a handful; `maxRounds` is the safety bound,
+    * and stopping there early yields a SUPERSET of the true core
+    * (documented approximation, never silent loss).
     *
     * Output: `(node, core_deg)` for every node of the k-core, with its
     * degree inside the core. Empty when the whole graph peels away.
@@ -110,18 +116,18 @@ object Graphs {
 
   /** [[kCoreWithRounds]] plus a `release()` hook that frees the cached
     * state the result frame reads through (the base persist and the final
-    * removed-set checkpoint). Call it only AFTER fully consuming the
-    * result — the frame recomputes from source afterwards for the persist,
-    * but the released checkpoint is gone (a consumed result is never
-    * re-read, so this is the intended lifecycle).
+    * degree-frame checkpoint). Call it only AFTER fully consuming the
+    * result — the released checkpoint is gone and a consumed result is
+    * never re-read, so this is the intended lifecycle. [[kCoreReleased]]
+    * packages that lifecycle for catalog/bench consumers.
     *
-    * One plan shape at every size: the columnar base. An A/B against the
-    * pre-r10 shrink-and-checkpoint shape (re-materialize the surviving
-    * edge relation per round), run isolated-JVM at sf0.01 AND sf0.1,
-    * measured the columnar base 10-15% faster at BOTH scales (7.1 vs
-    * 8.0 s, 7.6-8.2 vs 8.8-9.2 s) — the small-graph fixed cost the r10
-    * BENCH delta suggested was host noise, not plan shape, so no size
-    * gate exists and the sf10-proven shape runs everywhere.
+    * One plan shape at every size: the columnar base with incremental
+    * degrees. The r11 predecessor (full per-round degree re-aggregation
+    * against base-minus-removed) was A/B'd against this shape isolated-JVM
+    * at sf0.1 and sf10 when the sf100 rung measured it superlinear
+    * (13.4× per 10× step, rounds × O(|E|) aggregation); the incremental
+    * shape's total shuffle across all rounds is bounded by 2|E|
+    * decrements, restoring the ladder's 12× growth bound.
     */
   def kCoreManaged(
       pairs: DataFrame,
@@ -131,55 +137,85 @@ object Graphs {
       maxRounds: Int = 50): (DataFrame, Int, () => Unit) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 1000, s"maxRounds out of range: $maxRounds")
-    // columnar cache + eager materialization: every round scans this (see
+    // columnar cache + eager materialization: every round probes this (see
     // buildPrGraph for why persist-then-count, not localCheckpoint)
     val base = canonicalEdges(pairs, aCol, bCol).persist()
     base.count()
-    var removed: Option[DataFrame] = None
-    var removedCount = 0L
-    // An eager checkpoint is a LogicalRDD — size-UNKNOWN to the planner,
-    // which plans the anti-joins sort-merge and re-exchanges the cached
-    // base every round (measured 2.3× at the sf1 rung). While the
-    // accumulated removed set is provably driver/executor-safe (≤ 5 M
-    // node ids ≈ tens of MB) the hint pins broadcast-hash anti-joins, so
-    // rounds are pure narrow filters over the columnar base; an
-    // adversarial graph that peels more than the bound falls back to the
-    // planner's choice, never worse than re-materializing.
-    val broadcastRemovedMax = 5000000L
-    def current: DataFrame = removed match {
-      case None => base
-      case Some(r0) =>
-        val r = if (removedCount <= broadcastRemovedMax) broadcast(r0) else r0
-        base
-          .join(r.withColumnRenamed("n", "lo"), Seq("lo"), "left_anti")
-          .join(r.withColumnRenamed("n", "hi"), Seq("hi"), "left_anti")
-    }
+    // Degrees aggregated ONCE; every later generation is survivors minus
+    // decrements. Eager checkpoint truncates the round-deep lineage —
+    // without it round r's plan would stack r joins over the original
+    // aggregation.
+    var degs = degrees(base).localCheckpoint()
+    // An eager checkpoint is a LogicalRDD — size-UNKNOWN to the planner —
+    // so the per-round removed set gets an explicit broadcast hint while
+    // provably executor-safe (≤ 5 M node ids ≈ tens of MB): the decrement
+    // probes then run as narrow broadcast-hash scans of the columnar base
+    // (no base shuffle) and the survivor anti-join stays narrow too. A
+    // graph that peels more than the bound in one round falls back to the
+    // planner's choice, never worse than re-aggregating.
+    val broadcastLowMax = 5000000L
     var round = 0
     var fixed = false
     while (!fixed && round < maxRounds) {
-      val low = degrees(current)
-        .filter(col("deg") < k)
+      val low = degs
+        .filter(col("deg") < lit(k.toLong))
         .select(col("n"))
         .localCheckpoint()
       val lowCount = low.count()
       if (lowCount == 0L) { fixed = true; releaseCheckpoint(low) }
       else {
-        val nextRemoved = removed match {
-          case None => low
-          case Some(r) => r.unionByName(low).localCheckpoint()
-        }
-        // free superseded small checkpoints eagerly (irrevocable, fine:
-        // nothing references the old generations again)
-        if (removed.isDefined) { removed.foreach(releaseCheckpoint); releaseCheckpoint(low) }
-        removed = Some(nextRemoved)
-        removedCount += lowCount
+        val lowB = if (lowCount <= broadcastLowMax) broadcast(low) else low
+        // One decrement per removed-incident edge, keyed by the OTHER
+        // endpoint; decrements aimed at nodes removed this round or
+        // earlier vanish at the join with the surviving degree frame, so
+        // no edge is ever subtracted twice.
+        val dec = base
+          .join(lowB.withColumnRenamed("n", "lo"), Seq("lo"))
+          .select(col("hi").as("n"))
+          .unionByName(
+            base
+              .join(lowB.withColumnRenamed("n", "hi"), Seq("hi"))
+              .select(col("lo").as("n")))
+          .groupBy(col("n"))
+          .agg(count(lit(1)).as("__dec"))
+        val next = degs
+          .join(lowB, Seq("n"), "left_anti")
+          .join(dec, Seq("n"), "left")
+          .select(col("n"), (col("deg") - coalesce(col("__dec"), lit(0L))).as("deg"))
+          .localCheckpoint()
+        // free superseded generations eagerly (irrevocable, fine: nothing
+        // references them again)
+        releaseCheckpoint(degs)
+        releaseCheckpoint(low)
+        degs = next
         round += 1
       }
     }
-    val result = degrees(current).select(col("n").as("node"), col("deg").as("core_deg"))
-    val finalRemoved = removed
-    val release = () => { base.unpersist(false); finalRemoved.foreach(releaseCheckpoint) }
+    val result = degs.select(col("n").as("node"), col("deg").as("core_deg"))
+    val finalDegs = degs
+    val release = () => { base.unpersist(false); releaseCheckpoint(finalDegs) }
     (result, round, release)
+  }
+
+  /** The consumer-facing kCore lifecycle: run [[kCoreManaged]], materialize
+    * the (small — core nodes only) result as its own checkpoint, and
+    * RELEASE the heavy session-scoped state (the |E|-row base persist and
+    * the |V|-row degree checkpoint) before returning. Repeated invocations
+    * in a long-lived session then accumulate only |core|-row result frames
+    * instead of full graph caches — the storage-leak audit in
+    * OperatorsSpec pins this. The catalog/bench rows consume kCore through
+    * here.
+    */
+  def kCoreReleased(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    val (df, _, release) = kCoreManaged(pairs, aCol, bCol, k, maxRounds)
+    val out = df.localCheckpoint() // eager: materializes before release
+    release()
+    out
   }
 
   /** Unpersist the block-manager storage behind an EAGER `localCheckpoint`

@@ -1658,6 +1658,28 @@ class OperatorsSpec extends SparkSpec {
       s"kCoreManaged release() must leave no persisted RDDs behind, leaked ids: $leaked")
   }
 
+  test("kCoreReleased: repeated invocations hold only their small result frames, never graph caches") {
+    import graft.operators.Graphs
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val clique = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val g = (clique ++ Seq((5L, 6L), (6L, 7L))).toDF("a", "b")
+    val results = (1 to 3).map(_ => Graphs.kCoreReleased(g, "a", "b", k = 4))
+    results.foreach(r => assert(r.count() == 5))
+    // the |E|-row base persist and per-round degree checkpoints are gone;
+    // exactly one checkpointed RDD per invocation (the core result) remains
+    val held = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(held.size == results.size,
+      s"expected exactly ${results.size} result-frame blocks, held: $held")
+    // and dropping the results returns the session to its baseline
+    results.foreach { r =>
+      r.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case other => fail(s"released result should be a LogicalRDD, was: ${other.getClass}")
+      }
+    }
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("bfsHops: level-synchronous frontier matches brute-force min distance") {
     import graft.operators.Graphs
     // path 1-2-3-4-5 with a chord 1-3, pendant 5-6, isolated seed 99,

@@ -845,16 +845,20 @@ class PlanSpec extends SparkSpec {
       s"final centroids should come from the checkpointed round frame:\n$p")
   }
 
-  test("kCore: the surviving-core degree count is a partial-combined aggregation") {
-    // the iterative peel rounds hide behind per-round localCheckpoints
-    // (same log-lineage trick as PageRank); the visible plan is the final
-    // degree aggregation over the checkpointed edge relation
+  test("kCore: the released result is a bare checkpoint scan — no graph state left in the plan") {
+    // incremental peeling maintains the degree frame across rounds behind
+    // per-round localCheckpoints (the PageRank log-lineage trick), and
+    // kCoreReleased materializes the final core before releasing the base
+    // persist and degree checkpoint — so the consumer-visible plan is a
+    // pure scan of the small result RDD: no aggregation, no join, no
+    // window, nothing that could re-touch the |E|-row graph
     val p = plan("q_graph_kcore")
-    assert(p.contains("HashAggregate"), s"degree count must hash-aggregate:\n$p")
-    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
-      s"expected partial+final degree aggregation around one exchange:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"released kCore result must read its own materialized checkpoint:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"no residual aggregation/join may hang off the released result:\n$p")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
-      s"no window or cross product in the core-degree plan:\n$p")
+      s"no window or cross product in the core result plan:\n$p")
   }
 
   test("fingerprint compare: per-side partial+final aggregation; no raw-row join") {
