@@ -18,6 +18,8 @@ object Constants {
   val InnerJoin = "inner"
   val LeftJoin = "left"
   val FullOuterJoin = "full_outer"
+  /** Graft extension: the mismatch-refetch prune (not a reference join type). */
+  val LeftSemiJoin = "left_semi"
 
   // per-side column suffixes (common_constants.py:13-16)
   def srcCol(name: String): String = s"${name}_src"
@@ -28,6 +30,11 @@ object Constants {
   // common col names (common_constants.py:19-20)
   val ChkSumCol = "_chk_sum"
   val CountCol = "count"
+  /** Graft extension (internal, never reported): per-key "some joined pair
+    * already checksum-matched" flag riding the mismatch refetch — needed to
+    * count tolerance rescues exactly once per key under duplicated PKs.
+    */
+  val ChkMatchedKeyCol = "_chk_matched_key"
 
   // overall test report (common_constants.py:24-34)
   val DatasetNameCol = "dataset_name"

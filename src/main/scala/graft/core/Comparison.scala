@@ -41,22 +41,41 @@ final case class ComparisonResult(
   *    order (deterministic; fixes the reference's latent crash when
   *    select/drop removes a column, `comparison_job.py:187` vs SURVEY
   *    §2.10.1 — observable behavior is unchanged on the default path);
-  *  - engine construction runs exactly ONE eager job: a union of the
-  *    missing/matched key aggregate (reusing the join's hash partitioning,
-  *    no extra exchange), the reference's four per-side count actions
-  *    (`comparison_job.py:67-84`) fused into one (side, key) aggregation,
-  *    and the column-level sums (`comparison_job.py:101-118`). The overall
-  *    and column-level reports are built driver-side from the collected
-  *    values and the row-level report stays lazy — one pass instead of the
+  *  - the alignment join is SLIM: only the primary keys and a 32-byte
+  *    binary row checksum per side go through the one unavoidable wide
+  *    shuffle, so its exchange ships ~40-70 bytes/row REGARDLESS of table
+  *    width. Full-width rows are touched exactly twice: the columnar scan
+  *    that derives the checksums, and — only when mismatches exist — a
+  *    PRUNED refetch of the mismatched-present keys (broadcast semi join
+  *    below [[BroadcastMismatchKeysMax]] keys, Bloom-pruned semi join
+  *    above it, `operators/Pruning.scala`) that feeds the per-column
+  *    tolerance pass and the extracts. The r11 predecessor carried every
+  *    renamed non-key column of both sides through the full-outer shuffle
+  *    and persisted the full-width joined frame — at the sf100 ladder
+  *    rung that spilled ~60 GB/side and exhausted the box's scratch; the
+  *    slim shape completes the same rung in bounded scratch;
+  *  - engine construction runs at most TWO eager jobs: the slim stats job
+  *    (missing/matched/duplicate/mismatch-key counts — the per-key step
+  *    reuses the join's hash partitioning with NO exchange, and the
+  *    reference's four per-side count actions, `comparison_job.py:67-84`,
+  *    are fused into one key-only (side, key) aggregation), then — only
+  *    when mismatch keys exist — the tolerance stats job over the
+  *    refetched mismatch set (`comparison_job.py:101-118`). A CLEAN
+  *    compare (the common case for a 100 TB regression gate) runs one job
+  *    and never materializes a full-width row past the checksum scan.
+  *    Overall and column-level reports are built driver-side from the
+  *    collected values; the row-level report stays lazy — vs the
   *    reference's seven-plus full-table jobs;
   *  - persisted frames use MEMORY_AND_DISK and are surfaced for explicit
   *    release.
   *
   * Scale notes: the full-outer join (J1) can never broadcast — it
-  * shuffle-partitions both sides by the primary keys, and every downstream
-  * key-wise operator (tolerance re-join, window duplicate count, distinct)
-  * reuses that hash partitioning, so the whole pipeline pays exactly one
-  * wide exchange per side plus the per-report small aggregations.
+  * shuffle-partitions both (slim) sides by the primary keys, and the
+  * downstream key-wise aggregations and the fold-back reuse that hash
+  * partitioning. The tolerance refetch rebuilds the M·N cross product for
+  * MISMATCHED keys only, from the pruned full-width sides, and re-derives
+  * the checksums deterministically — the rebuilt pair set is row-identical
+  * to filtering the (no longer materialized) full-width join.
   *
   * Skew: AQE skew-join splitting (enabled in [[graft.GraftSession]],
   * demonstrated in PlanSpec) engages on the splittable joins — notably the
@@ -123,8 +142,12 @@ object Comparison {
 
   /** Checksum + per-side rename (`comparison_job.py:36-47`): one sha256 over
     * the concatenated non-key columns turns the N-column row match into a
-    * single string compare; non-key columns get the side suffix so the
-    * full-outer join only coalesces the key columns.
+    * single compare; non-key columns get the side suffix so the full-outer
+    * join only coalesces the key columns. The digest is stored as 32-byte
+    * BINARY (`unhex` of sha2's hex string) — it is internal (never
+    * reported), only ever tested for null-safe equality and nullness, and
+    * halving its width halves the slim alignment join's dominant shuffle
+    * column.
     */
   private def transformSide(
       df: DataFrame,
@@ -136,7 +159,7 @@ object Comparison {
       if (params.canonicalizeNestedTypes && isNested(schemaByName(c))) to_json(col(c))
       else col(c)
     }
-    df.withColumn(suffix(ChkSumCol), sha2(concat_ws(EmptyStr, chkInputs: _*), 256))
+    df.withColumn(suffix(ChkSumCol), unhex(sha2(concat_ws(EmptyStr, chkInputs: _*), 256)))
       .withColumnsRenamed(nonKeyCols.map(c => c -> suffix(c)).toMap)
   }
 
@@ -204,93 +227,62 @@ object Comparison {
         .distinct()
     }.toMap
 
-  /** Every report number in ONE Spark job: missing/matched key counts,
-    * per-column mismatch sums, and per-side totals / duplicate-key counts,
-    * unioned as tagged (k, map) rows and collected once.
-    *
-    *  - missing/matched keys and the column sums come out of ONE
-    *    aggregation over `joinedRaw` with the tolerance predicates inlined
-    *    (guarded by the both-present-and-checksum-mismatch condition, so
-    *    they evaluate exactly where the fold-back pipeline evaluates
-    *    them). The frame is already hash-partitioned by the primary keys
-    *    coming out of the sort-merge join, so the per-key step reuses the
-    *    join's partitioning with NO exchange. Value-identical with
-    *    aggregating the folded-back frame: the fold-back join only ever
-    *    multiplies rows WITHIN a key (and per-key `max` ignores
-    *    multiplicity), a row is effectively matched iff its checksums
-    *    match or every tolerance predicate holds (`<=> true`, matching the
-    *    fold-back's null-dropping filter), and the per-column sums count
-    *    exactly the after-tolerance-unmatched rows failing that column
-    *    (`comparison_job.py:101-118`; a NULL-poisoned predicate counts 0,
-    *    like the reference). Keeping the fold-back join OUT of the stats
-    *    path saves a second pass over the joined frame — at 100 TB the
-    *    eager job is one aggregation over the join output, nothing more.
-    *  - the reference's four side-count actions (`comparison_job.py:67-84`)
-    *    become one (side, key) aggregation: total = Σ per-key counts,
-    *    dups = #keys with count > 1 — identical by construction.
-    *
-    * The subtrees share the persisted src/tgt/joinedRaw frames; partitions
-    * raced by concurrent stages merely compute the cheap checksum
-    * projection twice before the cache settles. One job replaces the
-    * reference's seven-plus full-table actions — the dominant win at
-    * 100 TB is that nothing here shuffles or re-joins the joined frame.
+  /** Broadcast-vs-Bloom cutover for the mismatch refetch: up to this many
+    * mismatched keys the prune is a broadcast semi join (exact, zero scan
+    * passes wasted); above it the key set is too large to ship as a join
+    * hash table and the refetch goes through
+    * [[graft.operators.Pruning.bloomPrunedSemiJoinMulti]] (~1.2 bytes/key
+    * at 3% fpp, scan-side filter + exact semi join).
     */
-  private def collectStats(
-      src: DataFrame,
-      tgt: DataFrame,
-      joinedRaw: DataFrame,
-      keyCols: Seq[String],
-      nonKeyFields: Seq[StructField],
-      params: TestParams): ((Long, Long, Long), (Long, Long, Long, Long), Map[String, Long]) = {
+  private val BroadcastMismatchKeysMax = 1000000L
+
+  /** The FIRST (always-run) eager job: every slim report number — per-key
+    * missing/checksum-matched/mismatch flags folded to totals, plus the
+    * reference's four per-side count actions (`comparison_job.py:67-84`)
+    * fused into one key-only (side, key) aggregation — as tagged (k, map)
+    * rows collected once.
+    *
+    * The per-key step aggregates the persisted slim join, which is already
+    * hash-partitioned by the primary keys coming out of the sort-merge
+    * join — NO exchange. Per-key `max` makes every flag duplicate-blind
+    * (the fold-back join only ever multiplies rows WITHIN a key). The side
+    * counts read the projected inputs key-columns-only — at a parquet
+    * source that is a pruned scan of just the key columns.
+    *
+    * Returns ((miss_src, miss_tgt, checksum-matched keys, mismatch keys),
+    * (src_total, src_dups, tgt_total, tgt_dups)).
+    */
+  private def collectSlimStats(
+      projectedSrc: DataFrame,
+      projectedTgt: DataFrame,
+      joinedSlim: DataFrame,
+      keyCols: Seq[String]): ((Long, Long, Long, Long), (Long, Long, Long, Long)) = {
     val keyColumns = keyCols.map(col)
-    val nonKeyCols = nonKeyFields.map(_.name)
     val bothPresent =
       col(srcCol(ChkSumCol)).isNotNull && col(tgtCol(ChkSumCol)).isNotNull
-    val rowTolMatched = nonKeyFields
-      .map(f => matchedPredicate(f, params))
-      .reduceOption(_ && _)
-      .getOrElse(lit(true))
-    val effMatched =
-      col(AllRowsMatchedCol) || (bothPresent && (rowTolMatched <=> lit(true)))
-    // row ends up in unmatched_records: present on both sides, checksum
-    // mismatch, and not rescued by tolerance
-    val isUnmatched =
-      bothPresent && !col(AllRowsMatchedCol) && !(rowTolMatched <=> lit(true))
-    // "col:" prefix namespaces the per-column entries away from the fixed
-    // stat keys (a dataset column could be literally named "matched")
-    val perKey =
-      Seq(
+    val matchRow = joinedSlim
+      .groupBy(keyColumns: _*)
+      .agg(
         max(when(col(srcCol(ChkSumCol)).isNull, 1L).otherwise(0L)).as("ms"),
         max(when(col(tgtCol(ChkSumCol)).isNull, 1L).otherwise(0L)).as("mt"),
-        max(when(effMatched, 1L).otherwise(0L)).as("mm")) ++
-        nonKeyFields.zipWithIndex.map { case (f, i) =>
-          sum(when(isUnmatched && when(!matchedPredicate(f, params), true).otherwise(false), 1L)
-            .otherwise(0L)).as(s"cs$i")
-        }
-    val total =
-      Seq(
+        max(when(col(AllRowsMatchedCol), 1L).otherwise(0L)).as("cm"),
+        max(when(bothPresent && !col(AllRowsMatchedCol), 1L).otherwise(0L)).as("mk"))
+      .agg(
         coalesce(sum("ms"), lit(0L)).as("miss_src"),
         coalesce(sum("mt"), lit(0L)).as("miss_tgt"),
-        coalesce(sum("mm"), lit(0L)).as("matched")) ++
-        nonKeyCols.indices.map(i => coalesce(sum(s"cs$i"), lit(0L)).as(s"cs$i"))
-    val matchRow = joinedRaw
-      .groupBy(keyColumns: _*)
-      .agg(perKey.head, perKey.tail: _*)
-      .agg(total.head, total.tail: _*)
+        coalesce(sum("cm"), lit(0L)).as("chk_matched"),
+        coalesce(sum("mk"), lit(0L)).as("mismatch_keys"))
       .select(
         lit("match").as("k"),
         map(
-          Seq(
-            lit("miss_src"), col("miss_src"), lit("miss_tgt"), col("miss_tgt"),
-            lit("matched"), col("matched")) ++
-            nonKeyCols.zipWithIndex.flatMap { case (c, i) =>
-              Seq(lit(s"col:$c"), col(s"cs$i"))
-            }: _*).as("m"))
+          lit("miss_src"), col("miss_src"), lit("miss_tgt"), col("miss_tgt"),
+          lit("chk_matched"), col("chk_matched"),
+          lit("mismatch_keys"), col("mismatch_keys")).as("m"))
     val side = "_side"
-    val sideRow = src
+    val sideRow = projectedSrc
       .select(keyColumns: _*)
       .withColumn(side, lit(SourceCol))
-      .union(tgt.select(keyColumns: _*).withColumn(side, lit(TargetCol)))
+      .union(projectedTgt.select(keyColumns: _*).withColumn(side, lit(TargetCol)))
       .groupBy(col(side) +: keyColumns: _*)
       .count()
       .agg(
@@ -308,9 +300,49 @@ object Comparison {
       .toMap
     val mk = byK("match")
     val s = byK("side")
-    ((mk("miss_src"), mk("miss_tgt"), mk("matched")),
-      (s("src_total"), s("src_dups"), s("tgt_total"), s("tgt_dups")),
-      nonKeyCols.map(c => c -> mk(s"col:$c")).toMap)
+    ((mk("miss_src"), mk("miss_tgt"), mk("chk_matched"), mk("mismatch_keys")),
+      (s("src_total"), s("src_dups"), s("tgt_total"), s("tgt_dups")))
+  }
+
+  /** The SECOND eager job (mismatch keys only): tolerance rescues and the
+    * per-column mismatch sums (`comparison_job.py:101-118`) over the
+    * refetched mismatch set.
+    *
+    * A key counts as RESCUED iff some refetched pair passes the full
+    * tolerance fold (`<=> true`, matching the fold-back's null-dropping
+    * filter) AND no pair of that key already checksum-matched (the
+    * [[graft.Constants.ChkMatchedKeyCol]] flag — without it a duplicated
+    * PK with one matching and one tolerance-passing pair would count
+    * twice). Per-column sums count after-tolerance-unmatched ROWS whose
+    * predicate is strictly false — a NULL-poisoned predicate counts 0,
+    * like the reference.
+    */
+  private def collectToleranceStats(
+      afterTolerance: DataFrame,
+      keyCols: Seq[String],
+      nonKeyCols: Seq[String]): (Long, Map[String, Long]) = {
+    val tolTrue = col(AllRowsMatchedAfterTolCol) <=> lit(true)
+    val perKey =
+      Seq(
+        max(when(tolTrue, 1L).otherwise(0L)).as("tolm"),
+        max(when(col(ChkMatchedKeyCol), 1L).otherwise(0L)).as("chkm")) ++
+        nonKeyCols.zipWithIndex.map { case (c, i) =>
+          sum(when(!tolTrue && when(!col(matchedCol(c)), true).otherwise(false), 1L)
+            .otherwise(0L)).as(s"cs$i")
+        }
+    val totals =
+      Seq(
+        coalesce(
+          sum(when(col("tolm") === 1L && col("chkm") === 0L, 1L).otherwise(0L)),
+          lit(0L)).as("rescued")) ++
+        nonKeyCols.indices.map(i => coalesce(sum(col(s"cs$i")), lit(0L)).as(s"cs$i"))
+    val row = afterTolerance
+      .groupBy(keyCols.map(col): _*)
+      .agg(perKey.head, perKey.tail: _*)
+      .agg(totals.head, totals.tail: _*)
+      .collect()(0)
+    (row.getLong(0),
+      nonKeyCols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
   }
 
   /** Overall report (`comparison_job.py:66-99`): one row of per-side
@@ -360,6 +392,7 @@ object Comparison {
       targetDf: DataFrame,
       params: DatasetParams): ComparisonResult = {
     val keyCols = params.primaryKeys
+    val keyColumns = keyCols.map(col)
     val projectedSrc = project(sourceDf, params)
     val projectedTgt = project(targetDf, params)
     // Deterministic schema order, derived post-projection (SURVEY §2.10.1-2).
@@ -367,57 +400,101 @@ object Comparison {
     val nonKeyFields =
       projectedTgt.schema.fields.toSeq.filter(f => nonKeyCols.contains(f.name))
 
-    val src = transformSide(projectedSrc, srcCol, nonKeyCols, params.testParams)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val tgt = transformSide(projectedTgt, tgtCol, nonKeyCols, params.testParams)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Full-width transformed sides stay LAZY — consumed by the slim
+    // projection below (one columnar scan) and, only when mismatches
+    // exist, by the pruned refetch (a second, key-pruned scan). NOT
+    // persisted: at 100 TB a full-width persist is exactly the scratch
+    // footprint the slim alignment exists to avoid.
+    val srcFull = transformSide(projectedSrc, srcCol, nonKeyCols, params.testParams)
+    val tgtFull = transformSide(projectedTgt, tgtCol, nonKeyCols, params.testParams)
 
     // Align the sides: the ONE unavoidable wide shuffle (J1, never
-    // broadcastable). Primary row match = checksum null-safe equality.
-    val joinedRaw = src
-      .join(tgt, keyCols, FullOuterJoin)
+    // broadcastable) — on (keys, 32-byte checksum) ONLY. Primary row
+    // match = checksum null-safe equality; a present row always has a
+    // non-null checksum.
+    val joinedSlim = srcFull
+      .select(keyColumns :+ col(srcCol(ChkSumCol)): _*)
+      .join(tgtFull.select(keyColumns :+ col(tgtCol(ChkSumCol)): _*), keyCols, FullOuterJoin)
       .withColumn(AllRowsMatchedCol, col(srcCol(ChkSumCol)) <=> col(tgtCol(ChkSumCol)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Tolerance second pass over present-on-both-sides checksum mismatches
-    // only — the expensive N-column compare touches just the mismatch set.
-    val mismatchedPresent = joinedRaw.filter(
-      !col(AllRowsMatchedCol) &&
-        col(srcCol(ChkSumCol)).isNotNull &&
-        col(tgtCol(ChkSumCol)).isNotNull)
-    val afterTolerance =
-      withPerColumnMatches(mismatchedPresent, nonKeyFields, params.testParams)
+    // FIRST eager job: every slim report number (fills the joinedSlim
+    // persist as a side effect), including the mismatch-key count that
+    // decides whether — and how — the refetch runs.
+    val ((missSrc, missTgt, chkMatched, mismatchKeyCount), sideTotals) =
+      collectSlimStats(projectedSrc, projectedTgt, joinedSlim, keyCols)
 
-    // Fold tolerance passes back in (left join on keys reuses the join's
-    // hash partitioning — no second wide shuffle of the big side).
-    val joined = joinedRaw
-      .join(
-        afterTolerance
-          .filter(col(AllRowsMatchedAfterTolCol))
-          .select((keyCols :+ AllRowsMatchedAfterTolCol).map(col): _*),
-        keyCols,
-        LeftJoin)
-      .withColumn(
-        AllRowsMatchedCol,
-        col(AllRowsMatchedCol) ||
-          coalesce(col(AllRowsMatchedAfterTolCol), lit(false).cast(BooleanType)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bothPresent =
+      col(srcCol(ChkSumCol)).isNotNull && col(tgtCol(ChkSumCol)).isNotNull
 
-    val unmatchedRecords = afterTolerance.filter(!col(AllRowsMatchedAfterTolCol))
+    // SECOND eager job, skipped entirely on a clean compare: refetch FULL
+    // rows for the mismatched-present keys and run the per-column
+    // tolerance pass over them. The rebuilt pair set is row-identical to
+    // filtering the full-width join (checksums re-derive
+    // deterministically; the !(chk <=> chk) filter drops the
+    // checksum-matched pairs a duplicated PK smuggles back in).
+    val (rescued, colSums, afterTolOpt, phase2Cached) =
+      if (mismatchKeyCount == 0L)
+        (0L, nonKeyCols.map(_ -> 0L).toMap, Option.empty[DataFrame], Seq.empty[DataFrame])
+      else {
+        val mkInfo = joinedSlim
+          .groupBy(keyColumns: _*)
+          .agg(
+            max(when(col(AllRowsMatchedCol), 1L).otherwise(0L)).as("__chkm"),
+            max(when(bothPresent && !col(AllRowsMatchedCol), 1L).otherwise(0L)).as("__mm"))
+          .filter(col("__mm") === 1L)
+          .select(keyColumns :+ (col("__chkm") === 1L).as(ChkMatchedKeyCol): _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val mkKeys = mkInfo.select(keyColumns: _*)
+        val broadcastable = mismatchKeyCount <= BroadcastMismatchKeysMax
+        def prune(sideFull: DataFrame): DataFrame =
+          if (broadcastable) sideFull.join(broadcast(mkKeys), keyCols, LeftSemiJoin)
+          else graft.operators.Pruning.bloomPrunedSemiJoinMulti(
+            sideFull, mkKeys, keyCols, keyCols, mismatchKeyCount)
+        val mismatchedPresent = prune(srcFull)
+          .join(prune(tgtFull), keyCols, InnerJoin)
+          .filter(!(col(srcCol(ChkSumCol)) <=> col(tgtCol(ChkSumCol))))
+          .join(if (broadcastable) broadcast(mkInfo) else mkInfo, keyCols, InnerJoin)
+        val afterTolerance =
+          withPerColumnMatches(mismatchedPresent, nonKeyFields, params.testParams)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        val (resc, sums) = collectToleranceStats(afterTolerance, keyCols, nonKeyCols)
+        (resc, sums, Some(afterTolerance), Seq(mkInfo, afterTolerance))
+      }
+    val matchedCount = chkMatched + rescued
 
-    // ONE eager action over the RAW join builds every report number (and
-    // fills the persisted src/tgt/joinedRaw chain as a side effect). The
-    // fold-back join and the row-level report stay lazy — their join +
-    // window + distinct run only when a caller materializes them.
-    val ((missSrc, missTgt, matchedCount), sideTotals, colSums) =
-      collectStats(src, tgt, joinedRaw, keyCols, nonKeyFields, params.testParams)
+    // Fold tolerance passes back in for the row-level report (left join on
+    // keys reuses the slim join's hash partitioning — no second wide
+    // shuffle); stays lazy, like the report it feeds.
+    val joined = afterTolOpt match {
+      case None => joinedSlim
+      case Some(afterTolerance) =>
+        joinedSlim
+          .join(
+            afterTolerance
+              .filter(col(AllRowsMatchedAfterTolCol))
+              .select((keyCols :+ AllRowsMatchedAfterTolCol).map(col): _*),
+            keyCols,
+            LeftJoin)
+          .withColumn(
+            AllRowsMatchedCol,
+            col(AllRowsMatchedCol) ||
+              coalesce(col(AllRowsMatchedAfterTolCol), lit(false).cast(BooleanType)))
+    }
 
     val colLvl = columnLevelReport(spark, params.datasetName, nonKeyCols, colSums)
     val rowLvl = rowLevelReport(params.datasetName, joined, keyCols)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val offending = nonKeyCols.filter(c => colSums(c) > 0)
-    val extracts =
-      unmatchedExtracts(params.datasetName, unmatchedRecords, offending, keyCols)
+    val extracts = afterTolOpt match {
+      case None => Map.empty[String, DataFrame]
+      case Some(afterTolerance) =>
+        unmatchedExtracts(
+          params.datasetName,
+          afterTolerance.filter(!col(AllRowsMatchedAfterTolCol)),
+          offending,
+          keyCols)
+    }
     val overall =
       overallReport(spark, params.datasetName, sideTotals, missSrc, missTgt, matchedCount)
 
@@ -426,6 +503,6 @@ object Comparison {
       rowLvlTestReport = rowLvl,
       colLvlTestReport = colLvl,
       unmatchedRecords = extracts,
-      cachedFrames = Seq(src, tgt, joinedRaw, joined, rowLvl))
+      cachedFrames = Seq(joinedSlim) ++ phase2Cached ++ Seq(rowLvl))
   }
 }

