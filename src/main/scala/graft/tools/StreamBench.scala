@@ -168,10 +168,19 @@ object StreamBench {
     // in-flight high-water mark either way.
     val after = heapUsedAfterGc()
     val peak = heapPeak()
+    // trigger latency percentiles: at 100× keyspace the state far exceeds
+    // the RocksDB block cache, and the question shifts from heap to
+    // whether trigger time degrades once every lookup may miss to disk
+    val triggers = rows.map(_.triggerMs).sorted
+    def pct(p: Double): Long =
+      if (triggers.isEmpty) -1L
+      else triggers(math.min(triggers.size - 1, (p * triggers.size).toInt))
     println(s"""{"provider":${Jsons.str(provider)},"scenario":${Jsons.str(scenario)},""" +
       s""""mult":$mult,"final_state_rows":${rows.lastOption.map(_.stateRows).getOrElse(0L)},""" +
       s""""final_state_bytes":${rows.lastOption.map(_.stateBytes).getOrElse(0L)},""" +
       s""""sum_trigger_ms":${rows.map(_.triggerMs).sum},""" +
+      s""""trigger_ms_p50":${pct(0.5)},"trigger_ms_p95":${pct(0.95)},""" +
+      s""""trigger_ms_max":${triggers.lastOption.getOrElse(-1L)},""" +
       s""""jvm_heap_peak_bytes":$peak,"jvm_heap_after_gc_bytes":$after}""")
     spark.stop()
   }
@@ -245,13 +254,22 @@ object StreamBench {
     spark.stop()
 
     // provider comparison, one child JVM per cell: {hdfs, rocksdb} ×
-    // {keyspace-proportional scenarios} × {1×, 10× keyspace}
-    val cells = for {
+    // {keyspace-proportional scenarios} × {1×, 10×, 100× keyspace}. The
+    // 100× decade (10M state rows) is where RocksDB state far exceeds its
+    // block cache — the stream analog of the scale ladder's top rung. A
+    // cell whose child dies (e.g. the HDFS provider OOMing on 10M heap-
+    // resident state rows) is recorded as failed, not dropped: that
+    // outcome IS the finding.
+    val cellSpecs = for {
       provider <- Seq("hdfs", "rocksdb")
       scenario <- Seq("dedup_unbounded", "keyed_running_state")
-      mult <- Seq(1, 10)
-    } yield runChild(provider, scenario, mult)
-    val comparison = cells.flatten.mkString("[", ",", "]")
+      mult <- Seq(1, 10, 100)
+    } yield (provider, scenario, mult)
+    val cells = cellSpecs.map { case (p, s, m) =>
+      runChild(p, s, m).getOrElse(
+        s"""{"provider":${Jsons.str(p)},"scenario":${Jsons.str(s)},"mult":$m,"failed":true}""")
+    }
+    val comparison = cells.mkString("[", ",", "]")
 
     val body = scenarios.map { case (n, rows) => s"${Jsons.str(n)}:${json(rows)}" }
       .mkString("{", ",", "}")
