@@ -185,26 +185,38 @@ object Comparison {
   /** Row-level report (`comparison_job.py:134-161`): per key — M·N−1
     * duplicate count over the joined cross product, missing-side status from
     * checksum nulls (a present row always has a non-null checksum), and the
-    * final matched flag; `distinct` collapses identical duplicate rows.
+    * final matched flag, collapsed to one row per distinct combination.
+    *
+    * Planned as AGGREGATE-then-window: rows collapse to one per
+    * `(key, status, matched)` combo BEFORE the duplicate-count window.
+    * Output-identical to the reference's window-then-`distinct` (status is
+    * a per-key constant — it depends only on which sides are present — and
+    * the dataset/dup-count columns are per-key constants too, so the only
+    * within-key variation is `matched`), but the window sorts ~|keys|
+    * 30-byte rows instead of the full M·N join with two 32-byte checksums
+    * aboard, and the old post-window distinct pass disappears — at the
+    * sf100 rung that sort+distinct dominated the report materialization.
+    * Both the aggregation and the window reuse the slim join's hash(keys)
+    * partitioning: zero exchanges in the whole report.
     */
   private def rowLevelReport(
       datasetName: String,
       joined: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val keyColumns = keyCols.map(col)
-    val dupWindow = Window
-      .partitionBy(keyColumns: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    joined
-      .select(keyColumns :+ col(srcCol(ChkSumCol)) :+ col(tgtCol(ChkSumCol)) :+ col(AllRowsMatchedCol): _*)
-      .withColumn(DuplicateCountCol, count(lit(1)).over(dupWindow) - 1)
+    val grouped = joined
       .withColumn(
         MissingRowStatusCol,
         when(col(srcCol(ChkSumCol)).isNull, MissingAtSourceStatus)
           .when(col(tgtCol(ChkSumCol)).isNull, MissingAtTargetStatus)
           .otherwise(lit(PresentInBothStatus).cast(StringType)))
-      .drop(srcCol(ChkSumCol), tgtCol(ChkSumCol))
-      .distinct()
+      .groupBy(keyColumns :+ col(MissingRowStatusCol) :+ col(AllRowsMatchedCol): _*)
+      .agg(count(lit(1)).as("__pairs"))
+    val dupWindow = Window
+      .partitionBy(keyColumns: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped
+      .withColumn(DuplicateCountCol, sum(col("__pairs")).over(dupWindow) - 1)
       .withColumn(DatasetNameCol, lit(datasetName))
       .select(
         col(DatasetNameCol) +: keyColumns
@@ -447,9 +459,13 @@ object Comparison {
           .persist(StorageLevel.MEMORY_AND_DISK)
         val mkKeys = mkInfo.select(keyColumns: _*)
         val broadcastable = mismatchKeyCount <= BroadcastMismatchKeysMax
+        // The prune need not be exact here: the mkInfo inner join below is
+        // an exact filter on the mismatch key set, so the Bloom path skips
+        // the semi join's second shuffle of the pruned side and lets its
+        // ≤fpp false positives die at that join (or at the checksum filter).
         def prune(sideFull: DataFrame): DataFrame =
           if (broadcastable) sideFull.join(broadcast(mkKeys), keyCols, LeftSemiJoin)
-          else graft.operators.Pruning.bloomPrunedSemiJoinMulti(
+          else graft.operators.Pruning.bloomPruneFilter(
             sideFull, mkKeys, keyCols, keyCols, mismatchKeyCount)
         val mismatchedPresent = prune(srcFull)
           .join(prune(tgtFull), keyCols, InnerJoin)

@@ -65,6 +65,27 @@ object Pruning {
       big: DataFrame, small: DataFrame,
       bigKeys: Seq[String], smallKeys: Seq[String],
       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val pruned = bloomPruneFilter(big, small, bigKeys, smallKeys, expectedItems, fpp)
+    val cond = bigKeys.zip(smallKeys)
+      .map { case (b, s) => pruned(b) === small(s) }
+      .reduce(_ && _)
+    pruned.join(small, cond, "left_semi")
+  }
+
+  /** Scan-side Bloom PRUNE of `big` on its `bigKeys` tuple against
+    * `small`'s `smallKeys` tuple set — the filter HALF of
+    * [[bloomPrunedSemiJoinMulti]], with NO exact join appended. The result
+    * is a SUPERSET of the semi join (false positives pass), so a caller
+    * must make itself exact downstream. The comparison engine's mismatch
+    * refetch is the intended consumer: its mismatch-key inner join and
+    * checksum-mismatch filter are already exact, so appending the semi
+    * join there would only re-shuffle the pruned side a second time for
+    * rows the downstream joins discard anyway.
+    */
+  def bloomPruneFilter(
+      big: DataFrame, small: DataFrame,
+      bigKeys: Seq[String], smallKeys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     require(bigKeys.nonEmpty && bigKeys.size == smallKeys.size,
       s"key lists must be non-empty and same-length: $bigKeys vs $smallKeys")
     require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
@@ -75,11 +96,7 @@ object Pruning {
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
     val bf = ScalarSubquery(
       small.agg(GraftColumnBridge.column(agg).as("__bf")).queryExecution.analyzed)
-    val pruned = big.filter(GraftColumnBridge.column(new BloomFilterMightContain(
+    big.filter(GraftColumnBridge.column(new BloomFilterMightContain(
       bf, GraftColumnBridge.expression(xxhash64(bigKeys.map(col): _*)))))
-    val cond = bigKeys.zip(smallKeys)
-      .map { case (b, s) => pruned(b) === small(s) }
-      .reduce(_ && _)
-    pruned.join(small, cond, "left_semi")
   }
 }
