@@ -54,18 +54,19 @@ final case class ComparisonResult(
   *    and persisted the full-width joined frame — at the sf100 ladder
   *    rung that spilled ~60 GB/side and exhausted the box's scratch; the
   *    slim shape completes the same rung in bounded scratch;
-  *  - engine construction runs at most TWO eager jobs: the slim stats job
-  *    (missing/matched/duplicate/mismatch-key counts — the per-key step
-  *    reuses the join's hash partitioning with NO exchange, and the
-  *    reference's four per-side count actions, `comparison_job.py:67-84`,
-  *    are fused into one key-only (side, key) aggregation), then — only
-  *    when mismatch keys exist — the tolerance stats job over the
-  *    refetched mismatch set (`comparison_job.py:101-118`). A CLEAN
-  *    compare (the common case for a 100 TB regression gate) runs one job
-  *    and never materializes a full-width row past the checksum scan.
-  *    Overall and column-level reports are built driver-side from the
-  *    collected values; the row-level report stays lazy — vs the
-  *    reference's seven-plus full-table jobs;
+  *  - the slim sides are cached PRE-PARTITIONED by the primary keys — ONE
+  *    exchange per side for the whole engine. The full-outer join runs on
+  *    the co-partitioned layouts (sorts only), and the match stats, side
+  *    counts (the reference's four per-side actions,
+  *    `comparison_job.py:67-84`, as exchange-free per-key aggregations),
+  *    duplicate window, and fold-back all reuse them. Eager actions:
+  *    two cache fills + the slim stats job, then — only when mismatch
+  *    keys exist — the tolerance stats job over the refetched mismatch
+  *    set (`comparison_job.py:101-118`). A CLEAN compare (the common case
+  *    for a 100 TB regression gate) never materializes a full-width row
+  *    past the checksum scan. Overall and column-level reports are built
+  *    driver-side from the collected values; the row-level report stays
+  *    lazy — vs the reference's seven-plus full-table jobs;
   *  - persisted frames use MEMORY_AND_DISK and are surfaced for explicit
   *    release.
   *
@@ -251,22 +252,23 @@ object Comparison {
   /** The FIRST (always-run) eager job: every slim report number — per-key
     * missing/checksum-matched/mismatch flags folded to totals, plus the
     * reference's four per-side count actions (`comparison_job.py:67-84`)
-    * fused into one key-only (side, key) aggregation — as tagged (k, map)
-    * rows collected once.
+    * as one exchange-free per-key aggregation per side — as tagged
+    * (k, map) rows collected once.
     *
-    * The per-key step aggregates the persisted slim join, which is already
-    * hash-partitioned by the primary keys coming out of the sort-merge
-    * join — NO exchange. Per-key `max` makes every flag duplicate-blind
-    * (the fold-back join only ever multiplies rows WITHIN a key). The side
-    * counts read the projected inputs key-columns-only — at a parquet
-    * source that is a pruned scan of just the key columns.
+    * ZERO exchanges in this job beyond the two cache fills: the slim sides
+    * are cached pre-partitioned by the primary keys, so the full-outer
+    * join needs no exchange (sorts only), the per-key match aggregation
+    * reuses the join's partitioning, and each side-count aggregation runs
+    * directly on its side's cached layout. Per-key `max` makes every flag
+    * duplicate-blind (the fold-back join only ever multiplies rows WITHIN
+    * a key).
     *
     * Returns ((miss_src, miss_tgt, checksum-matched keys, mismatch keys),
     * (src_total, src_dups, tgt_total, tgt_dups)).
     */
   private def collectSlimStats(
-      projectedSrc: DataFrame,
-      projectedTgt: DataFrame,
+      srcSlim: DataFrame,
+      tgtSlim: DataFrame,
       joinedSlim: DataFrame,
       keyCols: Seq[String]): ((Long, Long, Long, Long), (Long, Long, Long, Long)) = {
     val keyColumns = keyCols.map(col)
@@ -290,30 +292,31 @@ object Comparison {
           lit("miss_src"), col("miss_src"), lit("miss_tgt"), col("miss_tgt"),
           lit("chk_matched"), col("chk_matched"),
           lit("mismatch_keys"), col("mismatch_keys")).as("m"))
-    val side = "_side"
-    val sideRow = projectedSrc
-      .select(keyColumns: _*)
-      .withColumn(side, lit(SourceCol))
-      .union(projectedTgt.select(keyColumns: _*).withColumn(side, lit(TargetCol)))
-      .groupBy(col(side) +: keyColumns: _*)
-      .count()
-      .agg(
-        coalesce(sum(when(col(side) === SourceCol, col(CountCol))), lit(0L)).as("src_total"),
-        coalesce(sum(when(col(side) === SourceCol && col(CountCol) > 1, 1L)), lit(0L)).as("src_dups"),
-        coalesce(sum(when(col(side) === TargetCol, col(CountCol))), lit(0L)).as("tgt_total"),
-        coalesce(sum(when(col(side) === TargetCol && col(CountCol) > 1, 1L)), lit(0L)).as("tgt_dups"))
-      .select(
-        lit("side").as("k"),
-        map(
-          lit("src_total"), col("src_total"), lit("src_dups"), col("src_dups"),
-          lit("tgt_total"), col("tgt_total"), lit("tgt_dups"), col("tgt_dups")).as("m"))
-    val byK = matchRow.unionByName(sideRow).collect()
+    // total = Σ per-key counts, dups = #keys with count > 1 — identical by
+    // construction to the reference's four side actions; each side's
+    // per-key count aggregates its own cached hash(keys) layout, no
+    // exchange, no source re-scan.
+    def sideRow(slim: DataFrame, tag: String, totalKey: String, dupsKey: String): DataFrame =
+      slim
+        .groupBy(keyColumns: _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          coalesce(sum(col("c")), lit(0L)).as("total"),
+          coalesce(sum(when(col("c") > 1, 1L)), lit(0L)).as("dups"))
+        .select(
+          lit(tag).as("k"),
+          map(lit(totalKey), col("total"), lit(dupsKey), col("dups")).as("m"))
+    val byK = matchRow
+      .unionByName(sideRow(srcSlim, "side_src", "src_total", "src_dups"))
+      .unionByName(sideRow(tgtSlim, "side_tgt", "tgt_total", "tgt_dups"))
+      .collect()
       .map(r => r.getString(0) -> r.getMap[String, Long](1))
       .toMap
     val mk = byK("match")
-    val s = byK("side")
+    val ss = byK("side_src")
+    val st = byK("side_tgt")
     ((mk("miss_src"), mk("miss_tgt"), mk("chk_matched"), mk("mismatch_keys")),
-      (s("src_total"), s("src_dups"), s("tgt_total"), s("tgt_dups")))
+      (ss("src_total"), ss("src_dups"), st("tgt_total"), st("tgt_dups")))
   }
 
   /** The SECOND eager job (mismatch keys only): tolerance rescues and the
@@ -403,6 +406,29 @@ object Comparison {
       sourceDf: DataFrame,
       targetDf: DataFrame,
       params: DatasetParams): ComparisonResult = {
+    // The slim sides are cached PRE-PARTITIONED by the primary keys, and
+    // everything keyed downstream — the full-outer join, the match stats,
+    // the side counts, the fold-back — reuses that one exchange per side.
+    // InMemoryRelation only keeps a cached layout visible to the planner
+    // under canChangeCachedPlanOutputPartitioning=false (the PageRank
+    // lesson, Graphs.scala); scope it around construction exactly.
+    val cacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevCacheConf = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    try buildComparison(spark, sourceDf, targetDf, params)
+    finally {
+      prevCacheConf match {
+        case Some(v) => spark.conf.set(cacheKey, v)
+        case None => spark.conf.unset(cacheKey)
+      }
+    }
+  }
+
+  private def buildComparison(
+      spark: SparkSession,
+      sourceDf: DataFrame,
+      targetDf: DataFrame,
+      params: DatasetParams): ComparisonResult = {
     val keyCols = params.primaryKeys
     val keyColumns = keyCols.map(col)
     val projectedSrc = project(sourceDf, params)
@@ -420,21 +446,38 @@ object Comparison {
     val srcFull = transformSide(projectedSrc, srcCol, nonKeyCols, params.testParams)
     val tgtFull = transformSide(projectedTgt, tgtCol, nonKeyCols, params.testParams)
 
-    // Align the sides: the ONE unavoidable wide shuffle (J1, never
-    // broadcastable) — on (keys, 32-byte checksum) ONLY. Primary row
-    // match = checksum null-safe equality; a present row always has a
-    // non-null checksum.
-    val joinedSlim = srcFull
-      .select(keyColumns :+ col(srcCol(ChkSumCol)): _*)
-      .join(tgtFull.select(keyColumns :+ col(tgtCol(ChkSumCol)): _*), keyCols, FullOuterJoin)
+    // Slim sides: (keys, 32-byte checksum), hash-partitioned by the keys
+    // and cached columnar. Materialized EAGERLY before any downstream plan
+    // is built — an unmaterialized InMemoryRelation does not report its
+    // partitioning, and every keyed consumer below (join, stats, side
+    // counts) would plan its own exchange of the very rows this layout
+    // exists to shuffle once (the sf100 profile measured the previous
+    // shape's separate side-count subtree at ~80 s of re-scan + re-shuffle).
+    def slimSide(full: DataFrame, chk: String): DataFrame = {
+      val s = full
+        .select(keyColumns :+ col(chk): _*)
+        .repartition(keyColumns: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      s.count()
+      s
+    }
+    val srcSlim = slimSide(srcFull, srcCol(ChkSumCol))
+    val tgtSlim = slimSide(tgtFull, tgtCol(ChkSumCol))
+
+    // Align the sides: the full-outer join (J1, never broadcastable) runs
+    // on the co-partitioned cached layouts — sorts only, NO exchange.
+    // Primary row match = checksum null-safe equality; a present row
+    // always has a non-null checksum.
+    val joinedSlim = srcSlim
+      .join(tgtSlim, keyCols, FullOuterJoin)
       .withColumn(AllRowsMatchedCol, col(srcCol(ChkSumCol)) <=> col(tgtCol(ChkSumCol)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // FIRST eager job: every slim report number (fills the joinedSlim
-    // persist as a side effect), including the mismatch-key count that
-    // decides whether — and how — the refetch runs.
+    // FIRST eager stats job: every slim report number (fills the
+    // joinedSlim persist as a side effect), including the mismatch-key
+    // count that decides whether — and how — the refetch runs.
     val ((missSrc, missTgt, chkMatched, mismatchKeyCount), sideTotals) =
-      collectSlimStats(projectedSrc, projectedTgt, joinedSlim, keyCols)
+      collectSlimStats(srcSlim, tgtSlim, joinedSlim, keyCols)
 
     val bothPresent =
       col(srcCol(ChkSumCol)).isNotNull && col(tgtCol(ChkSumCol)).isNotNull
@@ -519,6 +562,6 @@ object Comparison {
       rowLvlTestReport = rowLvl,
       colLvlTestReport = colLvl,
       unmatchedRecords = extracts,
-      cachedFrames = Seq(joinedSlim) ++ phase2Cached ++ Seq(rowLvl))
+      cachedFrames = Seq(srcSlim, tgtSlim, joinedSlim) ++ phase2Cached ++ Seq(rowLvl))
   }
 }

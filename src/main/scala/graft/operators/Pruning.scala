@@ -91,6 +91,22 @@ object Pruning {
     require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // Spark SILENTLY clamps BloomFilterAggregate's numBits/estimatedNumItems
+    // to session confs (defaults: 67,108,864 bits / 4M items — sized for
+    // InjectRuntimeFilter's automatic use). A 35M-key build under the
+    // default ceiling degrades to ~2 bits/key ≈ 60-90% effective fpp —
+    // measured at the sf100 rung as a 90%-permeable "prune" that shuffled
+    // 128M of 142M rows. Raise the ceilings (never lower) to what this
+    // EXPLICIT filter was sized for, and leave them raised: the clamp is
+    // also applied lazily at execution time, so a set-and-restore around
+    // construction would restore before the aggregate ever evaluates.
+    val spark = big.sparkSession
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    if (spark.conf.get(maxBitsKey, "67108864").toLong < numBits)
+      spark.conf.set(maxBitsKey, numBits.toString)
+    if (spark.conf.get(maxItemsKey, "4000000").toLong < expectedItems)
+      spark.conf.set(maxItemsKey, expectedItems.toString)
     val agg = new BloomFilterAggregate(
       GraftColumnBridge.expression(xxhash64(smallKeys.map(col): _*)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

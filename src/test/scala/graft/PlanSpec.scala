@@ -118,8 +118,8 @@ class PlanSpec extends SparkSpec {
     try {
       assert(res.overallTestReport.head().getAs[String]("test_status") == "PASSED")
       assert(res.unmatchedRecords.isEmpty)
-      assert(res.cachedFrames.size == 2,
-        s"clean compare must persist only joinedSlim + rowLvl, got ${res.cachedFrames.size}")
+      assert(res.cachedFrames.size == 4,
+        s"clean compare must persist only the slim sides + joinedSlim + rowLvl, got ${res.cachedFrames.size}")
     } finally res.unpersist()
   }
 
