@@ -28,6 +28,21 @@ import org.apache.spark.sql.SparkSession
   * cross-query ratios are only trustworthy when no query inherits another
   * query's JVM. Cost: one Spark-session startup per query (~10 s),
   * irrelevant next to rung wall times.
+  *
+  * `--precache` (isolate mode only) re-reads every parquet file under
+  * `sfDir` into the OS page cache before launching each child. Ladder
+  * ratios are only meaningful when every rung sees the SAME input-I/O
+  * state, and by construction the small rungs do: a 1.6 GB sf10 corpus
+  * stays page-cached across its whole rung. A 16 GB sf100 corpus does
+  * not — each big child's heap pre-touch plus its own spill writes evict
+  * corpus pages, so whichever query first re-reads an evicted table is
+  * charged cold I/O at whatever this box's disk does (measured 90 MB/s
+  * virtio: an 11 GB lineitem re-read is 124 s, which showed up as
+  * q_sketch_hll "growing" 56× per 10× step when its compute grew ~10×).
+  * That is a single-disk box artifact, not plan growth — a cluster reads
+  * 100 TB at aggregate TB/s from distributed storage — so the ladder
+  * protocol equalizes cache state instead of letting the biggest rung
+  * pay a penalty the small rungs structurally cannot see.
   */
 object ScaleProbe {
 
@@ -97,19 +112,51 @@ object ScaleProbe {
     else Some((m.group(1).toDouble, out))
   }
 
+  /** Fault every parquet byte under `dir` back into the OS page cache
+    * (sequential read to a sink). Cheap when already cached (~1 s/10 GB of
+    * page-cache hits); one cold pass at this box's disk speed otherwise —
+    * paid BEFORE the child's clock starts, which is the point.
+    */
+  private def precacheParquet(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) return
+      val s = java.nio.file.Files.walk(root)
+      val files = try s.iterator().asScala.filter(p =>
+        p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)).toSeq
+      finally s.close()
+      val buf = new Array[Byte](1 << 20)
+      var bytes = 0L
+      val t0 = System.nanoTime()
+      files.foreach { p =>
+        val in = java.nio.file.Files.newInputStream(p)
+        try { var n = in.read(buf); while (n >= 0) { bytes += n; n = in.read(buf) } }
+        finally in.close()
+      }
+      System.err.println(f"[scaleprobe] precached ${bytes / 1e9}%.1f GB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scaleprobe] precache of $dir skipped: $e")
+    }
+
   def main(args: Array[String]): Unit = {
-    val isolate = args.headOption.contains("--isolate")
-    val rest = if (isolate) args.drop(1) else args
+    val flags = args.takeWhile(_.startsWith("--")).toSet
+    val isolate = flags.contains("--isolate")
+    val precache = flags.contains("--precache")
+    require(!precache || isolate, "--precache requires --isolate")
+    val rest = args.dropWhile(_.startsWith("--"))
     val (sfDir, names) = rest match {
       case Array(d, qs) => (d, qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case _ =>
-        System.err.println("usage: ScaleProbe [--isolate] <sfDir> <query1,query2,...>")
+        System.err.println("usage: ScaleProbe [--isolate] [--precache] <sfDir> <query1,query2,...>")
         sys.exit(2)
         throw new IllegalStateException
     }
     if (isolate) {
       val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       names.foreach { n =>
+        if (precache) precacheParquet(sfDir)
         runChild(sfDir, n).foreach { case (sec, _) =>
           results += n -> sec
           System.err.println(f"[scaleprobe] $n%-26s $sec%8.2f s  (isolated)")
