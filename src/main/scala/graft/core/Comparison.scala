@@ -27,9 +27,9 @@ final case class ComparisonResult(
 }
 
 /** The comparison engine: full-outer-join source and target on the primary
-  * keys, match rows via a sha256 row checksum, re-examine checksum
-  * mismatches column-by-column with a numeric tolerance, and emit four
-  * reports (overall / row-level / column-level / per-column unmatched
+  * keys, match rows via a 128-bit salted-xxhash row checksum, re-examine
+  * checksum mismatches column-by-column with a numeric tolerance, and emit
+  * four reports (overall / row-level / column-level / per-column unmatched
   * extracts).
   *
   * Faithful to the reference algorithm (`comparison_job.py:186-256`) and its
@@ -41,9 +41,14 @@ final case class ComparisonResult(
   *    order (deterministic; fixes the reference's latent crash when
   *    select/drop removes a column, `comparison_job.py:187` vs SURVEY
   *    §2.10.1 — observable behavior is unchanged on the default path);
-  *  - the alignment join is SLIM: only the primary keys and a 32-byte
-  *    binary row checksum per side go through the one unavoidable wide
-  *    shuffle, so its exchange ships ~40-70 bytes/row REGARDLESS of table
+  *    nested (struct/array/map) columns compare STRUCTURALLY without the
+  *    canonicalization flag — the xxhash checksum and the null-safe
+  *    per-column predicate both take nested values natively, where the
+  *    reference's string-concat checksum crashed on structs
+  *    (`canonicalizeNestedTypes` remains for JSON-canonical semantics);
+  *  - the alignment join is SLIM: only the primary keys and a 16-byte
+  *    (two-long) row checksum per side go through the one unavoidable wide
+  *    shuffle, so its exchange ships ~24-50 bytes/row REGARDLESS of table
   *    width. Full-width rows are touched exactly twice: the columnar scan
   *    that derives the checksums, and — only when mismatches exist — a
   *    PRUNED refetch of the mismatched-present keys (broadcast semi join
@@ -141,14 +146,40 @@ object Comparison {
     if (params.dropCols.isEmpty) selected else selected.drop(params.dropCols: _*)
   }
 
-  /** Checksum + per-side rename (`comparison_job.py:36-47`): one sha256 over
-    * the concatenated non-key columns turns the N-column row match into a
+  /** Row-checksum salts: two arbitrary odd constants prepended as the first
+    * hashed field so the checksum's two 64-bit halves chain from different
+    * states. 128 bits puts a same-key pair collision (a truly-different row
+    * silently reported matched) at ~n²/2¹²⁹ — immaterial at any corpus size
+    * this engine will ever see (10⁻²⁰ at a billion rows per key).
+    */
+  private val ChkSaltA = 0x9e3779b97f4a7c15L
+  private val ChkSaltB = 0x85ebca77c2b2ae63L
+
+  /** Checksum + per-side rename (`comparison_job.py:36-47`): one row
+    * checksum over the non-key columns turns the N-column row match into a
     * single compare; non-key columns get the side suffix so the full-outer
-    * join only coalesces the key columns. The digest is stored as 32-byte
-    * BINARY (`unhex` of sha2's hex string) — it is internal (never
-    * reported), only ever tested for null-safe equality and nullness, and
-    * halving its width halves the slim alignment join's dominant shuffle
-    * column.
+    * join only coalesces the key columns. The checksum is a STRUCT of two
+    * differently-salted `xxhash64` longs — internal (never reported), only
+    * ever tested for null-safe equality and nullness.
+    *
+    * Why not the reference's `sha256(concat_ws("", cols))`
+    * (`comparison_job.py:41`): (1) cost — the checksum scan is the one
+    * unavoidable pass over the full-width table, and codegen'd xxhash64 on
+    * native values runs an order of magnitude faster than a crypto digest
+    * over a row-rendered string, with no string materialization per row;
+    * (2) width — 16 bytes vs 32 on the slim alignment shuffle's dominant
+    * column; (3) correctness — hashing fields through a seed CHAIN removes
+    * two false-match classes the concat formula has: concatenation
+    * ambiguity (`("ab","c")` ≡ `("a","bc")`) and NULL≡"" (concat_ws skips
+    * NULLs entirely). The per-column report predicates already treat NULL
+    * and "" as distinct (null-safe equality), so the chained hash brings
+    * the row gate INTO line with the column semantics instead of silently
+    * short-circuiting them. One ambiguity class survives, SHARED with the
+    * reference formula: xxhash64 passes a NULL field through the chain
+    * unchanged, so a value shifting across a NULL column — `("x", NULL,
+    * "y")` vs `("x", "y", NULL)` — still checksum-matches, exactly as the
+    * reference's `"x"+""+"y"` = `"x"+"y"+""` does; the reports stay
+    * reference-faithful on it.
     */
   private def transformSide(
       df: DataFrame,
@@ -160,7 +191,9 @@ object Comparison {
       if (params.canonicalizeNestedTypes && isNested(schemaByName(c))) to_json(col(c))
       else col(c)
     }
-    df.withColumn(suffix(ChkSumCol), unhex(sha2(concat_ws(EmptyStr, chkInputs: _*), 256)))
+    df.withColumn(suffix(ChkSumCol), struct(
+        xxhash64(lit(ChkSaltA) +: chkInputs: _*).as("a"),
+        xxhash64(lit(ChkSaltB) +: chkInputs: _*).as("b")))
       .withColumnsRenamed(nonKeyCols.map(c => c -> suffix(c)).toMap)
   }
 
@@ -194,7 +227,7 @@ object Comparison {
     * a per-key constant — it depends only on which sides are present — and
     * the dataset/dup-count columns are per-key constants too, so the only
     * within-key variation is `matched`), but the window sorts ~|keys|
-    * 30-byte rows instead of the full M·N join with two 32-byte checksums
+    * 30-byte rows instead of the full M·N join with two 16-byte checksums
     * aboard, and the old post-window distinct pass disappears — at the
     * sf100 rung that sort+distinct dominated the report materialization.
     * Both the aggregation and the window reuse the slim join's hash(keys)
@@ -446,7 +479,7 @@ object Comparison {
     val srcFull = transformSide(projectedSrc, srcCol, nonKeyCols, params.testParams)
     val tgtFull = transformSide(projectedTgt, tgtCol, nonKeyCols, params.testParams)
 
-    // Slim sides: (keys, 32-byte checksum), hash-partitioned by the keys
+    // Slim sides: (keys, 16-byte checksum), hash-partitioned by the keys
     // and cached columnar. Materialized EAGERLY before any downstream plan
     // is built — an unmaterialized InMemoryRelation does not report its
     // partitioning, and every keyed consumer below (join, stats, side

@@ -323,19 +323,27 @@ class ComparisonSpec extends SparkSpec {
     val byId = canonA.rowLvlTestReport.collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("all_rows_matched")).toMap
     assert(byId == Map(1L -> true, 2L -> false))
-    // structs: the checksum's concat_ws rejects them without the flag
-    val srcS = Seq((1L, ("x", 1.0))).toDF("id", "payload")
+    // structs: the reference's concat_ws checksum REJECTED them without the
+    // flag (AnalysisException — concat_ws takes no structs); the xxhash
+    // checksum hashes nested values natively and the per-column predicate's
+    // null-safe equality is struct-valid, so a no-flag struct compare now
+    // WORKS, comparing structurally instead of crashing
+    val srcS = Seq((1L, ("x", 1.0)), (2L, ("y", 3.0))).toDF("id", "payload")
       .select(col("id"), struct(col("payload._1").as("a"), col("payload._2").as("b")).as("payload"))
-    val tgtS = Seq((1L, ("x", 2.0))).toDF("id", "payload")
+    val tgtS = Seq((1L, ("x", 2.0)), (2L, ("y", 3.0))).toDF("id", "payload")
       .select(col("id"), struct(col("payload._1").as("a"), col("payload._2").as("b")).as("payload"))
-    intercept[org.apache.spark.sql.AnalysisException] {
-      Comparison.compareDataFrames(spark, srcS, tgtS,
-        DatasetParams("plain_struct", Seq("id"))).rowLvlTestReport.collect()
-    }
+    val plainS = Comparison.compareDataFrames(spark, srcS, tgtS,
+      DatasetParams("plain_struct", Seq("id")))
+    val plainById = plainS.rowLvlTestReport.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("all_rows_matched")).toMap
+    assert(plainById == Map(1L -> false, 2L -> true),
+      s"structural no-flag struct compare must mismatch only id=1: $plainById")
     val canonS = Comparison.compareDataFrames(spark, srcS, tgtS,
       DatasetParams("canon_struct", Seq("id"), TestParams(canonicalizeNestedTypes = true)))
-    assert(!canonS.rowLvlTestReport.collect().head.getAs[Boolean]("all_rows_matched"))
-    canonA.unpersist(); canonS.unpersist()
+    val canonById = canonS.rowLvlTestReport.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("all_rows_matched")).toMap
+    assert(canonById == Map(1L -> false, 2L -> true))
+    canonA.unpersist(); plainS.unpersist(); canonS.unpersist()
   }
 
   test("legacyDecimalComparison reproduces the reference's DecimalType(10,0)-only numeric set") {

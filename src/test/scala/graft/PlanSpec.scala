@@ -56,7 +56,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin FullOuter"), "full outer must not broadcast")
   }
 
-  test("slim alignment: only keys + 32-byte checksums cross the full-outer join; tolerance refetch is key-pruned") {
+  test("slim alignment: only keys + 16-byte checksums cross the full-outer join; tolerance refetch is key-pruned") {
     // The 100 TB property this engine lives on: the one unavoidable wide
     // shuffle (the full-outer alignment) must carry ~40-70 bytes/row
     // REGARDLESS of table width, and full-width rows may only ever be
@@ -64,7 +64,7 @@ class PlanSpec extends SparkSpec {
     // re-widens the join or drops the prune re-spills full tables at scale.
     import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftSemi}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
-    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.types.{LongType, StructType}
     val (src, tgt) = Queries.compareScenario(spark, sf)
     val res = graft.core.Comparison.compareDataFrames(spark, src, tgt,
       graft.config.DatasetParams("plan_audit", Seq("o_orderkey"),
@@ -72,7 +72,7 @@ class PlanSpec extends SparkSpec {
     try {
       // 1) the row-level report's alignment join outputs EXACTLY
       //    (key, checksum_src, checksum_target) — and the checksums are
-      //    binary (32 bytes), not hex strings (64)
+      //    two-long structs (16 bytes), not hex strings (64) or sha binary
       val fullOuterJoins = res.rowLvlTestReport.queryExecution.analyzed.collect {
         case j: Join if j.joinType == FullOuter => j
       }
@@ -81,8 +81,14 @@ class PlanSpec extends SparkSpec {
         val names = j.output.map(_.name).toSet
         assert(names == Set("o_orderkey", "_chk_sum_src", "_chk_sum_target"),
           s"full-outer alignment must be slim, carried: $names")
-        j.output.filter(_.name.startsWith("_chk_sum")).foreach(a =>
-          assert(a.dataType == BinaryType, s"checksum must be 32-byte binary, was ${a.dataType}"))
+        j.output.filter(_.name.startsWith("_chk_sum")).foreach { a =>
+          val ok = a.dataType match {
+            case st: StructType =>
+              st.fields.length == 2 && st.fields.forall(_.dataType == LongType)
+            case _ => false
+          }
+          assert(ok, s"checksum must be a two-long struct (16 bytes), was ${a.dataType}")
+        }
       }
       // 2) the extracts' refetch is key-pruned: both full-width sides come
       //    in through semi joins on the mismatch key set, and the
