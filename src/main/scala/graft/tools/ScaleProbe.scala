@@ -117,7 +117,7 @@ object ScaleProbe {
     * page-cache hits); one cold pass at this box's disk speed otherwise —
     * paid BEFORE the child's clock starts, which is the point.
     */
-  private def precacheParquet(dir: String): Unit =
+  private[tools] def precacheParquet(dir: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)
