@@ -41,11 +41,15 @@ final case class ComparisonResult(
   *    order (deterministic; fixes the reference's latent crash when
   *    select/drop removes a column, `comparison_job.py:187` vs SURVEY
   *    §2.10.1 — observable behavior is unchanged on the default path);
-  *    nested (struct/array/map) columns compare STRUCTURALLY without the
+  *    nested struct/array columns compare STRUCTURALLY without the
   *    canonicalization flag — the xxhash checksum and the null-safe
-  *    per-column predicate both take nested values natively, where the
-  *    reference's string-concat checksum crashed on structs
-  *    (`canonicalizeNestedTypes` remains for JSON-canonical semantics);
+  *    per-column predicate both take struct/array values natively (with an
+  *    isnull marker in the hash chain so NULL and empty containers stay
+  *    distinct), where the reference's string-concat checksum crashed on
+  *    structs; MAP-bearing columns are routed through `to_json`
+  *    automatically (Spark 4 can neither hash nor equality-compare maps)
+  *    and `canonicalizeNestedTypes` remains for JSON-canonical semantics
+  *    on everything nested;
   *  - the alignment join is SLIM: only the primary keys and a 16-byte
   *    (two-long) row checksum per side go through the one unavoidable wide
   *    shuffle, so its exchange ships ~24-50 bytes/row REGARDLESS of table
@@ -114,6 +118,28 @@ object Comparison {
     case _ => false
   }
 
+  /** True when the type holds a MapType at any depth. Spark 4's `xxhash64`
+    * REJECTS maps (DATATYPE_MISMATCH unless the legacy allowHashOnMapType
+    * flag is set) and `<=>`/`=` reject them too (maps are unorderable), so
+    * the structural no-flag path cannot take map-bearing columns natively —
+    * they are routed through `to_json` automatically (checksum, per-column
+    * predicate, AND the unmatched extracts, whose `distinct()` is a set
+    * operation maps are also banned from).
+    */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
+  /** Column `c` must go through `to_json` everywhere the engine touches it:
+    * either the caller asked for JSON-canonical nested semantics, or the
+    * type carries a map Spark can neither hash nor equality-compare.
+    */
+  private def jsonRouted(dt: DataType, params: TestParams): Boolean =
+    isNested(dt) && (params.canonicalizeNestedTypes || containsMap(dt))
+
   /** Per-column match predicate (`comparison_job.py:19-34`): numerics match
     * within tolerance (NULL-vs-NULL numeric pairs yield NULL, kept — SURVEY
     * §2.10.4); everything else null-safe equality.
@@ -133,7 +159,7 @@ object Comparison {
       if (refNumeric(field.dataType)) withinTol
       else (s <=> t) || withinTol
     }
-    else if (params.canonicalizeNestedTypes && isNested(field.dataType))
+    else if (jsonRouted(field.dataType, params))
       to_json(s) <=> to_json(t)
     else s <=> t
   }
@@ -180,6 +206,23 @@ object Comparison {
     * "y")` vs `("x", "y", NULL)` — still checksum-matches, exactly as the
     * reference's `"x"+""+"y"` = `"x"+"y"+""` does; the reports stay
     * reference-faithful on it.
+    *
+    * Nested columns on the structural (no-flag) path additionally hash an
+    * `isnull(c)` MARKER before the value: Spark's hash contributes nothing
+    * for a NULL input and nothing for an empty container, so without the
+    * marker a NULL array vs an empty array (or a NULL struct vs an
+    * all-NULL-fields struct) would checksum-match while the per-column
+    * null-safe predicate calls them different — and checksum-matched rows
+    * never reach the per-column pass, making that a silent false match.
+    * The marker removes the NULL-vs-empty class (and, for nested columns
+    * only, the NULL-shift class above). Residual, documented: ambiguity
+    * WITHIN one container value — `[NULL]` vs `[]`, or a value shifting
+    * across a NULL struct field — still collides, because Spark's hash
+    * skips NULL elements/fields inside a container; set
+    * `canonicalizeNestedTypes` (JSON text renders NULL elements
+    * explicitly) where that class matters. Map-bearing columns always go
+    * through `to_json` (see [[containsMap]]) — their NULL-vs-empty is
+    * already distinct (`NULL` vs `"{}"`).
     */
   private def transformSide(
       df: DataFrame,
@@ -187,9 +230,11 @@ object Comparison {
       nonKeyCols: Seq[String],
       params: TestParams): DataFrame = {
     val schemaByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val chkInputs = nonKeyCols.map { c =>
-      if (params.canonicalizeNestedTypes && isNested(schemaByName(c))) to_json(col(c))
-      else col(c)
+    val chkInputs = nonKeyCols.flatMap { c =>
+      val dt = schemaByName(c)
+      if (jsonRouted(dt, params)) Seq(to_json(col(c)))
+      else if (isNested(dt)) Seq(isnull(col(c)).cast(IntegerType), col(c))
+      else Seq(col(c))
     }
     df.withColumn(suffix(ChkSumCol), struct(
         xxhash64(lit(ChkSaltA) +: chkInputs: _*).as("a"),
@@ -265,13 +310,21 @@ object Comparison {
       datasetName: String,
       unmatchedRecords: DataFrame,
       offending: Seq[String],
-      keyCols: Seq[String]): Map[String, DataFrame] =
+      keyCols: Seq[String]): Map[String, DataFrame] = {
+    val typeByName = unmatchedRecords.schema.fields.map(f => f.name -> f.dataType).toMap
     offending.map { c =>
+      // Map-bearing value columns are JSON-rendered in the extract: the
+      // dedup `distinct()` is a set operation Spark bans maps from (same
+      // ban as the checksum/predicate paths, see containsMap) — the JSON
+      // text keeps the extract materializable with the same column names.
+      def sideCol(name: String): Column =
+        if (containsMap(typeByName(name))) to_json(col(name)).as(name) else col(name)
       s"$datasetName/$c" -> unmatchedRecords
         .where(!col(matchedCol(c)))
-        .select((keyCols :+ srcCol(c) :+ tgtCol(c)).map(col): _*)
+        .select(keyCols.map(col) :+ sideCol(srcCol(c)) :+ sideCol(tgtCol(c)): _*)
         .distinct()
     }.toMap
+  }
 
   /** Broadcast-vs-Bloom cutover for the mismatch refetch: up to this many
     * mismatched keys the prune is a broadcast semi join (exact, zero scan

@@ -346,6 +346,68 @@ class ComparisonSpec extends SparkSpec {
     canonA.unpersist(); plainS.unpersist(); canonS.unpersist()
   }
 
+  test("map columns compare without the canonicalization flag (auto to_json routing)") {
+    import org.apache.spark.sql.functions.{col, map_from_arrays, array, lit}
+    // Spark 4 can neither xxhash64 nor <=> a map — without the auto-routing
+    // this compare throws AnalysisException at plan time.
+    def side(v2: Int) = Seq((1L, Seq("a" -> 1), 9L), (2L, Seq("b" -> v2), 9L))
+      .toDF("id", "kv", "x")
+      .select(col("id"),
+        map_from_arrays(
+          col("kv").getField("_1"), col("kv").getField("_2")).as("kv"),
+        col("x"))
+    val res = Comparison.compareDataFrames(spark, side(2), side(3),
+      DatasetParams("map_col", Seq("id")))
+    val byId = res.rowLvlTestReport.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("all_rows_matched")).toMap
+    assert(byId == Map(1L -> true, 2L -> false), s"map compare verdicts: $byId")
+    val colLvl = res.colLvlTestReport.collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("unmatched_rows_count")).toMap
+    assert(colLvl("kv") == 1L && colLvl("x") == 0L, s"map col-level sums: $colLvl")
+    // the extract over the map column must MATERIALIZE (maps are banned
+    // from distinct(); the extract JSON-renders them) and name the sides
+    val ex = res.unmatchedRecords("map_col/kv")
+    val exRows = ex.collect()
+    assert(exRows.length == 1 && ex.columns.toSeq == Seq("id", "kv_src", "kv_target"))
+    assert(exRows.head.getAs[String]("kv_src").contains("\"b\":2"))
+    // struct WRAPPING a map routes through to_json too (native struct
+    // equality would still hit the nested map ban)
+    def wrapped(v: Int) = side(v).select(col("id"), org.apache.spark.sql.functions.struct(
+      col("kv").as("m"), lit(1).as("t")).as("payload"))
+    val res2 = Comparison.compareDataFrames(spark, wrapped(2), wrapped(2),
+      DatasetParams("map_in_struct", Seq("id")))
+    assert(res2.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    res.unpersist(); res2.unpersist()
+  }
+
+  test("NULL vs empty containers checksum-mismatch (isnull marker in the hash chain)") {
+    import org.apache.spark.sql.functions.{col, struct, lit, when}
+    // NULL array vs empty array: Spark's hash contributes nothing for
+    // either, so without the marker these rows silently report matched
+    // while the per-column null-safe predicate calls them different.
+    val srcA = Seq((1L, Some(Seq(1, 2)), "k"), (2L, None, "k"), (3L, None, "k"))
+      .toDF("id", "arr", "pad")
+    val tgtA = Seq((1L, Some(Seq(1, 2)), "k"), (2L, Some(Seq.empty[Int]), "k"),
+      (3L, None, "k")).toDF("id", "arr", "pad")
+    val resA = Comparison.compareDataFrames(spark, srcA, tgtA,
+      DatasetParams("null_vs_empty_arr", Seq("id")))
+    val byIdA = resA.rowLvlTestReport.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("all_rows_matched")).toMap
+    assert(byIdA == Map(1L -> true, 2L -> false, 3L -> true),
+      s"NULL-vs-empty array must mismatch only id=2: $byIdA")
+    // NULL struct vs all-NULL-fields struct: same hash blindness, same fix
+    def structSide(nullWhole: Boolean) = Seq((1L, "x")).toDF("id", "v").select(
+      col("id"),
+      when(lit(!nullWhole),
+        struct(lit(null).cast("string").as("a"), lit(null).cast("int").as("b"))).as("payload"))
+    val resS = Comparison.compareDataFrames(
+      spark, structSide(nullWhole = true), structSide(nullWhole = false),
+      DatasetParams("null_vs_allnull_struct", Seq("id")))
+    assert(!resS.rowLvlTestReport.collect().head.getAs[Boolean]("all_rows_matched"),
+      "NULL struct vs all-NULL-fields struct must mismatch")
+    resA.unpersist(); resS.unpersist()
+  }
+
   test("legacyDecimalComparison reproduces the reference's DecimalType(10,0)-only numeric set") {
     import org.apache.spark.sql.functions._
     val src = Seq((1L, "1.00")).toDF("id", "d")
