@@ -70,7 +70,11 @@ object Graphs {
     * re-aggregated degrees against the full base every round, which the
     * sf100 rung measured as a superlinear 13.4× per 10× step on a
     * deep-peeling graph (rounds grow with scale AND each round paid
-    * O(|E|)). Only the shrinking |V|-row degree frame checkpoints per
+    * O(|E|)). The cached base itself is periodically REBUILT to the
+    * surviving edges (once removals since the last rebuild cross ~25% of
+    * the then-live node count), so the per-round probe SCANS track the
+    * surviving edge set too instead of staying O(original |E|) forever on
+    * deep peels. Only the shrinking |V|-row degree frame checkpoints per
     * round, with superseded generations freed eagerly. An adversarial
     * graph that peels more than the broadcast bound in one round falls
     * back to the planner's join choice, never worse than re-aggregating.
@@ -134,9 +138,11 @@ object Graphs {
       aCol: String,
       bCol: String,
       k: Int,
-      maxRounds: Int = 50): (DataFrame, Int, () => Unit) = {
+      maxRounds: Int = 50,
+      baseShrinkFraction: Double = 0.25): (DataFrame, Int, () => Unit) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 1000, s"maxRounds out of range: $maxRounds")
+    require(baseShrinkFraction <= 1.0, s"baseShrinkFraction > 1: $baseShrinkFraction")
     // columnar cache + eager materialization: every round probes this (see
     // buildPrGraph for why persist-then-count, not localCheckpoint)
     val base = canonicalEdges(pairs, aCol, bCol).persist()
@@ -154,6 +160,24 @@ object Graphs {
     // graph that peels more than the bound in one round falls back to the
     // planner's choice, never worse than re-aggregating.
     val broadcastLowMax = 5000000L
+    // The decrement shuffle is O(|E|) TOTAL across all rounds, but each
+    // round's two decrement probes still SCAN the cached base — on a
+    // deep-peeling graph (hundreds of rounds) that residual rounds×O(|E|)
+    // narrow work is the remaining superlinear term. So the live base is
+    // periodically REBUILT to the surviving edges: once the nodes removed
+    // since the last rebuild exceed `baseShrinkFraction` of the node count
+    // at that rebuild, survivors-only edges are re-persisted (two semi
+    // joins against the current degree frame — broadcast under the same
+    // bound as the low set, so the rebuild is itself two narrow scans) and
+    // the superseded cache is dropped. Per-round probe scans then track
+    // the surviving edge set instead of the original |E|; total rebuild
+    // work is a geometric series bounded by O(|E|/fraction). Disabled when
+    // `baseShrinkFraction <= 0` (the A/B lever — never changes results,
+    // only which cache the probes scan).
+    val nodes0 = degs.count()
+    var liveBase = base
+    var nodesAtShrink = nodes0
+    var removedSinceShrink = 0L
     var round = 0
     var fixed = false
     while (!fixed && round < maxRounds) {
@@ -169,11 +193,11 @@ object Graphs {
         // endpoint; decrements aimed at nodes removed this round or
         // earlier vanish at the join with the surviving degree frame, so
         // no edge is ever subtracted twice.
-        val dec = base
+        val dec = liveBase
           .join(lowB.withColumnRenamed("n", "lo"), Seq("lo"))
           .select(col("hi").as("n"))
           .unionByName(
-            base
+            liveBase
               .join(lowB.withColumnRenamed("n", "hi"), Seq("hi"))
               .select(col("lo").as("n")))
           .groupBy(col("n"))
@@ -189,11 +213,30 @@ object Graphs {
         releaseCheckpoint(low)
         degs = next
         round += 1
+        removedSinceShrink += lowCount
+        if (baseShrinkFraction > 0 &&
+            removedSinceShrink >= baseShrinkFraction * nodesAtShrink) {
+          val survivors = nodesAtShrink - removedSinceShrink
+          def survB(as: String): DataFrame = {
+            val s = degs.select(col("n").as(as))
+            if (survivors <= broadcastLowMax) broadcast(s) else s
+          }
+          val shrunk = liveBase
+            .join(survB("lo"), Seq("lo"), "left_semi")
+            .join(survB("hi"), Seq("hi"), "left_semi")
+            .persist()
+          shrunk.count()
+          liveBase.unpersist(false)
+          liveBase = shrunk
+          nodesAtShrink = survivors
+          removedSinceShrink = 0L
+        }
       }
     }
     val result = degs.select(col("n").as("node"), col("deg").as("core_deg"))
     val finalDegs = degs
-    val release = () => { base.unpersist(false); releaseCheckpoint(finalDegs) }
+    val finalBase = liveBase
+    val release = () => { finalBase.unpersist(false); releaseCheckpoint(finalDegs) }
     (result, round, release)
   }
 

@@ -81,6 +81,17 @@ object Pruning {
     * checksum-mismatch filter are already exact, so appending the semi
     * join there would only re-shuffle the pruned side a second time for
     * rows the downstream joins discard anyway.
+    *
+    * SESSION-CONF SIDE EFFECT, permanent by contract: the call RAISES
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`/`maxNumItems`
+    * when this filter's sizing exceeds them and leaves them raised (the
+    * clamp re-applies lazily at execution time, so a set-and-restore would
+    * restore before the aggregate ever evaluates — see the body comment).
+    * The raise is MONOTONIC — a user's already-higher setting is never
+    * lowered (spec-pinned) — but in a shared session it also widens the
+    * budget Spark's automatic InjectRuntimeFilter may spend on unrelated
+    * queries; callers who care should read and re-assert the two confs at
+    * their own session boundaries.
     */
   def bloomPruneFilter(
       big: DataFrame, small: DataFrame,

@@ -13,11 +13,21 @@ import scala.jdk.CollectionConverters._
   * for 10× data at the sf10 rung) then fails the run instead of waiting
   * for a human to read the JSON.
   *
-  * Usage: `LadderGuard <bound> <out.json> <rung1.json> <rung2.json> [...]`
-  * — `bound` is the max allowed wall-time ratio between consecutive rungs
-  * (rungs are 10× data steps by protocol, so a bound of 12 means "at most
-  * mildly superlinear"). Exit 1 + the violation list on stderr when any
-  * query crosses it.
+  * Usage: `LadderGuard [--exclude <sfDirSubstr>:<q1,q2,…>]... <bound>
+  * <out.json> <rung1.json> <rung2.json> [...]` — `bound` is the max
+  * allowed wall-time ratio between consecutive rungs (rungs are 10× data
+  * steps by protocol, so a bound of 12 means "at most mildly
+  * superlinear"). Exit 1 + the violation list on stderr when any query
+  * crosses it.
+  *
+  * `--exclude` moves a query's measurement at the matching rung(s) from
+  * the guarded `queries` map into the stage's `excluded` map: MEASURED,
+  * CARRIED IN THE COMMITTED ARTIFACT, but exempt from the bound — the
+  * protocol's escape hatch for rungs whose absolutes are known
+  * host-poisoned (the r12 sf100 forensics) without silently dropping them
+  * from the JSON. A reader of the artifact alone sees exactly which
+  * queries were attempted-but-unguarded at each rung; every exclusion is
+  * also announced on stderr with its would-have-been step ratio.
   *
   * Noise floor: a ratio over a sub-second base measures constants, not a
   * plan — at 32 local threads a sub-1 s rung time is scheduler dispatch +
@@ -28,7 +38,11 @@ import scala.jdk.CollectionConverters._
   * base is below what this harness can attribute). So bases are floored at
   * 1 s and rung times under 1 s are never violations regardless of ratio.
   * The floor only loosens sub-second-base steps; any query whose smaller
-  * rung already takes ≥1 s is judged on its true ratio.
+  * rung already takes ≥1 s is judged on its true ratio — and every step
+  * the floor actually FORGAVE (un-floored ratio over the bound, floored
+  * ratio under it) is printed as a `[guard-exempt]` line, so the
+  * loosening stays visible per-step instead of silently widening the
+  * regression window.
   */
 object LadderGuard {
 
@@ -41,13 +55,35 @@ object LadderGuard {
     * died (OOM, disk-full, killed) — ScaleProbe emits them so a partial
     * rung is machine-readable; the guard carries them into the committed
     * ladder JSON (a reader of the artifact must not need the bench notes
-    * to learn a rung is partial).
+    * to learn a rung is partial). `excluded` = queries MEASURED at this
+    * rung but exempted from the growth bound (`--exclude`) — carried in
+    * the artifact for the same reason.
     */
   final case class Rung(
       sfDir: String,
       totalSec: Double,
       queries: Seq[(String, Double)],
-      missing: Seq[String] = Seq.empty)
+      missing: Seq[String] = Seq.empty,
+      excluded: Seq[(String, Double)] = Seq.empty)
+
+  /** Move each rung's `--exclude`-matched measurements from the guarded
+    * `queries` into `excluded`. A rung matches a directive when its sfDir
+    * CONTAINS the directive's substring (rung dirs are paths like
+    * `/tmp/graft-sf100`; the directive says `sf100`). Unmatched query
+    * names are ignored — the directive may name queries a partial rung
+    * never completed.
+    */
+  def applyExclusions(rungs: Seq[Rung], directives: Seq[(String, Set[String])]): Seq[Rung] =
+    rungs.map { r =>
+      val names = directives.collect {
+        case (dirSubstr, qs) if r.sfDir.contains(dirSubstr) => qs
+      }.flatten.toSet
+      if (names.isEmpty) r
+      else {
+        val (out, kept) = r.queries.partition { case (q, _) => names.contains(q) }
+        r.copy(queries = kept, excluded = r.excluded ++ out)
+      }
+    }
 
   /** Violation lines for every consecutive-rung query growth above `bound`. */
   def violations(rungs: Seq[Rung], bound: Double): Seq[String] = {
@@ -66,27 +102,46 @@ object LadderGuard {
   /** The guard's blind spots, made visible: queries present in a rung but
     * absent from its neighbor (no base to ratio against, or no growth
     * measurement at the step — e.g. a rung-specific subset or a lost
-    * child). Neither can fail the run, so both must at least reach stderr.
-    * (The old sub-1 s exemption line is gone by construction: with bases
-    * floored at 1 s, a rung time under 1 s can never reach a bound > 1.)
+    * child), `--exclude`d measurements (deliberately unguarded, printed
+    * with the step ratio the guard would have judged), and floored-base
+    * steps the noise floor FORGAVE (un-floored ratio over the bound).
+    * None of these can fail the run, so all must at least reach stderr.
     */
   def exemptions(rungs: Seq[Rung], bound: Double): Seq[String] =
     rungs.iterator.sliding(2).withPartial(false).flatMap { case Seq(a, b) =>
       val base = a.queries.toMap
-      val next = b.queries.toMap
+      val baseAll = (a.queries ++ a.excluded).toMap
+      val nextAll = (b.queries ++ b.excluded).toMap.keySet
       // a-not-in-b: measured at the smaller rung but never at the larger
       // one (rung-specific subset, or a child the probe lost) — those
       // queries have NO growth measurement at this step, which the guard
       // cannot fail on, so it must at least be said out loud.
       val unmeasured = a.queries.collect {
-        case (q, t) if !next.contains(q) =>
+        case (q, t) if !nextAll.contains(q) =>
           f"$q: in rung ${a.sfDir} ($t%.2f s) but absent from ${b.sfDir} — no growth measurement at this step"
       }
-      unmeasured ++ b.queries.flatMap {
-        case (q, t) if !base.contains(q) =>
+      val unguarded = b.queries.flatMap {
+        case (q, t) if !baseAll.contains(q) =>
           Some(f"$q: in rung ${b.sfDir} ($t%.2f s) but absent from ${a.sfDir} — growth unguarded")
         case _ => None
       }
+      val excludedLines = b.excluded.map { case (q, t) =>
+        baseAll.get(q) match {
+          case Some(prev) =>
+            f"$q: EXCLUDED from guard at ${b.sfDir} ($t%.2f s; step ratio ${t / math.max(prev, NoiseFloorSec)}%.1fx vs ${a.sfDir})"
+          case None =>
+            f"$q: EXCLUDED from guard at ${b.sfDir} ($t%.2f s; no base at ${a.sfDir})"
+        }
+      }
+      // the floor's forgiveness, per step: a sub-floor base whose TRUE
+      // ratio crosses the bound while the floored ratio passes
+      val floored = b.queries.collect {
+        case (q, t) if base.contains(q) && t >= 1.0 &&
+            base(q) > 0.0 && base(q) < NoiseFloorSec &&
+            t / base(q) > bound && t / NoiseFloorSec <= bound =>
+          f"$q: floored-base step at ${b.sfDir} — un-floored ${t / base(q)}%.1fx exceeds bound ${bound}%.1fx (base ${base(q)}%.2f s < $NoiseFloorSec%.1f s floor, floored ${t / NoiseFloorSec}%.1fx passes)"
+      }
+      unmeasured ++ unguarded ++ excludedLines ++ floored
     }.toSeq
 
   def parseRung(json: String): Rung = {
@@ -98,31 +153,59 @@ object LadderGuard {
     val missing =
       if (!node.has("missing")) Seq.empty[String]
       else node.get("missing").elements().asScala.map(_.asText()).toSeq
-    Rung(node.get("sf").asText(), node.get("value").asDouble(), qs, missing)
+    val excluded =
+      if (!node.has("excluded")) Seq.empty[(String, Double)]
+      else node.get("excluded").properties().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.asDouble())
+    Rung(node.get("sf").asText(), node.get("value").asDouble(), qs, missing, excluded)
   }
 
   def ladderJson(rungs: Seq[Rung], bound: Double): String = {
+    def qmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")
     def stage(r: Rung): String = {
-      val qs = r.queries.map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString(",")
       val miss =
         if (r.missing.isEmpty) ""
         else s""","missing":${r.missing.map(Jsons.str).mkString("[", ",", "]")}"""
-      s"""{"sf_dir":${Jsons.str(r.sfDir)},"total_sec":${r.totalSec},"queries":{$qs}$miss}"""
+      val excl =
+        if (r.excluded.isEmpty) ""
+        else s""","excluded":${qmap(r.excluded)}"""
+      s"""{"sf_dir":${Jsons.str(r.sfDir)},"total_sec":${r.totalSec},"queries":${qmap(r.queries)}$miss$excl}"""
     }
-    s"""{"metric":"scale_ladder","unit":"sec","protocol":"ScaleProbe per rung (fresh JVM, cold shuffles) + LadderGuard bound ${bound}x per 10x step","stages":[${rungs.map(stage).mkString(",")}]}"""
+    s"""{"metric":"scale_ladder","unit":"sec","protocol":"ScaleProbe per rung (fresh JVM, cold shuffles) + LadderGuard bound ${bound}x per 10x step; 'excluded' = measured but exempt from the bound, 'missing' = attempted but lost","stages":[${rungs.map(stage).mkString(",")}]}"""
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: LadderGuard <bound> <out.json> <rung1.json> <rung2.json> [...]")
-    val bound = args(0).toDouble
-    val out = args(1)
-    val rungs = args.drop(2).toSeq.map { f =>
+    val usage = "usage: LadderGuard [--exclude <sfDirSubstr>:<q1,q2,...>]... " +
+      "<bound> <out.json> <rung1.json> <rung2.json> [...]"
+    var rest = args.toSeq
+    val directives = scala.collection.mutable.ArrayBuffer.empty[(String, Set[String])]
+    while (rest.headOption.exists(_.startsWith("--"))) {
+      rest.head match {
+        case "--exclude" =>
+          require(rest.size >= 2, usage)
+          val spec = rest(1)
+          val i = spec.indexOf(':')
+          require(i > 0 && i < spec.length - 1,
+            s"--exclude wants <sfDirSubstr>:<q1,q2,...>, got: $spec")
+          directives += spec.substring(0, i) ->
+            spec.substring(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+          rest = rest.drop(2)
+        case other =>
+          System.err.println(s"unknown flag: $other\n$usage")
+          sys.exit(2)
+      }
+    }
+    require(rest.size >= 4, usage)
+    val bound = rest(0).toDouble
+    val out = rest(1)
+    val parsed = rest.drop(2).map { f =>
       val lines = scala.io.Source.fromFile(f).getLines().toSeq
       val probe = lines.filter(_.contains("\"metric\":\"scale_probe\""))
       require(probe.nonEmpty, s"$f: no scale_probe JSON line")
       parseRung(probe.last)
     }
+    val rungs = applyExclusions(parsed, directives.toSeq)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out), ladderJson(rungs, bound))
     exemptions(rungs, bound).foreach(e => System.err.println("  [guard-exempt] " + e))

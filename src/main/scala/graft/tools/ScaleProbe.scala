@@ -141,17 +141,25 @@ object ScaleProbe {
     }
 
   def main(args: Array[String]): Unit = {
+    val usage = "usage: ScaleProbe [--isolate] [--precache] <sfDir> <query1,query2,...>"
+    def die(msg: String): Nothing = {
+      System.err.println(s"$msg\n$usage")
+      sys.exit(2)
+      throw new IllegalStateException
+    }
+    // Validate the flag set strictly: a misspelled flag (--isolat) must
+    // not silently fall through to driver-mode, and a flag-combination
+    // error must print the usage line, not a raw require() stack.
     val flags = args.takeWhile(_.startsWith("--")).toSet
+    val unknownFlags = flags.diff(Set("--isolate", "--precache"))
+    if (unknownFlags.nonEmpty) die(s"unknown flag(s): ${unknownFlags.mkString(", ")}")
     val isolate = flags.contains("--isolate")
     val precache = flags.contains("--precache")
-    require(!precache || isolate, "--precache requires --isolate")
+    if (precache && !isolate) die("--precache requires --isolate")
     val rest = args.dropWhile(_.startsWith("--"))
     val (sfDir, names) = rest match {
       case Array(d, qs) => (d, qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      case _ =>
-        System.err.println("usage: ScaleProbe [--isolate] [--precache] <sfDir> <query1,query2,...>")
-        sys.exit(2)
-        throw new IllegalStateException
+      case _ => die("expected exactly <sfDir> <query1,query2,...>")
     }
     if (isolate) {
       val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]

@@ -347,7 +347,7 @@ class ComparisonSpec extends SparkSpec {
   }
 
   test("map columns compare without the canonicalization flag (auto to_json routing)") {
-    import org.apache.spark.sql.functions.{col, map_from_arrays, array, lit}
+    import org.apache.spark.sql.functions.{col, map_from_arrays, lit}
     // Spark 4 can neither xxhash64 nor <=> a map — without the auto-routing
     // this compare throws AnalysisException at plan time.
     def side(v2: Int) = Seq((1L, Seq("a" -> 1), 9L), (2L, Seq("b" -> v2), 9L))

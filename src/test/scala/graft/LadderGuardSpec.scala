@@ -82,6 +82,53 @@ class LadderGuardSpec extends AnyFunSuite {
     assert(!fullNode.get("stages").get(0).has("missing"), full)
   }
 
+  test("excluded measurements are carried in the artifact, exempt from the bound, announced") {
+    val sf10 = Rung("/tmp/graft-sf10", 10.0, Seq("q_lin" -> 20.0, "q_heavy" -> 30.0))
+    val sf100 = Rung("/tmp/graft-sf100", 700.0,
+      Seq("q_lin" -> 190.0, "q_heavy" -> 600.0))
+    // host-poisoned sf100 absolute: 600/30 = 20x would fail the 12x bound
+    assert(LadderGuard.violations(Seq(sf10, sf100), 12.0).nonEmpty)
+    val excluded = LadderGuard.applyExclusions(
+      Seq(sf10, sf100), Seq("sf100" -> Set("q_heavy", "q_never_ran")))
+    // exclusion hits only the matching rung, ignores unknown names
+    assert(excluded.head.excluded.isEmpty && excluded.head.queries.size == 2)
+    assert(excluded(1).queries == Seq("q_lin" -> 190.0))
+    assert(excluded(1).excluded == Seq("q_heavy" -> 600.0))
+    // the guarded bound passes once the poisoned row is exempt…
+    assert(LadderGuard.violations(excluded, 12.0).isEmpty)
+    // …but the measurement is announced with its would-have-been ratio…
+    val ex = LadderGuard.exemptions(excluded, 12.0)
+    assert(ex.exists(e => e.startsWith("q_heavy:") && e.contains("EXCLUDED")
+      && e.contains("20.0x")), ex.mkString("; "))
+    // …and is NOT double-reported as an unmeasured/unguarded blind spot
+    assert(!ex.exists(e => e.contains("no growth measurement")), ex.mkString("; "))
+    // …and the committed JSON is self-describing
+    val merged = LadderGuard.ladderJson(excluded, 12.0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(merged)
+    val stage = node.get("stages").get(1)
+    assert(stage.get("excluded").get("q_heavy").asDouble() == 600.0, merged)
+    assert(!stage.get("queries").has("q_heavy"), merged)
+    assert(!node.get("stages").get(0).has("excluded"), merged)
+    // …and round-trips through parseRung
+    val rt = LadderGuard.parseRung(
+      """{"metric":"scale_probe","unit":"sec","value":700.0,""" +
+        """"queries":{"q_lin":190.0},"excluded":{"q_heavy":600.0},"sf":"/tmp/graft-sf100"}""")
+    assert(rt.excluded == Seq("q_heavy" -> 600.0))
+  }
+
+  test("floored-base steps whose un-floored ratio exceeds the bound reach stderr exemptions") {
+    // base 0.4 s -> 11 s: floored reads 11x (passes a 12x bound) but the
+    // true ratio is 27.5x — the forgiveness must be visible per-step
+    val a = Rung("/sf1", 1.0, Seq("q_f" -> 0.4, "q_ok" -> 0.9))
+    val b = Rung("/sf10", 20.0, Seq("q_f" -> 11.0, "q_ok" -> 8.0))
+    assert(LadderGuard.violations(Seq(a, b), 12.0).isEmpty)
+    val ex = LadderGuard.exemptions(Seq(a, b), 12.0)
+    assert(ex.exists(e => e.startsWith("q_f:") && e.contains("floored-base")
+      && e.contains("27.5x")), ex.mkString("; "))
+    // q_ok's un-floored 8.9x is under the bound — no line
+    assert(!ex.exists(_.startsWith("q_ok:")), ex.mkString("; "))
+  }
+
   test("parseRung rejects a line missing 'value' with the diagnostic message, not an NPE") {
     val bad = """{"metric":"scale_probe","queries":{"q_a":1.0},"sf":"/tmp/x"}"""
     val e = intercept[IllegalArgumentException](LadderGuard.parseRung(bad))

@@ -1399,6 +1399,47 @@ class OperatorsSpec extends SparkSpec {
       "dup keys kept once each, null and missing keys dropped")
   }
 
+  test("bloomPruneFilter's session-conf raise is monotonic — a higher user setting is never lowered") {
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prevBits = spark.conf.getOption(maxBitsKey)
+    val prevItems = spark.conf.getOption(maxItemsKey)
+    try {
+      // user pinned the ceilings HIGHER than this filter's sizing needs:
+      // the documented contract says the call must leave them untouched
+      val highBits = 1L << 33
+      val highItems = 500000000L
+      spark.conf.set(maxBitsKey, highBits.toString)
+      spark.conf.set(maxItemsKey, highItems.toString)
+      val big = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      val small = Seq(Tuple1(1L)).toDF("sk")
+      graft.operators.Pruning
+        .bloomPrunedSemiJoin(big, small, "k", "sk", expectedItems = 10L)
+        .count()
+      assert(spark.conf.get(maxBitsKey).toLong == highBits,
+        "monotonic contract: an already-higher maxNumBits must survive the call")
+      assert(spark.conf.get(maxItemsKey).toLong == highItems,
+        "monotonic contract: an already-higher maxNumItems must survive the call")
+      // and a LOW ceiling is raised to (at least) the filter's sizing —
+      // and stays raised after the call (the documented high-water behavior)
+      spark.conf.set(maxBitsKey, "1024")
+      spark.conf.set(maxItemsKey, "16")
+      val wantItems = 20000000L
+      graft.operators.Pruning
+        .bloomPrunedSemiJoin(big, small, "k", "sk", expectedItems = wantItems)
+        .count()
+      assert(spark.conf.get(maxItemsKey).toLong >= wantItems,
+        "a too-low ceiling must be raised to the explicit filter's sizing")
+      assert(spark.conf.get(maxBitsKey).toLong >= wantItems,
+        "numBits scales past numItems at 3% fpp — the raise must cover it")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v match { case Some(s) => spark.conf.set(k, s); case None => spark.conf.unset(k) }
+      restore(maxBitsKey, prevBits)
+      restore(maxItemsKey, prevItems)
+    }
+  }
+
   test("scd2History collapses no-change runs and chains validity intervals") {
     val chg = Seq(
       (1L, 10L, "bronze"), (1L, 20L, "bronze"), // no-change → collapsed
