@@ -1428,6 +1428,25 @@ object Queries {
           col("channels"),
           element_at(col("features"), 1).as("rms"))),
 
+    // Real VIDEO decode through the gate, same scheme: each id's payload
+    // is an actual MJPEG elementary stream (n = id%4+1 constant-gray JPEG
+    // frames of (id%28+8)×(id%20+8)) decoded back by the pure-JDK
+    // MjpegVideoCodec — frame splitting walks the real JPEG segment
+    // structure, dims come from the first frame's header parse — so
+    // width/height/frame count are closed-form in the id (the segment walk
+    // is lossless even though JPEG pixels are not). Ids % 50 == 0 carry a
+    // truncated stream (SOI + APP0 fragment, no complete frame) and must
+    // degrade to (0,0,0). The dims triple reads (width, height, nFrames)
+    // for video, per the codec contract.
+    "q_multimodal_video" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+          s, Multimodal.syntheticMjpegs(s, docs(s, d), "doc_id"),
+          featureDim = 1, codec = Multimodal.MjpegVideoCodec)
+        .toDF()
+        .select(
+          col("media_id"), col("width"), col("height"),
+          col("channels").as("n_frames"))),
+
     // trailing-7-day exact distinct users per active day (rolling WAU):
     // distinct (day, user) pairs vote into the windows they serve — no
     // windowed COUNT(DISTINCT), which Spark (and SQL) cannot plan natively
@@ -3238,6 +3257,17 @@ object Queries {
         |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS INTEGER) AS channels,
         |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0.0
         |       ELSE abs((doc_id % 1024) - 512) * 32 / 32768.0 END AS REAL) AS rms
+        |FROM documents""".stripMargin,
+
+    // Closed-form mirror of the real-MJPEG round trip (see syntheticMjpegs):
+    // n = id%4+1 frames of (id%28+8)×(id%20+8) — dims/count survive JPEG's
+    // lossy pixel path because they come from the header walk and segment
+    // parse; truncated streams (id%50=0) degrade to zeros
+    "q_multimodal_video" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE doc_id % 28 + 8 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE doc_id % 20 + 8 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE doc_id % 4 + 1 END AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
 
     "q_s1_scan_filter" ->

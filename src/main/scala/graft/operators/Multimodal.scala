@@ -955,4 +955,180 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => payload }
     }
   }
+
+  /** REAL, EXECUTABLE video codec on pure JDK: Motion-JPEG as a raw
+    * concatenated-JPEG frame stream (the `.mjpeg`/`mjpg` elementary stream
+    * FFmpeg writes with `-f mjpeg`, and the payload most IP cameras emit) —
+    * each frame is a complete JFIF image, frames are split by walking the
+    * actual JPEG segment structure, and per-frame decode goes through
+    * `javax.imageio`'s JPEG reader. Unlike [[FfmpegVideoCodec]] (the
+    * reflective JavaCV binding for GENERAL containers, which cannot
+    * execute without natives on the classpath), this codec runs — and is
+    * oracle-checked end-to-end — in any executor container, making it the
+    * production default for MJPEG streams and the proof that the video
+    * decode PLUMBING (frame iteration, band features, strided resample)
+    * works on real decoded pixels.
+    *
+    * Same dims-triple reinterpretation as [[FfmpegVideoCodec]]:
+    * **(width, height, nFrames)** — width/height from the FIRST frame's
+    * header (header-only read, no pixel decode), nFrames = complete frames
+    * in the stream. `features` returns per-band mean BT.601 luma in [0,1]
+    * over `dim` equal time bands of the frame sequence; `resample` keeps
+    * every ⌈1/scale⌉-th frame, scales it through [[ImageIoCodec.resample]]
+    * (bilinear, re-encoded as JPEG in kind), and re-concatenates — a valid
+    * MJPEG stream at the reduced rate and size. Corrupt-media contract as
+    * everywhere: null/empty/no-complete-frame payloads degrade to
+    * (0,0,0)/zeros/pass-through; an individual undecodable frame is
+    * skipped, never fails the task.
+    */
+  object MjpegVideoCodec extends MediaCodec {
+
+    /** (start, end) byte spans of the COMPLETE JPEG frames in `payload`,
+      * found by walking the real segment structure — not by scanning for
+      * `FFD8`/`FFD9` byte pairs, which also occur inside entropy-coded
+      * data: from each SOI, length-delimited segments are skipped
+      * (standalone markers TEM/RST have none), each SOS's entropy data is
+      * scanned for the next true marker with byte-stuffed `FF00` and
+      * restart markers passed over (progressive multi-scan frames loop
+      * back through the segment walk), and the frame closes at EOI. A
+      * malformed frame resyncs to the next SOI; a truncated tail frame is
+      * dropped (incomplete ≠ decodable).
+      */
+    private[graft] def frameSpans(payload: Array[Byte]): Seq[(Int, Int)] = {
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val n = payload.length
+      @inline def u(i: Int): Int = payload(i) & 0xFF
+      var i = 0
+      while (i + 1 < n) {
+        if (u(i) == 0xFF && u(i + 1) == 0xD8) {
+          val start = i
+          var p = i + 2
+          var end = -1
+          var broken = false
+          while (end < 0 && !broken && p + 1 < n) {
+            if (u(p) != 0xFF) broken = true
+            else u(p + 1) match {
+              case 0xD9 => end = p + 2
+              case 0xD8 => broken = true // nested SOI: malformed frame
+              case m if m == 0x01 || (m >= 0xD0 && m <= 0xD7) => p += 2
+              case 0xDA =>
+                if (p + 3 >= n) broken = true
+                else {
+                  // skip the SOS header, then scan entropy-coded data for
+                  // the next real marker (FF00 = stuffed byte, D0-D7 = RST)
+                  var q = p + 2 + ((u(p + 2) << 8) | u(p + 3))
+                  var found = -1
+                  while (found < 0 && q + 1 < n) {
+                    if (u(q) != 0xFF) q += 1
+                    else {
+                      val mm = u(q + 1)
+                      if (mm == 0x00 || (mm >= 0xD0 && mm <= 0xD7)) q += 2
+                      else found = q
+                    }
+                  }
+                  if (found < 0) broken = true else p = found
+                }
+              case _ =>
+                if (p + 3 >= n) broken = true
+                else {
+                  val len = (u(p + 2) << 8) | u(p + 3)
+                  if (len < 2) broken = true else p = p + 2 + len
+                }
+            }
+          }
+          if (end > 0) { spans += ((start, end)); i = end }
+          else if (broken) i = start + 2 // resync: scan for the next SOI
+          else i = n // truncated tail frame: incomplete, dropped
+        } else i += 1
+      }
+      spans.toSeq
+    }
+
+    private def frame(payload: Array[Byte], span: (Int, Int)): Array[Byte] =
+      java.util.Arrays.copyOfRange(payload, span._1, span._2)
+
+    override def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+      if (payload == null || payload.isEmpty) return (0, 0, 0)
+      val spans = frameSpans(payload)
+      if (spans.isEmpty) return (0, 0, 0)
+      val (w, h, _) = ImageIoCodec.decodeDims(frame(payload, spans.head))
+      if (w == 0 || h == 0) (0, 0, 0) else (w, h, spans.length)
+    }
+
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      if (payload == null || payload.isEmpty) return Array.fill(dim)(0f)
+      val spans = frameSpans(payload)
+      if (spans.isEmpty) return Array.fill(dim)(0f)
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var i = 0L
+      spans.foreach { sp =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame(payload, sp)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img != null) {
+          val b = FfmpegVideoCodec.bandOf(i, spans.length.toLong, dim)
+          sums(b) += FfmpegVideoCodec.meanLuma(img)
+          counts(b) += 1
+        }
+        i += 1
+      }
+      (0 until dim).map(b =>
+        if (counts(b) == 0) 0f else (sums(b) / counts(b)).toFloat).toArray
+    }
+
+    override def resample(payload: Array[Byte], scale: Double): Array[Byte] = {
+      if (payload == null || payload.isEmpty || scale >= 1.0 || scale <= 0.0) return payload
+      val spans = frameSpans(payload)
+      if (spans.isEmpty) return payload
+      val stride = math.max(1, math.round(1.0 / scale).toInt)
+      val out = new java.io.ByteArrayOutputStream()
+      spans.indices.by(stride).foreach { i =>
+        out.write(ImageIoCodec.resample(frame(payload, spans(i)), scale))
+      }
+      val bytes = out.toByteArray
+      if (bytes.nonEmpty) bytes else payload
+    }
+  }
+
+  /** Deterministic REAL-MJPEG payload generator for the [[MjpegVideoCodec]]
+    * oracle query: each id emits `n = id%4+1` constant-gray JPEG frames of
+    * `(id%28+8)×(id%20+8)` (gray v = id%256), concatenated into an MJPEG
+    * elementary stream — so the decoded width, height and frame count are
+    * CLOSED-FORM functions of the id an external SQL oracle can compute
+    * (dims/count come from the header walk + segment parse, which JPEG's
+    * lossy pixel path cannot perturb). Ids divisible by 50 are truncated
+    * to 10 bytes (SOI + APP0 fragment, no complete frame): the documented
+    * corrupt-payload degradation to (0,0,0).
+    */
+  def syntheticMjpegs(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 28 + 8).toInt
+          val h = (id % 20 + 8).toInt
+          val v = (id % 256).toInt
+          val nFrames = (id % 4 + 1).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g2 = img.createGraphics()
+            try { g2.setColor(new java.awt.Color(v, v, v)); g2.fillRect(0, 0, w, h) }
+            finally g2.dispose()
+            ImageIO.write(img, "jpg", out)
+            f += 1
+          }
+          val bytes = out.toByteArray
+          (id, "video", if (id % 50 == 0) bytes.take(10) else bytes)
+        }
+      }
+      .toDF("media_id", "modality", "payload")
+      .withColumn("meta", struct(
+        lit("video/x-motion-jpeg").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")))
+  }
 }

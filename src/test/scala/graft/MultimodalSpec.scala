@@ -294,6 +294,63 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.FfmpegVideoCodec.resample(p, 0.5)).getMessage.contains("javacv"))
   }
 
+  test("MjpegVideoCodec decodes a REAL video stream: dims, frame count, band luma, strided resample") {
+    import Multimodal.MjpegVideoCodec
+    // build a real 6-frame MJPEG: constant-gray JPEG frames, two luma
+    // halves (3 dark then 3 bright) so the time bands are distinguishable
+    def jpegFrame(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      try { g2.setColor(new java.awt.Color(gray, gray, gray)); g2.fillRect(0, 0, w, h) }
+      finally g2.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames = (Seq.fill(3)(40) ++ Seq.fill(3)(200)).map(jpegFrame(16, 12, _))
+    val stream = frames.reduce(_ ++ _)
+    // the segment walk must find exactly the 6 planted frames
+    assert(MjpegVideoCodec.frameSpans(stream).size == 6)
+    // REAL decode executed: dims from the first frame header, count from the walk
+    assert(MjpegVideoCodec.decodeDims(stream) == ((16, 12, 6)))
+    // band features through the real pixel decode: 2 bands = dark then
+    // bright half (JPEG is lossy — constant blocks land within ~2/255)
+    val f = MjpegVideoCodec.features(stream, 2)
+    assert(math.abs(f(0) - 40.0 / 255) < 0.02 && math.abs(f(1) - 200.0 / 255) < 0.02,
+      s"band luma off: ${f.toSeq}")
+    // strided resample: scale 0.5 keeps every 2nd frame at half dims, and
+    // the output is itself a decodable MJPEG stream
+    val half = MjpegVideoCodec.resample(stream, 0.5)
+    assert(MjpegVideoCodec.decodeDims(half) == ((8, 6, 3)), "resample dims/stride")
+    // corrupt-media contract: garbage and truncated streams degrade
+    assert(MjpegVideoCodec.decodeDims("not a video".getBytes("UTF-8")) == ((0, 0, 0)))
+    assert(MjpegVideoCodec.decodeDims(stream.take(10)) == ((0, 0, 0)),
+      "SOI fragment has no complete frame")
+    assert(MjpegVideoCodec.features(stream.take(10), 3).forall(_ == 0f))
+    // a truncated TAIL frame is dropped, the complete prefix still decodes
+    assert(MjpegVideoCodec.decodeDims(stream.dropRight(20)) == ((16, 12, 5)))
+    // one corrupted mid-stream frame: the walk resyncs, survivors decode
+    val corrupted = frames.take(2).reduce(_ ++ _) ++
+      frames(2).take(frames(2).length / 2) ++ frames.drop(3).reduce(_ ++ _)
+    val dims = MjpegVideoCodec.decodeDims(corrupted)
+    assert(dims._1 == 16 && dims._2 == 12 && dims._3 >= 5,
+      s"resync must keep the intact frames: $dims")
+  }
+
+  test("syntheticMjpegs round-trips through MjpegVideoCodec to the closed-form dims and count") {
+    val docs = Seq(7L, 50L, 101L, 202L).toDF("doc_id")
+    val got = Multimodal.decodeFeatures(
+        spark, Multimodal.syntheticMjpegs(spark, docs, "doc_id"),
+        featureDim = 1, codec = Multimodal.MjpegVideoCodec)
+      .collect()
+      .map(m => m.media_id -> ((m.width, m.height, m.channels))).toMap
+    def expect(id: Long) =
+      if (id % 50 == 0) (0, 0, 0)
+      else ((id % 28 + 8).toInt, (id % 20 + 8).toInt, (id % 4 + 1).toInt)
+    for (id <- Seq(7L, 50L, 101L, 202L))
+      assert(got(id) == expect(id), s"id=$id: ${got(id)} != ${expect(id)}")
+  }
+
   test("FfmpegVideoCodec band/luma math matches the WavCodec banding semantics") {
     import Multimodal.FfmpegVideoCodec.{bandOf, meanLuma}
     // frames 0..n-1 over k bands: monotone, first band starts at 0, last ends at k-1
