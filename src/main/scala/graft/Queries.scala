@@ -156,6 +156,39 @@ object Queries {
         DatasetParams("emb_cmp", Seq("vec_id"), TestParams(canonicalizeNestedTypes = true)))
     }
 
+  // CLEAN compare: orders against itself — the 100 TB regression-gate use
+  // case (the product's primary promise: a clean compare never
+  // materializes a full-width row past the checksum scan; mismatchKeyCount
+  // = 0 skips the refetch job entirely). This is the scenario the scale
+  // ladder runs at sf100 to evidence that promise directly.
+  private def compareCleanResult(s: SparkSession, d: String) =
+    memoizedCompare(s, d, "orders_clean") {
+      val o = ord(s, d)
+      Comparison.compareDataFrames(s, o, o,
+        DatasetParams("orders_clean", Seq("o_orderkey")))
+    }
+
+  // HOT-KEY compare: both sides carry 64 identical copies of every
+  // ~1/9973rd key — the duplicated-primary-key M×N cross product inside
+  // the one join the engine can never AQE-skew-split (full-outer;
+  // replicating a side would fabricate unmatched rows). Multiplicity is
+  // FIXED at 64 so the per-key M·N = 4096 pair blow-up stays constant
+  // while the number of hot keys scales linearly with the corpus — the
+  // ladder then watches partition-level hot-key behavior as data grows
+  // rather than measuring a quadratic the scenario itself planted.
+  private def compareHotkeyResult(s: SparkSession, d: String) =
+    memoizedCompare(s, d, "orders_hotkey") {
+      val o = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val k = col("o_orderkey")
+      def dup(df: DataFrame): DataFrame = df
+        .withColumn("__r",
+          explode(sequence(lit(1), when(k % 9973 === 17, lit(64)).otherwise(lit(1)))))
+        .drop("__r")
+      Comparison.compareDataFrames(s, dup(o), dup(o),
+        DatasetParams("orders_hotkey", Seq("o_orderkey")))
+    }
+
   // orders reshaped with a STRUCT column (status, priority) vs a copy with
   // dropped keys and perturbed struct fields — the struct-column
   // (nested-type canonicalization) engine scenario: the checksum and the
@@ -636,6 +669,25 @@ object Queries {
         col("missing_rows").getItem("source").as("source_missing_rows"),
         col("missing_rows").getItem("target").as("target_missing_rows"),
         col("test_status"))),
+
+    // the zero-mismatch FAST PATH end-to-end: identical sides, PASSED,
+    // second eager job skipped (PlanSpec pins the job count)
+    "q_compare_clean" -> ((s, d) =>
+      compareCleanResult(s, d).overallTestReport.select(
+        col("dataset_name"),
+        col("count").getItem("source").as("source_count"),
+        col("count").getItem("target").as("target_count"),
+        col("matched_count"),
+        col("duplicate_count").getItem("source").as("source_duplicate_count"),
+        col("duplicate_count").getItem("target").as("target_duplicate_count"),
+        col("missing_rows").getItem("source").as("source_missing_rows"),
+        col("missing_rows").getItem("target").as("target_missing_rows"),
+        col("test_status"))),
+
+    // the duplicated-PK M×N hot-key scenario through the full row-level
+    // report (64×64 pairs per hot key collapse through the aggregate-then-
+    // window duplicate count)
+    "q_compare_hotkey" -> ((s, d) => compareHotkeyResult(s, d).rowLvlTestReport),
 
     // EP1 multi-dataset consolidation: two engine runs (orders + embeddings
     // scenarios) positionally unioned, overall report flattened
@@ -3549,6 +3601,33 @@ object Queries {
           |  CASE WHEN (SELECT COUNT(*) FROM src) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
           |        AND (SELECT COUNT(*) FROM tgt) = (SELECT COUNT(*) FROM row_lvl WHERE all_rows_matched)
           |       THEN 'PASSED' ELSE 'FAILED' END AS test_status""".stripMargin),
+
+    // the clean fast path: identical sides, so every key matches and the
+    // verdict is PASSED iff the PK is actually unique (src_total ==
+    // matched == tgt_total, the engine's exact rule)
+    "q_compare_clean" ->
+      """WITH k AS (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
+        |SELECT 'orders_clean' AS dataset_name,
+        |  (SELECT COUNT(*) FROM orders) AS source_count,
+        |  (SELECT COUNT(*) FROM orders) AS target_count,
+        |  (SELECT COUNT(*) FROM k) AS matched_count,
+        |  (SELECT COUNT(*) FROM k WHERE c > 1) AS source_duplicate_count,
+        |  (SELECT COUNT(*) FROM k WHERE c > 1) AS target_duplicate_count,
+        |  CAST(0 AS BIGINT) AS source_missing_rows,
+        |  CAST(0 AS BIGINT) AS target_missing_rows,
+        |  CASE WHEN (SELECT COUNT(*) FROM orders) = (SELECT COUNT(*) FROM k)
+        |       THEN 'PASSED' ELSE 'FAILED' END AS test_status""".stripMargin,
+
+    // hot-key M×N replica: both sides hold 64 identical copies of each
+    // ~1/9973rd key, so every key matches, hot keys report M·N−1 = 4095
+    // cross-product duplicates, and non-hot keys 0 (o_orderkey is unique
+    // in the base table)
+    "q_compare_hotkey" ->
+      """SELECT 'orders_hotkey' AS dataset_name, o_orderkey,
+        |  CAST(CASE WHEN o_orderkey % 9973 = 17 THEN 4095 ELSE 0 END AS BIGINT) AS duplicate_count,
+        |  'PRESENT_IN_BOTH' AS missing_row_status,
+        |  TRUE AS all_rows_matched
+        |FROM orders""".stripMargin,
 
     "q_compare_multi" ->
       (cmpCte +

@@ -425,6 +425,28 @@ class ComparisonSpec extends SparkSpec {
     idiomatic.unpersist(); legacy.unpersist()
   }
 
+  test("clean compare takes the fast path: refetch frames never built, reports PASSED") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, null, 3.0)).toDF("id", "v", "x")
+    val res = Comparison.compareDataFrames(spark, df, df, DatasetParams("clean", Seq("id")))
+    val o = res.overallTestReport.collect().head
+    assert(o.getAs[String]("test_status") == "PASSED")
+    assert(o.getAs[Long]("matched_count") == 3L)
+    // the mismatch-refetch phase is SKIPPED structurally: only the two slim
+    // sides, the slim join, and the row-level report are ever persisted
+    // (a mismatching compare persists the mkInfo + tolerance frames too),
+    // and no extracts exist
+    assert(res.cachedFrames.size == 4,
+      s"clean compare must not build phase-2 frames: ${res.cachedFrames.size}")
+    assert(res.unmatchedRecords.isEmpty)
+    assert(res.colLvlTestReport.collect().forall(_.getAs[Long]("unmatched_rows_count") == 0L))
+    val dirty = Comparison.compareDataFrames(spark, df,
+      df.withColumn("v", when(col("id") === 2L, lit("Z")).otherwise(col("v"))),
+      DatasetParams("dirty", Seq("id")))
+    assert(dirty.cachedFrames.size == 6, "mismatching compare persists the phase-2 frames")
+    res.unpersist(); dirty.unpersist()
+  }
+
   test("composite primary keys and duplicate-key cross products") {
     val src = Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c"), (2L, 1, "c"))
       .toDF("k1", "k2", "v")

@@ -129,6 +129,35 @@ class PlanSpec extends SparkSpec {
     } finally res.unpersist()
   }
 
+  test("50-dataset consolidation flattens to ONE Union over mixed key schemas — no deep re-analysis tree") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    // the reference's consolidation loop at a REALISTIC dataset count:
+    // consolidate() folds pairwise, which naively nests 49 binary Unions —
+    // the optimizer must collapse them to one flat Union (CombineUnions)
+    // or re-analysis cost grows with the square of the dataset count.
+    // Key schemas alternate, so this also pins normalize_row_keys as the
+    // mixed-schema consolidation mode.
+    val results = (0 until 50).map { i =>
+      val key = if (i % 2 == 0) "o_orderkey" else "vec_id"
+      val rowLvl = Seq((s"ds_$i", i.toLong, 0L, "PRESENT_IN_BOTH", true))
+        .toDF("dataset_name", key, "duplicate_count", "missing_row_status", "all_rows_matched")
+      val overall = Seq((s"ds_$i", 1L, 1L, "PASSED"))
+        .toDF("dataset_name", "source_count", "target_count", "test_status")
+      val colLvl = Seq((s"ds_$i", "v", 0L))
+        .toDF("dataset_name", "column_name", "unmatched_rows_count")
+      graft.core.ComparisonResult(overall, rowLvl, colLvl, Map.empty)
+    }
+    val c = graft.jobs.ComparisonJob.consolidate(results, normalizeRowKeys = true)
+    val unions = c.rowLvlTestReport.queryExecution.optimizedPlan.collect { case u: Union => u }
+    assert(unions.size == 1, s"expected ONE flattened Union, got ${unions.size} Union nodes")
+    assert(unions.head.children.size == 50,
+      s"flat Union must carry all 50 datasets: ${unions.head.children.size}")
+    // heterogeneous keys really did collapse into the shared key_json shape
+    assert(c.rowLvlTestReport.columns.contains(graft.Constants.KeyJsonCol))
+    assert(c.rowLvlTestReport.count() == 50 && c.overallTestReport.count() == 50)
+  }
+
   test("row checksum derivation stays inside whole-stage codegen") {
     val p = plan("q_p3_checksum")
     assert(p.contains("[codegen id :"))
