@@ -264,7 +264,7 @@ object Queries {
   /** Part co-occurrence edges (distinct part pairs sharing an order) — the
     * shared input of the q_graph_* queries.
     */
-  private def partEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def partEdges(s: SparkSession, d: String): DataFrame = {
     val parts = li(s, d).select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
     parts.as("x").join(parts.as("y"),
         col("x.b") === col("y.b") && col("x.i") < col("y.i"))
