@@ -231,6 +231,7 @@ object Graphs {
           nodesAtShrink = survivors
           removedSinceShrink = 0L
         }
+        iterGc() // opt-in: drop the round's dereferenced shuffles/blocks
       }
     }
     val result = degs.select(col("n").as("node"), col("deg").as("core_deg"))
@@ -260,6 +261,24 @@ object Graphs {
     release()
     out
   }
+
+  /** Opt-in scratch-bound lever for deep iterative loops on one box:
+    * `SPARK_GRAFT_ITER_GC=1` runs a driver `System.gc()` once per loop
+    * round, right after the round's superseded frames are dereferenced, so
+    * `ContextCleaner` promptly deletes the shuffle files and checkpoint
+    * blocks the round no longer reaches — scratch then holds ~2 rounds'
+    * shuffle output instead of all of them (at the sf100 PageRank shape
+    * that is the difference between fitting the box's scratch and
+    * `SPILL_OUT_OF_MEMORY`). Default OFF: a forced periodic GC measured
+    * 1.5× on non-iterative children (BENCH_NOTES_r12 §3), and on a
+    * cluster per-round shuffle cleanup is the shuffle service's job; this
+    * exists for single-box runs whose scratch is smaller than the loop's
+    * cumulative shuffle footprint.
+    */
+  private def iterGcEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_ITER_GC", "0") == "1"
+
+  private def iterGc(): Unit = if (iterGcEnabled) System.gc()
 
   /** Unpersist the block-manager storage behind an EAGER `localCheckpoint`
     * frame (a `LogicalRDD` root). No-op for any other plan shape.
@@ -326,6 +345,7 @@ object Graphs {
         dist = dist.union(next).localCheckpoint()
         frontier = next
         hop += 1
+        iterGc() // opt-in: drop the superseded hop's shuffles/blocks
       }
     }
     adj.unpersist(false) // dist is checkpointed; nothing re-reads the cache
@@ -592,6 +612,10 @@ object Graphs {
         releaseCheckpoint(ranks) // superseded generation; `next` is materialized
         ranks = next
         it += 1
+        // opt-in, and only AFTER the reassignment: the superseded frame's
+        // plan (which pins its round's ShuffleDependencies) must be
+        // unreachable before the GC can hand it to ContextCleaner
+        iterGc()
         System.err.println(s"[pageRankConverged] iter $it max|drank|=$delta tol=$tol")
       }
       (ranks.select(col("node"), col("rank_scaled"))
@@ -620,8 +644,20 @@ object Graphs {
     try {
       val g = buildPrGraph(pairs, aCol, bCol, scale)
       var ranks = prInit(g).localCheckpoint(false)
-      for (_ <- 1 to iters)
-        ranks = prStep(ranks, g, dampPpm).localCheckpoint(false)
+      for (_ <- 1 to iters) {
+        val next = prStep(ranks, g, dampPpm).localCheckpoint(false)
+        // Under the iteration-GC lever each round materializes eagerly so
+        // the superseded rank frame (and the shuffle files only it
+        // reaches) can be dropped before the next round runs; the lazy
+        // default leaves materialization to the caller's one action.
+        if (iterGcEnabled) {
+          next.queryExecution.toRdd.count()
+          releaseCheckpoint(ranks)
+        }
+        ranks = next
+        // after the reassignment — see pageRankConverged's loop comment
+        iterGc()
+      }
       ranks.select(col("node"), col("rank_scaled"))
     } finally {
       prevCacheConf match {

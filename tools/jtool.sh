@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# Run a graft tool main directly with java (bypasses sbt), with the JDK17
+# add-opens Spark needs and a heap from GRAFT_HEAP (default 16g).
+# Usage: GRAFT_HEAP=48g tools/jtool.sh graft.tools.ScaleProbe --isolate ...
+set -euo pipefail
+cd "$(dirname "$0")/.."
+HEAP="${GRAFT_HEAP:-16g}"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+exec java $OPENS -Xmx"$HEAP" -Xms"$HEAP" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${GRAFT_TMPDIR:+-Djava.io.tmpdir=$GRAFT_TMPDIR} \
+  ${GRAFT_LOCAL_DIRS:+-Dspark.local.dir=$GRAFT_LOCAL_DIRS} \
+  -cp "$CP" "$@"
