@@ -164,6 +164,34 @@ object Comparison {
     else s <=> t
   }
 
+  /** Fail LOUDLY — before any job runs — on column types the engine cannot
+    * compare. Without this, a source BIGINT vs target STRING column builds
+    * a plan whose per-column predicate and checksum coerce under ANSI
+    * semantics and blow up as a `CAST_INVALID_INPUT` deep inside an
+    * executor task (measured: the 50-dataset consolidation bench died
+    * mid-stage-505 on exactly this shape). The one legitimate mix is
+    * numeric-vs-numeric of different widths: the tolerance predicate
+    * subtracts on the coerced wider type losslessly, and the checksum
+    * hashes each SIDE's own representation (a width mix that matters
+    * surfaces as an unmatched row, never a crash). Both sides' MISSING
+    * columns are not this check's business — the downstream projection
+    * errors on those with Spark's own unresolved-column message.
+    */
+  private def requireComparableTypes(
+      src: DataFrame, tgt: DataFrame, params: DatasetParams): Unit = {
+    val tgtTypes = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = src.schema.fields.toSeq.flatMap { f =>
+      tgtTypes.get(f.name).collect {
+        case t if f.dataType != t &&
+            !(f.dataType.isInstanceOf[NumericType] && t.isInstanceOf[NumericType]) =>
+          s"'${f.name}' (source ${f.dataType.simpleString} vs target ${t.simpleString})"
+      }
+    }
+    require(bad.isEmpty,
+      s"dataset '${params.datasetName}': irreconcilable source/target column types — " +
+        s"cast upstream or exclude the column: ${bad.mkString(", ")}")
+  }
+
   /** select → drop, as the reference applies them (`comparison_job.py:38-39`). */
   private def project(df: DataFrame, params: DatasetParams): DataFrame = {
     val selected =
@@ -519,6 +547,7 @@ object Comparison {
     val keyColumns = keyCols.map(col)
     val projectedSrc = project(sourceDf, params)
     val projectedTgt = project(targetDf, params)
+    requireComparableTypes(projectedSrc, projectedTgt, params)
     // Deterministic schema order, derived post-projection (SURVEY §2.10.1-2).
     val nonKeyCols = projectedSrc.columns.toSeq.filterNot(keyCols.contains)
     val nonKeyFields =

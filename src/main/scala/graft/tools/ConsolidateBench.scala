@@ -78,8 +78,12 @@ object ConsolidateBench {
         val slice = embs.filter(col("vec_id") % n === i).select("vec_id", "label")
         val tgt =
           if (i % 3 == 0)
+            // perturb WITHIN the column's integer type: a string literal
+            // here changes the target column's TYPE, which the engine now
+            // rejects loudly upfront (requireComparableTypes) — this bench
+            // measures consolidation cost, not the type guard
             slice.withColumn("label",
-              when(col("vec_id") % 5 === 0, lit("perturbed")).otherwise(col("label")))
+              when(col("vec_id") % 5 === 0, col("label") + lit(7777)).otherwise(col("label")))
           else slice
         (slice, tgt, DatasetParams(s"ds_$i", Seq("vec_id")))
       }

@@ -447,6 +447,28 @@ class ComparisonSpec extends SparkSpec {
     res.unpersist(); dirty.unpersist()
   }
 
+  test("irreconcilable column types fail loudly upfront; numeric width mixes stay legal") {
+    import org.apache.spark.sql.functions.col
+    val src = Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "n", "s")
+    // string-vs-bigint on a non-key column: must be an upfront
+    // IllegalArgumentException naming the column and both types, never an
+    // executor-deep ANSI CAST_INVALID_INPUT (the 50-dataset consolidation
+    // bench died mid-stage on exactly this before the guard)
+    val badTgt = src.withColumn("s", col("id"))
+    val e = intercept[IllegalArgumentException] {
+      Comparison.compareDataFrames(spark, src, badTgt, DatasetParams("bad", Seq("id")))
+    }
+    assert(e.getMessage.contains("'s'") && e.getMessage.contains("string") &&
+      e.getMessage.contains("bigint"), e.getMessage)
+    // int-vs-bigint on a non-key column: legal (tolerance subtracts on the
+    // coerced wider type); equal values still match
+    val wideTgt = src.withColumn("n", col("n").cast("bigint"))
+    val res = Comparison.compareDataFrames(spark, src, wideTgt, DatasetParams("wide", Seq("id")))
+    val o = res.overallTestReport.collect().head
+    assert(o.getAs[String]("test_status") == "PASSED", o.toString)
+    res.unpersist()
+  }
+
   test("composite primary keys and duplicate-key cross products") {
     val src = Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c"), (2L, 1, "c"))
       .toDF("k1", "k2", "v")
