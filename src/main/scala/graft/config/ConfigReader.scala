@@ -119,5 +119,6 @@ object ConfigReader {
         case other => throw new IllegalArgumentException(s"expected a list of dataset configs, got: $other")
       }).map(v => decodeDatasetConfig(sub(v))),
       outputConfig = decodeOutputConfig(sub(req(m, "output_config"))),
-      normalizeRowKeys = m.get("normalize_row_keys").map(bool).getOrElse(false))
+      normalizeRowKeys = m.get("normalize_row_keys").map(bool).getOrElse(false),
+      continueOnError = m.get("continue_on_error").map(bool).getOrElse(false))
 }

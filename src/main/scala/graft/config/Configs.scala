@@ -59,4 +59,13 @@ final case class ComparisonJobConfig(
     // primary-key columns into one `key_json` string in the row-level
     // report, so datasets with DIFFERENT key schemas consolidate. Default
     // false = reference parity (the positional union fails, SURVEY §2.10.10).
-    normalizeRowKeys: Boolean = false)
+    normalizeRowKeys: Boolean = false,
+    // Opt-in (JSON key "continue_on_error"): a dataset whose read or
+    // compare THROWS (missing path, corrupt parquet, irreconcilable
+    // types) no longer aborts the remaining datasets — it contributes one
+    // FAILED overall row and its error message to
+    // `ComparisonResult.failures`, and is absent from the row/col-level
+    // reports and extracts. Default false = reference parity: the first
+    // failure kills the whole job (the 50-dataset consolidation bench
+    // measured 15 datasets of work lost to one bad dataset mid-loop).
+    continueOnError: Boolean = false)

@@ -22,7 +22,10 @@ final case class ComparisonResult(
     rowLvlTestReport: DataFrame,
     colLvlTestReport: DataFrame,
     unmatchedRecords: Map[String, DataFrame],
-    private[graft] val cachedFrames: Seq[DataFrame] = Seq.empty) {
+    private[graft] val cachedFrames: Seq[DataFrame] = Seq.empty,
+    // datasetName -> error message, for datasets a continue_on_error job
+    // captured instead of aborting on (each also has a FAILED overall row).
+    failures: Map[String, String] = Map.empty) {
   def unpersist(): Unit = cachedFrames.foreach(_.unpersist())
 }
 
@@ -140,6 +143,45 @@ object Comparison {
   private def jsonRouted(dt: DataType, params: TestParams): Boolean =
     isNested(dt) && (params.canonicalizeNestedTypes || containsMap(dt))
 
+  /** Key-order canonicalization for map-bearing values. Map equality is
+    * SEMANTIC — `{a:1, b:2}` and `{b:2, a:1}` are the same map — but
+    * `to_json` renders entries in physical insertion order, so without
+    * canonicalization the JSON route would report semantically-equal maps
+    * built in different orders as unmatched (and checksum-mismatched).
+    * Entries sort by key via an explicit comparator (keys are unique and
+    * non-null, so the order is total; the comparator ignores the value,
+    * so unorderable VALUE types — nested maps — never break the sort),
+    * recursively through array elements, struct fields and map values.
+    *
+    * Documented limit: a map whose KEY type itself contains a map cannot
+    * sort (maps are unorderable in Spark, so `k1 < k2` would not
+    * resolve) — such pathological columns keep physical entry order at
+    * that level, canonicalizing beneath it.
+    */
+  private def canonMaps(c: Column, dt: DataType): Column = dt match {
+    case m: MapType =>
+      val valuesCanon =
+        if (containsMap(m.valueType)) transform_values(c, (_, v) => canonMaps(v, m.valueType))
+        else c
+      if (containsMap(m.keyType)) valuesCanon
+      else map_from_entries(array_sort(map_entries(valuesCanon), (l, r) =>
+        when(l("key") < r("key"), -1).when(l("key") > r("key"), 1).otherwise(0)))
+    case a: ArrayType if containsMap(a.elementType) =>
+      transform(c, x => canonMaps(x, a.elementType))
+    case s: StructType if containsMap(s) =>
+      // Rebuilding a struct loses its top-level NULL (struct() of NULL
+      // fields is a present struct of NULLs) — guard it explicitly.
+      when(c.isNull, lit(null).cast(s)).otherwise(
+        struct(s.fields.toSeq.map(f => canonMaps(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case _ => c
+  }
+
+  /** The engine's one JSON rendering: canonicalized (maps key-sorted) then
+    * `to_json` — checksum inputs, per-column predicates and unmatched
+    * extracts all agree on it.
+    */
+  private def jsonCanonical(c: Column, dt: DataType): Column = to_json(canonMaps(c, dt))
+
   /** Per-column match predicate (`comparison_job.py:19-34`): numerics match
     * within tolerance (NULL-vs-NULL numeric pairs yield NULL, kept — SURVEY
     * §2.10.4); everything else null-safe equality.
@@ -160,36 +202,127 @@ object Comparison {
       else (s <=> t) || withinTol
     }
     else if (jsonRouted(field.dataType, params))
-      to_json(s) <=> to_json(t)
+      jsonCanonical(s, field.dataType) <=> jsonCanonical(t, field.dataType)
     else s <=> t
   }
 
-  /** Fail LOUDLY — before any job runs — on column types the engine cannot
-    * compare. Without this, a source BIGINT vs target STRING column builds
-    * a plan whose per-column predicate and checksum coerce under ANSI
-    * semantics and blow up as a `CAST_INVALID_INPUT` deep inside an
-    * executor task (measured: the 50-dataset consolidation bench died
-    * mid-stage-505 on exactly this shape). The one legitimate mix is
-    * numeric-vs-numeric of different widths: the tolerance predicate
-    * subtracts on the coerced wider type losslessly, and the checksum
-    * hashes each SIDE's own representation (a width mix that matters
-    * surfaces as an unmatched row, never a crash). Both sides' MISSING
-    * columns are not this check's business — the downstream projection
-    * errors on those with Spark's own unresolved-column message.
+  /** Recursively force every nullability flag true. Two types equal under
+    * this normalization differ only in flags the engine's null-safe
+    * semantics never consult — `containsNull`/`valueContainsNull`/field
+    * `nullable` drift routinely across parquet round-trips and
+    * `withColumn` transforms and must neither reject a dataset nor force
+    * a no-op cast into the hot path.
     */
-  private def requireComparableTypes(
-      src: DataFrame, tgt: DataFrame, params: DatasetParams): Unit = {
-    val tgtTypes = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
-    val bad = src.schema.fields.toSeq.flatMap { f =>
-      tgtTypes.get(f.name).collect {
-        case t if f.dataType != t &&
-            !(f.dataType.isInstanceOf[NumericType] && t.isInstanceOf[NumericType]) =>
-          s"'${f.name}' (source ${f.dataType.simpleString} vs target ${t.simpleString})"
+  private def asNullable(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        StructField(f.name, asNullable(f.dataType), nullable = true, f.metadata)))
+    case a: ArrayType => ArrayType(asNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(asNullable(m.keyType), asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Widest-of-two numeric type, following Spark's own coercion order
+    * (byte < short < int < long < float < double; decimal-vs-integral
+    * widens to the covering decimal; decimal-vs-fractional goes to
+    * double). Integral results are LOSSLESS; the two lossy corners —
+    * long/decimal-vs-double, and a widened decimal capped at precision
+    * 38 — are exactly the coercions Spark's tolerance subtraction would
+    * perform anyway, so hashing the widened value never admits a false
+    * match the per-column predicate wouldn't also admit.
+    */
+  private val NumericPrecedence =
+    Seq[DataType](ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+
+  private def decimalFor(dt: DataType): DecimalType = dt match {
+    case d: DecimalType => d
+    case ByteType => DecimalType(3, 0)
+    case ShortType => DecimalType(5, 0)
+    case IntegerType => DecimalType(10, 0)
+    case LongType => DecimalType(20, 0)
+    case other => throw new IllegalStateException(s"no decimal widening for $other")
+  }
+
+  private def widerDecimal(a: DecimalType, b: DecimalType): DecimalType = {
+    val scale = math.max(a.scale, b.scale)
+    val intDigits = math.max(a.precision - a.scale, b.precision - b.scale)
+    DecimalType(math.min(intDigits + scale, DecimalType.MAX_PRECISION), scale)
+  }
+
+  private def widerNumeric(a: DataType, b: DataType): DataType = (a, b) match {
+    case _ if a == b => a
+    case (_: DecimalType, FloatType | DoubleType) => DoubleType
+    case (FloatType | DoubleType, _: DecimalType) => DoubleType
+    case (d: DecimalType, o) => widerDecimal(d, decimalFor(o))
+    case (o, d: DecimalType) => widerDecimal(decimalFor(o), d)
+    case _ =>
+      NumericPrecedence(
+        math.max(NumericPrecedence.indexOf(a), NumericPrecedence.indexOf(b)))
+  }
+
+  /** Least common comparable type of a source/target column pair, or None
+    * when the pair is irreconcilable (e.g. bigint vs string, or structs
+    * with different field names). Numeric width mixes reconcile to the
+    * wider type AT ANY NESTING DEPTH — `array<int>` vs `array<bigint>`
+    * widens to `array<bigint>` under the same rule that makes top-level
+    * int-vs-bigint legal — and nullability flags union rather than
+    * reject.
+    */
+  private def commonType(s: DataType, t: DataType): Option[DataType] = (s, t) match {
+    case _ if s == t => Some(s)
+    case (a: NumericType, b: NumericType) => Some(widerNumeric(a, b))
+    case (a: ArrayType, b: ArrayType) =>
+      commonType(a.elementType, b.elementType)
+        .map(ArrayType(_, a.containsNull || b.containsNull))
+    case (a: MapType, b: MapType) =>
+      for {
+        k <- commonType(a.keyType, b.keyType)
+        v <- commonType(a.valueType, b.valueType)
+      } yield MapType(k, v, a.valueContainsNull || b.valueContainsNull)
+    case (a: StructType, b: StructType)
+        if a.fields.map(_.name).sameElements(b.fields.map(_.name)) =>
+      val fieldTypes = a.fields.zip(b.fields).map { case (fa, fb) =>
+        commonType(fa.dataType, fb.dataType)
+          .map(ct => StructField(fa.name, ct, fa.nullable || fb.nullable))
       }
+      if (fieldTypes.forall(_.isDefined)) Some(StructType(fieldTypes.map(_.get)))
+      else None
+    case _ => None
+  }
+
+  /** Fail LOUDLY — before any job runs — on column types the engine cannot
+    * compare, and return the cast plan for the ones it can. Without the
+    * guard, a source BIGINT vs target STRING column builds a plan whose
+    * per-column predicate and checksum coerce under ANSI semantics and
+    * blow up as a `CAST_INVALID_INPUT` deep inside an executor task
+    * (measured: the 50-dataset consolidation bench died mid-stage-505 on
+    * exactly this shape). Reconcilable mixes — numeric widths at any
+    * nesting depth — return a `column -> commonType` cast entry applied
+    * to BOTH sides upfront, so the row checksums hash identical
+    * representations and a width-mixed but equal dataset keeps the
+    * clean-compare fast path (unwidened, `xxhash64(10: int)` ≠
+    * `xxhash64(10L)` would checksum-mismatch EVERY present key and force
+    * the full-width refetch over the whole corpus). Pairs equal modulo
+    * nullability flags need no cast at all. Both sides' MISSING columns
+    * are not this check's business — the downstream projection errors on
+    * those with Spark's own unresolved-column message.
+    */
+  private def reconcileTypes(
+      src: DataFrame, tgt: DataFrame, params: DatasetParams): Map[String, DataType] = {
+    val tgtTypes = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
+    val shared = src.schema.fields.toSeq.flatMap(f => tgtTypes.get(f.name).map(f -> _))
+    val bad = shared.collect {
+      case (f, t) if commonType(f.dataType, t).isEmpty =>
+        s"'${f.name}' (source ${f.dataType.simpleString} vs target ${t.simpleString})"
     }
     require(bad.isEmpty,
       s"dataset '${params.datasetName}': irreconcilable source/target column types — " +
         s"cast upstream or exclude the column: ${bad.mkString(", ")}")
+    shared.collect {
+      case (f, t) if asNullable(f.dataType) != asNullable(t) =>
+        f.name -> commonType(f.dataType, t).get
+    }.toMap
   }
 
   /** select → drop, as the reference applies them (`comparison_job.py:38-39`). */
@@ -260,7 +393,7 @@ object Comparison {
     val schemaByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val chkInputs = nonKeyCols.flatMap { c =>
       val dt = schemaByName(c)
-      if (jsonRouted(dt, params)) Seq(to_json(col(c)))
+      if (jsonRouted(dt, params)) Seq(jsonCanonical(col(c), dt))
       else if (isNested(dt)) Seq(isnull(col(c)).cast(IntegerType), col(c))
       else Seq(col(c))
     }
@@ -346,7 +479,9 @@ object Comparison {
       // ban as the checksum/predicate paths, see containsMap) — the JSON
       // text keeps the extract materializable with the same column names.
       def sideCol(name: String): Column =
-        if (containsMap(typeByName(name))) to_json(col(name)).as(name) else col(name)
+        if (containsMap(typeByName(name)))
+          jsonCanonical(col(name), typeByName(name)).as(name)
+        else col(name)
       s"$datasetName/$c" -> unmatchedRecords
         .where(!col(matchedCol(c)))
         .select(keyCols.map(col) :+ sideCol(srcCol(c)) :+ sideCol(tgtCol(c)): _*)
@@ -514,6 +649,26 @@ object Comparison {
       .toDF(DatasetNameCol, ColNameCol, UnmatchedRowsCountCol)
   }
 
+  /** One FAILED overall row for a dataset whose read or compare THREW —
+    * the `continue_on_error` capture shape. Zero counts are unambiguous:
+    * a genuinely empty dataset compares PASSED (0 == 0 == 0), so
+    * FAILED-with-zeros can only mean "this dataset never ran"; the error
+    * text travels in [[ComparisonResult.failures]].
+    */
+  private[graft] def failedOverallReport(
+      spark: SparkSession, datasetName: String): DataFrame = {
+    import spark.implicits._
+    Seq((
+      datasetName,
+      Map(SourceCol -> 0L, TargetCol -> 0L),
+      0L,
+      Map(SourceCol -> 0L, TargetCol -> 0L),
+      Map(SourceCol -> 0L, TargetCol -> 0L),
+      FailedStatus))
+      .toDF(DatasetNameCol, CountCol, MatchedCountCol, DuplicateCountCol,
+        MissingRowsCol, TestStatusCol)
+  }
+
   /** The core pipeline (`compare_dataframes`, `comparison_job.py:186-256`). */
   def compareDataFrames(
       spark: SparkSession,
@@ -545,9 +700,20 @@ object Comparison {
       params: DatasetParams): ComparisonResult = {
     val keyCols = params.primaryKeys
     val keyColumns = keyCols.map(col)
-    val projectedSrc = project(sourceDf, params)
-    val projectedTgt = project(targetDf, params)
-    requireComparableTypes(projectedSrc, projectedTgt, params)
+    val rawSrc = project(sourceDf, params)
+    val rawTgt = project(targetDf, params)
+    // Width-mixed columns (keys included — the slim sides' co-partitioning
+    // requires identical key types) cast to the common type on BOTH sides
+    // before anything hashes, joins or compares: checksum, predicate and
+    // extracts all see one representation, so width-mixed equal datasets
+    // keep the clean-compare fast path and the reports show the widened
+    // values the tolerance pass compares anyway.
+    val widen = reconcileTypes(rawSrc, rawTgt, params)
+    def widened(df: DataFrame): DataFrame =
+      if (widen.isEmpty) df
+      else df.withColumns(widen.map { case (c, t) => c -> col(c).cast(t) })
+    val projectedSrc = widened(rawSrc)
+    val projectedTgt = widened(rawTgt)
     // Deterministic schema order, derived post-projection (SURVEY §2.10.1-2).
     val nonKeyCols = projectedSrc.columns.toSeq.filterNot(keyCols.contains)
     val nonKeyFields =

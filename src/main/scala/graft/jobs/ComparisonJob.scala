@@ -118,18 +118,57 @@ object ComparisonJob {
     }
   }
 
+  /** Failure-isolation contract (pinned in ComparisonSpec):
+    *
+    *  - default (`continue_on_error` absent/false): FAIL-FAST, reference
+    *    parity — the first dataset whose read or compare throws aborts
+    *    the whole job, nothing is written;
+    *  - `continue_on_error = true`: each failing dataset is captured —
+    *    one FAILED overall row with zero counts
+    *    ([[Comparison.failedOverallReport]]; unambiguous, an empty
+    *    dataset compares PASSED), its error message under
+    *    [[ComparisonResult.failures]], and NO row/col-level rows or
+    *    extracts (those reports document per-row detail an unread
+    *    dataset does not have). If EVERY dataset fails there is nothing
+    *    to write and the job still throws, carrying the first error as
+    *    its cause.
+    */
   def runComparisonJob(spark: SparkSession, config: ComparisonJobConfig): ComparisonResult = {
     require(config.datasetConfigs.nonEmpty, "dataset_configs cannot be empty")
-    val results = config.datasetConfigs.map { dc =>
-      Comparison.compareDataFrames(
-        spark,
-        IoUtils.readDataframe(spark, dc.sourceConfig),
-        IoUtils.readDataframe(spark, dc.targetConfig),
-        dc.params)
-    }
-    val consolidated = consolidate(results, config.normalizeRowKeys)
-    writeResults(consolidated, config.jobName, config.outputConfig)
-    consolidated
+    val attempts: Seq[Either[(String, Throwable), ComparisonResult]] =
+      config.datasetConfigs.map { dc =>
+        def run() = Comparison.compareDataFrames(
+          spark,
+          IoUtils.readDataframe(spark, dc.sourceConfig),
+          IoUtils.readDataframe(spark, dc.targetConfig),
+          dc.params)
+        if (!config.continueOnError) Right(run())
+        else
+          try Right(run())
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] dataset '${dc.params.datasetName}' failed, continuing: $e")
+              Left(dc.params.datasetName -> e)
+          }
+      }
+    val failures = attempts.collect { case Left(f) => f }
+    val successes = attempts.collect { case Right(r) => r }
+    if (successes.isEmpty)
+      throw new IllegalStateException(
+        s"all ${attempts.size} datasets failed; first error (dataset " +
+          s"'${failures.head._1}') attached as cause",
+        failures.head._2)
+    val consolidated = consolidate(successes, config.normalizeRowKeys)
+    val withFailures =
+      if (failures.isEmpty) consolidated
+      else consolidated.copy(
+        overallTestReport = failures.foldLeft(consolidated.overallTestReport) {
+          case (acc, (name, _)) => acc.union(Comparison.failedOverallReport(spark, name))
+        },
+        failures = failures.map { case (n, e) => n -> String.valueOf(e.getMessage) }.toMap)
+    writeResults(withFailures, config.jobName, config.outputConfig)
+    withFailures
   }
 
   def runComparisonJob(spark: SparkSession, config: Map[String, Any]): ComparisonResult =

@@ -80,7 +80,7 @@ object ConsolidateBench {
           if (i % 3 == 0)
             // perturb WITHIN the column's integer type: a string literal
             // here changes the target column's TYPE, which the engine now
-            // rejects loudly upfront (requireComparableTypes) — this bench
+            // rejects loudly upfront (reconcileTypes) — this bench
             // measures consolidation cost, not the type guard
             slice.withColumn("label",
               when(col("vec_id") % 5 === 0, col("label") + lit(7777)).otherwise(col("label")))

@@ -146,6 +146,54 @@ class ComparisonSpec extends SparkSpec {
     }
   }
 
+  test("consolidation failure isolation: fail-fast by default, per-dataset capture under continue_on_error") {
+    val tmp = Files.createTempDirectory("graft-coe").toString
+    val good = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    good.write.mode("overwrite").parquet(s"$tmp/in/good")
+    def dsCfg(name: String, path: String): Map[String, Any] = Map(
+      "params" -> Map("dataset_name" -> name, "primary_keys" -> Seq("id")),
+      "source_config" -> Map("path" -> path),
+      "target_config" -> Map("path" -> path))
+    def jobCfg(coe: Boolean, dss: Map[String, Any]*): Map[String, Any] = Map(
+      "job_name" -> s"job_coe_$coe",
+      "dataset_configs" -> dss.toSeq,
+      "output_config" -> Map("output_dir" -> s"$tmp/out", "no_of_partitions" -> 1),
+      "continue_on_error" -> coe)
+    val goodDs = dsCfg("ok_a", s"$tmp/in/good")
+    val badDs = dsCfg("broken", s"$tmp/in/does_not_exist")
+    val goodDs2 = dsCfg("ok_b", s"$tmp/in/good")
+    // default: FAIL-FAST (reference parity) — the bad dataset aborts the job
+    intercept[Exception] {
+      ComparisonJob.runComparisonJob(spark, jobCfg(coe = false, goodDs, badDs, goodDs2))
+    }
+    // continue_on_error: the bad dataset becomes ONE FAILED overall row
+    // (zero counts — unambiguous, an empty dataset compares PASSED) plus
+    // a captured message; row/col reports carry only the successes
+    val r = ComparisonJob.runComparisonJob(spark, jobCfg(coe = true, goodDs, badDs, goodDs2))
+    val overall = r.overallTestReport.collect()
+      .map(row => row.getAs[String]("dataset_name") -> row.getAs[String]("test_status")).toMap
+    assert(overall == Map("ok_a" -> "PASSED", "ok_b" -> "PASSED", "broken" -> "FAILED"), overall)
+    val brokenRow = r.overallTestReport
+      .filter(org.apache.spark.sql.functions.col("dataset_name") === "broken")
+      .collect().head
+    assert(brokenRow.getAs[Long]("matched_count") == 0L)
+    assert(brokenRow.getAs[Map[String, Long]]("count") == Map("source" -> 0L, "target" -> 0L))
+    assert(r.failures.keySet == Set("broken") && r.failures("broken").nonEmpty)
+    val rowDatasets = r.rowLvlTestReport.collect().map(_.getAs[String]("dataset_name")).toSet
+    val colDatasets = r.colLvlTestReport.collect().map(_.getAs[String]("dataset_name")).toSet
+    assert(rowDatasets == Set("ok_a", "ok_b") && colDatasets == Set("ok_a", "ok_b"))
+    // the written overall report includes the FAILED row
+    val written = spark.read.parquet(s"$tmp/out/job_coe_true/overall_test_report")
+      .collect().map(_.getAs[String]("dataset_name")).toSet
+    assert(written == Set("ok_a", "ok_b", "broken"))
+    // every dataset failing still throws — nothing to write
+    val all = intercept[IllegalStateException] {
+      ComparisonJob.runComparisonJob(spark, jobCfg(coe = true, badDs))
+    }
+    assert(all.getMessage.contains("all 1 datasets failed") && all.getCause != null)
+    r.unpersist()
+  }
+
   test("selectCols/dropCols project BEFORE comparison — excluded columns cannot fail a run") {
     // value2 and value4 disagree for id 7; once value2 is dropped and
     // value4 is never selected, only (value, value3) are compared
@@ -460,13 +508,87 @@ class ComparisonSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("'s'") && e.getMessage.contains("string") &&
       e.getMessage.contains("bigint"), e.getMessage)
-    // int-vs-bigint on a non-key column: legal (tolerance subtracts on the
-    // coerced wider type); equal values still match
+    // int-vs-bigint on a non-key column: legal — both sides widen to
+    // bigint BEFORE hashing, so equal values checksum-match and the
+    // compare keeps the clean fast path (no phase-2 frames). Unwidened,
+    // xxhash64(10:int) ≠ xxhash64(10L) would mismatch EVERY key and run
+    // the full-width refetch over the whole corpus.
     val wideTgt = src.withColumn("n", col("n").cast("bigint"))
     val res = Comparison.compareDataFrames(spark, src, wideTgt, DatasetParams("wide", Seq("id")))
     val o = res.overallTestReport.collect().head
     assert(o.getAs[String]("test_status") == "PASSED", o.toString)
+    assert(res.cachedFrames.size == 4,
+      s"width-mixed equal dataset must keep the clean fast path: ${res.cachedFrames.size}")
     res.unpersist()
+  }
+
+  test("nullability drift never rejects; nested numeric widths widen; nested string mixes still reject") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    // array<int, containsNull=false> vs array<int, containsNull=true>:
+    // routine parquet/withColumn drift the null-safe compare handles fine —
+    // must neither throw (the r13 guard rejected it, printing two
+    // IDENTICAL type strings) nor mismatch
+    val strict = Seq(1L).toDF("id").select(col("id"), array(lit(1), lit(2)).as("arr"))
+    val loose = strict.select(col("id"),
+      col("arr").cast(ArrayType(IntegerType, containsNull = true)).as("arr"))
+    assert(!strict.schema("arr").dataType.asInstanceOf[ArrayType].containsNull &&
+      loose.schema("arr").dataType.asInstanceOf[ArrayType].containsNull,
+      "fixture must actually differ in containsNull")
+    val resNull = Comparison.compareDataFrames(spark, strict, loose,
+      DatasetParams("null_drift", Seq("id")))
+    assert(resNull.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    assert(resNull.cachedFrames.size == 4, "nullability-only drift keeps the clean fast path")
+    // array<int> vs array<bigint>: the top-level numeric-width allowance
+    // recurses into element types — widen, compare, clean fast path
+    val wide = strict.select(col("id"), col("arr").cast("array<bigint>").as("arr"))
+    val resWide = Comparison.compareDataFrames(spark, strict, wide,
+      DatasetParams("nested_width", Seq("id")))
+    assert(resWide.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    assert(resWide.cachedFrames.size == 4, "nested width mix keeps the clean fast path")
+    // array<int> vs array<string>: genuinely irreconcilable — upfront, loud
+    val bad = strict.select(col("id"), col("arr").cast("array<string>").as("arr"))
+    val e = intercept[IllegalArgumentException] {
+      Comparison.compareDataFrames(spark, strict, bad, DatasetParams("nested_bad", Seq("id")))
+    }
+    assert(e.getMessage.contains("'arr'") && e.getMessage.contains("array<int>") &&
+      e.getMessage.contains("array<string>"), e.getMessage)
+    resNull.unpersist(); resWide.unpersist()
+  }
+
+  test("map equality is key-order-insensitive (entries canonicalize sorted by key)") {
+    import org.apache.spark.sql.functions.{array, col, lit, map, struct}
+    // the same map built in two insertion orders is SEMANTICALLY equal —
+    // it must report MATCHED and keep the clean fast path (r13 rendered
+    // physical entry order through to_json and called these unmatched)
+    def side(sorted: Boolean) = Seq(1L).toDF("id").select(col("id"),
+      (if (sorted) map(lit("a"), lit(1), lit("b"), lit(2))
+       else map(lit("b"), lit(2), lit("a"), lit(1))).as("kv"))
+    val res = Comparison.compareDataFrames(spark, side(sorted = true), side(sorted = false),
+      DatasetParams("map_order", Seq("id")))
+    assert(res.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    assert(res.cachedFrames.size == 4,
+      "order-only map difference must keep the clean fast path")
+    // the same guarantee at depth: map inside a struct AND map as an
+    // array element
+    def nested(sorted: Boolean) = side(sorted).select(col("id"),
+      struct(col("kv").as("m"), lit(7).as("t")).as("payload"),
+      array(col("kv")).as("arr"))
+    val resN = Comparison.compareDataFrames(spark, nested(sorted = true), nested(sorted = false),
+      DatasetParams("map_order_nested", Seq("id")))
+    assert(resN.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    // genuinely different maps still mismatch, and the extract renders the
+    // canonical (key-sorted) JSON
+    def diff(v: Int) = Seq(1L).toDF("id").select(col("id"),
+      map(lit("z"), lit(9), lit("a"), lit(v)).as("kv"))
+    val resD = Comparison.compareDataFrames(spark, diff(1), diff(2),
+      DatasetParams("map_diff", Seq("id")))
+    assert(resD.overallTestReport.collect().head.getAs[String]("test_status") == "FAILED")
+    val ex = resD.unmatchedRecords("map_diff/kv").collect().head
+    assert(ex.getAs[String]("kv_src").indexOf("\"a\"") <
+      ex.getAs[String]("kv_src").indexOf("\"z\""),
+      s"extract must render key-sorted JSON: ${ex.getAs[String]("kv_src")}")
+    res.unpersist(); resN.unpersist(); resD.unpersist()
   }
 
   test("composite primary keys and duplicate-key cross products") {

@@ -14,6 +14,14 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
+if [ ! -d target/scala-2.13/classes ]; then
+  echo "jtool: target/scala-2.13/classes not found — run 'sbt compile' first" >&2
+  exit 1
+fi
+if ! ls /opt/spark/jars/spark-core_*.jar >/dev/null 2>&1; then
+  echo "jtool: no spark-core jar under /opt/spark/jars — check the Spark install" >&2
+  exit 1
+fi
 exec java $OPENS -Xmx"$HEAP" -Xms"$HEAP" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   ${GRAFT_TMPDIR:+-Djava.io.tmpdir=$GRAFT_TMPDIR} \
