@@ -56,6 +56,45 @@ object Bench {
     System.err.println(f"[bench] pre-touched ${n.toLong * chunk / (1L << 30)}%d GiB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 
+  /** Per-query JVM/engine vitals, measured over exactly the timed window:
+    * process-CPU seconds and GC ms as deltas, post-query heap / Spark
+    * storage-memory occupancy and cumulative codegen-compilation count as
+    * absolutes, plus the 1-minute system load. The shared-JVM driver
+    * sequence has repeatedly inflated a ROTATING band of queries 3-5×
+    * (r11 text, r12 profile/sample, r13 graph/stream) that fresh-JVM
+    * probes time at 1× on identical code, so each BENCH artifact now
+    * adjudicates itself: flat cpu/gc/storage with inflated wall means the
+    * host is not scheduling the JVM (contamination); monotonically
+    * growing storage/heap/gc across the sequence means an engine-side
+    * leak to hunt.
+    */
+  private final class Vitals(spark: SparkSession) {
+    private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    private val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    private def gcMsNow: Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    private def codegenCount: Long =
+      try org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      catch { case _: Throwable => -1L }
+    private var cpu0 = osBean.getProcessCpuTime
+    private var gc0 = gcMsNow
+    def reset(): Unit = { cpu0 = osBean.getProcessCpuTime; gc0 = gcMsNow }
+    def snapshot(): String = {
+      val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+      val gcDelta = gcMsNow - gc0
+      val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+      val storeMb =
+        try spark.sparkContext.statusTracker.getExecutorInfos
+          .map(e => e.usedOnHeapStorageMemory + e.usedOffHeapStorageMemory).sum >> 20
+        catch { case _: Throwable => -1L }
+      f"""{"cpu":$cpuSec%.2f,"gc_ms":$gcDelta,"heap_mb":$heapMb,"store_mb":$storeMb,"cg_n":$codegenCount,"load":${osBean.getSystemLoadAverage}%.1f}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0") preTouchHeap()
@@ -114,6 +153,8 @@ object Bench {
     }
     Queries.clearComparisonCache()
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val vitals = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val vt = new Vitals(spark)
     val expected = SparkEntry.queries.size
     // "complete" distinguishes a finished run from a crash-truncated mirror:
     // a partial mirror sums FEWER queries, which reads as a dramatically
@@ -122,7 +163,8 @@ object Bench {
     // same signal to consumers that only compare counts.
     def render(complete: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir","complete":$complete,"expected_queries":$expected}"""
+      val vs = vitals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"vitals":$vs,"sf":"$sfDir","complete":$complete,"expected_queries":$expected}"""
     }
     // Mirror partial timings after EVERY query (atomic rewrite): round 2's
     // JVM died mid-measurement and, because the mirror was written only at
@@ -146,10 +188,12 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch { case _: Throwable => () }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      vt.reset()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       results += name -> (System.nanoTime() - t0) / 1e9
+      vitals += name -> vt.snapshot()
       // Release ORPHANED iteration caches (pageRank / connectedComponents /
       // negativeSample localCheckpoints — RDD-level persistence CacheManager
       // never sees). Each catalog call builds fresh frames, so a finished
