@@ -494,9 +494,19 @@ object Comparison {
     * passes wasted); above it the key set is too large to ship as a join
     * hash table and the refetch goes through
     * [[graft.operators.Pruning.bloomPrunedSemiJoinMulti]] (~1.2 bytes/key
-    * at 3% fpp, scan-side filter + exact semi join).
+    * at 3% fpp, scan-side filter + exact semi join). The default is
+    * overridable per session via [[BroadcastMismatchKeysMaxConf]] — a
+    * deployment whose driver/executors carry more (or less) memory than
+    * the 1M-key hash table assumes can move the cutover without
+    * rebuilding, and the mismatch-rate sensitivity bench A/Bs both
+    * branches at every rate through exactly this knob.
     */
   private val BroadcastMismatchKeysMax = 1000000L
+  val BroadcastMismatchKeysMaxConf = "spark.graft.compare.broadcastMismatchKeysMax"
+
+  private def broadcastMismatchKeysMax(spark: SparkSession): Long =
+    spark.conf.getOption(BroadcastMismatchKeysMaxConf)
+      .map(_.toLong).getOrElse(BroadcastMismatchKeysMax)
 
   /** The FIRST (always-run) eager job: every slim report number — per-key
     * missing/checksum-matched/mismatch flags folded to totals, plus the
@@ -782,7 +792,7 @@ object Comparison {
           .select(keyColumns :+ (col("__chkm") === 1L).as(ChkMatchedKeyCol): _*)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val mkKeys = mkInfo.select(keyColumns: _*)
-        val broadcastable = mismatchKeyCount <= BroadcastMismatchKeysMax
+        val broadcastable = mismatchKeyCount <= broadcastMismatchKeysMax(spark)
         // The prune need not be exact here: the mkInfo inner join below is
         // an exact filter on the mismatch key set, so the Bloom path skips
         // the semi join's second shuffle of the pruned side and lets its
