@@ -174,7 +174,10 @@ object Graphs {
     // work is a geometric series bounded by O(|E|/fraction). Disabled when
     // `baseShrinkFraction <= 0` (the A/B lever — never changes results,
     // only which cache the probes scan).
-    val nodes0 = degs.count()
+    // the node count only feeds the shrink trigger — with the lever off it
+    // would be one wasted eager action per invocation (degs is already an
+    // eager localCheckpoint; nothing else needs the count)
+    val nodes0 = if (baseShrinkFraction > 0) degs.count() else 0L
     var liveBase = base
     var nodesAtShrink = nodes0
     var removedSinceShrink = 0L
