@@ -160,6 +160,11 @@ object Graphs {
     // graph that peels more than the bound in one round falls back to the
     // planner's choice, never worse than re-aggregating.
     val broadcastLowMax = 5000000L
+    // Base-shrink rebuilds gate on a TIGHTER bound than the probe
+    // broadcasts: a rebuild is pure optimization (skipping it never
+    // changes results), so it must only fire when it is nearly free —
+    // see the A/B numbers at the rebuild site below.
+    val RebuildSurvivorsMax = 1000000L
     // The decrement shuffle is O(|E|) TOTAL across all rounds, but each
     // round's two decrement probes still SCAN the cached base — on a
     // deep-peeling graph (hundreds of rounds) that residual rounds×O(|E|)
@@ -217,9 +222,28 @@ object Graphs {
         degs = next
         round += 1
         removedSinceShrink += lowCount
-        if (baseShrinkFraction > 0 &&
+        // The rebuild only fires when the survivor set is SMALL (≤
+        // [[RebuildSurvivorsMax]]): the r14 deep-peel A/B — an
+        // adversarial onion graph (9.06M nodes, 150 uniform layers, one
+        // layer peeled per round, fresh alternating JVMs) — measured the
+        // ungated lever 1.4-1.6× SLOWER than off (on {389.2, 386.8} s vs
+        // off {280.1, 236.1} s): above the broadcast bound each rebuild
+        // shuffled ~15M+ surviving edges, and even gated at the 5M
+        // broadcast bound the ~5M-id driver collect + 40 MB broadcast per
+        // rebuild still lost (321.0 s vs 262.6 s) against ~0.3 s/round of
+        // probe-scan saving. At ≤1M ids the rebuild is ~8 MB of broadcast
+        // and two narrow scans — cost ~0 even on the adversarial shape —
+        // while the payoff regime survives intact: real deep peels grind
+        // their long round tails over a small residual graph (most nodes
+        // drop early), exactly where survivors fit this bound and the
+        // per-round saving against the still-cached ORIGINAL base
+        // compounds. At the 100 TB end the asymmetry only widens: the
+        // per-round probe scan grows with |E| while the rebuild broadcast
+        // stays bounded by this constant.
+        val survivorsNow = nodesAtShrink - removedSinceShrink
+        if (baseShrinkFraction > 0 && survivorsNow <= RebuildSurvivorsMax &&
             removedSinceShrink >= baseShrinkFraction * nodesAtShrink) {
-          val survivors = nodesAtShrink - removedSinceShrink
+          val survivors = survivorsNow
           def survB(as: String): DataFrame = {
             val s = degs.select(col("n").as(as))
             if (survivors <= broadcastLowMax) broadcast(s) else s

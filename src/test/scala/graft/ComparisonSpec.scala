@@ -556,6 +556,30 @@ class ComparisonSpec extends SparkSpec {
     resNull.unpersist(); resWide.unpersist()
   }
 
+  test("numeric widening corners: decimal-vs-integral widens, decimal-vs-fractional goes to double") {
+    import org.apache.spark.sql.functions.col
+    // decimal(10,0) vs bigint: covering decimal — equal values keep the
+    // clean fast path (Spark's own coercion order, so the checksum admits
+    // exactly what the tolerance subtraction would)
+    val decSide = Seq((1L, "42")).toDF("id", "n")
+      .select(col("id"), col("n").cast("decimal(10,0)").as("n"))
+    val longSide = Seq((1L, 42L)).toDF("id", "n")
+    val r1 = Comparison.compareDataFrames(spark, decSide, longSide,
+      DatasetParams("dec_vs_long", Seq("id")))
+    assert(r1.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    assert(r1.cachedFrames.size == 4, "decimal-vs-integral equal values keep the clean path")
+    // decimal(12,2) vs double: double (decimal precision cannot absorb a
+    // fractional type) — equal values still clean
+    val dec2 = Seq((1L, "7.25")).toDF("id", "x")
+      .select(col("id"), col("x").cast("decimal(12,2)").as("x"))
+    val dbl = Seq((1L, 7.25)).toDF("id", "x")
+    val r2 = Comparison.compareDataFrames(spark, dec2, dbl,
+      DatasetParams("dec_vs_double", Seq("id")))
+    assert(r2.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    assert(r2.cachedFrames.size == 4, "decimal-vs-double equal values keep the clean path")
+    r1.unpersist(); r2.unpersist()
+  }
+
   test("map equality is key-order-insensitive (entries canonicalize sorted by key)") {
     import org.apache.spark.sql.functions.{array, col, lit, map, struct}
     // the same map built in two insertion orders is SEMANTICALLY equal —
