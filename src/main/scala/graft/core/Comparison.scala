@@ -494,14 +494,22 @@ object Comparison {
     * passes wasted); above it the key set is too large to ship as a join
     * hash table and the refetch goes through
     * [[graft.operators.Pruning.bloomPrunedSemiJoinMulti]] (~1.2 bytes/key
-    * at 3% fpp, scan-side filter + exact semi join). The default is
-    * overridable per session via [[BroadcastMismatchKeysMaxConf]] — a
-    * deployment whose driver/executors carry more (or less) memory than
-    * the 1M-key hash table assumes can move the cutover without
-    * rebuilding, and the mismatch-rate sensitivity bench A/Bs both
-    * branches at every rate through exactly this knob.
+    * at 3% fpp, scan-side filter + exact semi join).
+    *
+    * Where the default sits and why (r14 mismatch-rate sweep, sf10 =
+    * 15M keys/side, both branches FORCED at every rate in fresh JVMs):
+    * broadcast beat Bloom 1.9× at 150k mismatched keys (34.9 s vs
+    * 67.1 s) and STILL beat it 1.4× at 1.5M keys (35.5 s vs 50.7 s) —
+    * the r13 1M cutover was conservative by at least 1.5×. The binding
+    * constraint is memory, not speed: a single-long-key hash relation
+    * costs ~48 bytes/key, so 4M keys ≈ 200 MB — comfortably inside a
+    * 16 GB executor, and the broadcast cost is flat while Bloom always
+    * pays its filter build plus a second pass. Deployments with wide
+    * composite keys or smaller executors tune the cutover DOWN via
+    * [[BroadcastMismatchKeysMaxConf]]; the sweep bench A/Bs both
+    * branches through exactly that knob.
     */
-  private val BroadcastMismatchKeysMax = 1000000L
+  private val BroadcastMismatchKeysMax = 4000000L
   val BroadcastMismatchKeysMaxConf = "spark.graft.compare.broadcastMismatchKeysMax"
 
   private def broadcastMismatchKeysMax(spark: SparkSession): Long =
