@@ -189,6 +189,43 @@ object Queries {
         DatasetParams("orders_hotkey", Seq("o_orderkey")))
     }
 
+  // orders reshaped with a MAP column whose TARGET side inserts the same
+  // entries in the OPPOSITE order — the map key-order-insensitivity
+  // scenario. Maps are unordered: only keys ≡ 0 (mod 11), whose 'a' value
+  // is genuinely perturbed, may report unmatched. Without the engine's
+  // key-sorted canonicalization every row's to_json text differs and the
+  // whole report flips — the closed-form oracle below needs no map
+  // support in DuckDB at all, which is the point: the expected verdict is
+  // arithmetic in the key.
+  private def compareMapResult(s: SparkSession, d: String) =
+    memoizedCompare(s, d, "orders_map") {
+      val o = ord(s, d)
+      val k = col("o_orderkey")
+      val src = o.select(k, map(lit("a"), k % 7, lit("b"), k % 5).as("kv"))
+      val tgt = o.select(k,
+        map(
+          lit("b"), k % 5,
+          lit("a"), when(k % 11 === 0, k % 7 + 1).otherwise(k % 7)).as("kv"))
+      Comparison.compareDataFrames(s, src, tgt,
+        DatasetParams("orders_map", Seq("o_orderkey")))
+    }
+
+  // orders with the SOURCE customer column narrowed to INT vs the target's
+  // BIGINT — the width-mixed-schema scenario (a routine real-world drift:
+  // one writer tightened a type). The engine widens both sides upfront so
+  // equal values checksum-match; only keys ≡ 0 (mod 13), genuinely
+  // shifted by 1 on the target, may report unmatched.
+  private def compareWidenResult(s: SparkSession, d: String) =
+    memoizedCompare(s, d, "orders_widen") {
+      val o = ord(s, d)
+      val k = col("o_orderkey")
+      val src = o.select(k, col("o_custkey").cast("int").as("cust"))
+      val tgt = o.select(k,
+        (col("o_custkey") + when(k % 13 === 0, 1L).otherwise(0L)).as("cust"))
+      Comparison.compareDataFrames(s, src, tgt,
+        DatasetParams("orders_widen", Seq("o_orderkey")))
+    }
+
   // orders reshaped with a STRUCT column (status, priority) vs a copy with
   // dropped keys and perturbed struct fields — the struct-column
   // (nested-type canonicalization) engine scenario: the checksum and the
@@ -688,6 +725,14 @@ object Queries {
     // report (64×64 pairs per hot key collapse through the aggregate-then-
     // window duplicate count)
     "q_compare_hotkey" -> ((s, d) => compareHotkeyResult(s, d).rowLvlTestReport),
+
+    // map columns compared ORDER-INSENSITIVELY (same entries, opposite
+    // insertion order, must match; only genuinely-perturbed values flip)
+    "q_compare_map" -> ((s, d) => compareMapResult(s, d).rowLvlTestReport),
+
+    // width-mixed schema (int vs bigint) widened upfront: equal values
+    // match — and keep the clean fast path, pinned in ComparisonSpec
+    "q_compare_widen" -> ((s, d) => compareWidenResult(s, d).rowLvlTestReport),
 
     // EP1 multi-dataset consolidation: two engine runs (orders + embeddings
     // scenarios) positionally unioned, overall report flattened
@@ -3627,6 +3672,23 @@ object Queries {
         |  CAST(CASE WHEN o_orderkey % 9973 = 17 THEN 4095 ELSE 0 END AS BIGINT) AS duplicate_count,
         |  'PRESENT_IN_BOTH' AS missing_row_status,
         |  TRUE AS all_rows_matched
+        |FROM orders""".stripMargin,
+
+    // the expected verdicts are pure key arithmetic — deliberately: the
+    // oracle needs no map semantics, so the row is green ONLY if the
+    // engine's key-sorted canonicalization makes insertion order invisible
+    "q_compare_map" ->
+      """SELECT 'orders_map' AS dataset_name, o_orderkey,
+        |  CAST(0 AS BIGINT) AS duplicate_count,
+        |  'PRESENT_IN_BOTH' AS missing_row_status,
+        |  (o_orderkey % 11 <> 0) AS all_rows_matched
+        |FROM orders""".stripMargin,
+
+    "q_compare_widen" ->
+      """SELECT 'orders_widen' AS dataset_name, o_orderkey,
+        |  CAST(0 AS BIGINT) AS duplicate_count,
+        |  'PRESENT_IN_BOTH' AS missing_row_status,
+        |  (o_orderkey % 13 <> 0) AS all_rows_matched
         |FROM orders""".stripMargin,
 
     "q_compare_multi" ->
