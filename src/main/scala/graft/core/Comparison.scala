@@ -215,8 +215,13 @@ object Comparison {
     */
   private def asNullable(dt: DataType): DataType = dt match {
     case s: StructType =>
+      // Metadata.empty, not f.metadata: field metadata (parquet comments,
+      // annotations) drifts as routinely as nullability flags and is just
+      // as invisible to the comparison semantics — carrying it here made
+      // two otherwise-identical struct columns "different" and injected a
+      // no-op cast into the hot path, against this method's stated intent.
       StructType(s.fields.map(f =>
-        StructField(f.name, asNullable(f.dataType), nullable = true, f.metadata)))
+        StructField(f.name, asNullable(f.dataType), nullable = true, Metadata.empty)))
     case a: ArrayType => ArrayType(asNullable(a.elementType), containsNull = true)
     case m: MapType =>
       MapType(asNullable(m.keyType), asNullable(m.valueType), valueContainsNull = true)
@@ -244,10 +249,29 @@ object Comparison {
     case other => throw new IllegalStateException(s"no decimal widening for $other")
   }
 
+  /** Covering decimal of two decimals: max integer digits, max scale. When
+    * that needs more than 38 total digits, INTEGER DIGITS WIN and the scale
+    * shrinks to what fits (`decimal(38,20)` vs `bigint` → `decimal(38,18)`,
+    * not `decimal(38,20)`): `intDigits` is ≤38 by construction (both inputs
+    * fit in 38), so the upfront cast can never overflow. The alternative —
+    * keeping max scale and capping precision, Spark's pre-adjustment
+    * arithmetic — loses integer range instead, and an overflowing cast is
+    * the one failure mode this whole reconciliation exists to prevent:
+    * under non-ANSI the overflow becomes NULL before the checksum, so a
+    * present 19-digit bigint silently MATCHES a null on the other side;
+    * under ANSI (Spark 4's default) it throws deep in an executor task.
+    * The rounding of sub-scale fractional digits this trades for is the
+    * same lossy-coercion class as the long/decimal-vs-double corner
+    * documented on [[NumericPrecedence]] — and it applies to BOTH sides
+    * identically, so it can only forgive differences below the retained
+    * scale, exactly as Spark's own precision-loss-adjusted subtraction
+    * (`DecimalType.adjustPrecisionScale`) would in the tolerance pass.
+    */
   private def widerDecimal(a: DecimalType, b: DecimalType): DecimalType = {
     val scale = math.max(a.scale, b.scale)
     val intDigits = math.max(a.precision - a.scale, b.precision - b.scale)
-    DecimalType(math.min(intDigits + scale, DecimalType.MAX_PRECISION), scale)
+    if (intDigits + scale <= DecimalType.MAX_PRECISION) DecimalType(intDigits + scale, scale)
+    else DecimalType(DecimalType.MAX_PRECISION, DecimalType.MAX_PRECISION - intDigits)
   }
 
   private def widerNumeric(a: DataType, b: DataType): DataType = (a, b) match {
@@ -308,7 +332,7 @@ object Comparison {
     * are not this check's business — the downstream projection errors on
     * those with Spark's own unresolved-column message.
     */
-  private def reconcileTypes(
+  private[graft] def reconcileTypes(
       src: DataFrame, tgt: DataFrame, params: DatasetParams): Map[String, DataType] = {
     val tgtTypes = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
     val shared = src.schema.fields.toSeq.flatMap(f => tgtTypes.get(f.name).map(f -> _))

@@ -131,7 +131,10 @@ object ComparisonJob {
     *    extracts (those reports document per-row detail an unread
     *    dataset does not have). If EVERY dataset fails there is nothing
     *    to write and the job still throws, carrying the first error as
-    *    its cause.
+    *    its cause. Under this flag each dataset's lazy reports are also
+    *    FORCED inside its own try (see the loop body), so a deferred
+    *    compute failure is captured per-dataset instead of first
+    *    surfacing mid-consolidated-write and aborting everything.
     */
   def runComparisonJob(spark: SparkSession, config: ComparisonJobConfig): ComparisonResult = {
     require(config.datasetConfigs.nonEmpty, "dataset_configs cannot be empty")
@@ -144,7 +147,26 @@ object ComparisonJob {
           dc.params)
         if (!config.continueOnError) Right(run())
         else
-          try Right(run())
+          try {
+            val r = run()
+            // Force the dataset's LAZY outputs while still inside its own
+            // try: the row-level report and the unmatched extracts don't
+            // execute until writeResults, and by then the per-dataset
+            // frames are consolidated — a deferred failure (cache
+            // eviction forcing a source re-read that now errors, a
+            // transient storage fault) would abort the whole consolidated
+            // write and lose every completed dataset, which is exactly
+            // the outcome this flag exists to prevent. The count() fills
+            // the row report's persist (the write then reads the cache),
+            // and the extract counts run each lazy filter over the
+            // already-materialized tolerance frame — cheap cached scans,
+            // paid only under continue_on_error. Failures surfacing in
+            // the shared write itself (output-path I/O) remain job-level
+            // by design: they are not attributable to one dataset.
+            r.rowLvlTestReport.count()
+            r.unmatchedRecords.valuesIterator.foreach(_.count())
+            Right(r)
+          }
           catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(

@@ -11,9 +11,11 @@ import graft.config.DatasetParams
   * the mismatched keys by either a broadcast semi join (exact; driver
   * ships a key hash table) or a Bloom-pruned semi join (scan-side filter;
   * ~1.2 bytes/key), cutting over at
-  * [[graft.core.Comparison.BroadcastMismatchKeysMaxConf]] (default 1M
-  * keys). The ladder exercises only ~0% and ~28% mismatch scenarios, so
-  * the cutover's neighborhood was never measured — this tool runs ONE
+  * [[graft.core.Comparison.BroadcastMismatchKeysMaxConf]] (default 4M
+  * keys — raised from 1M by this tool's own r14 sweep, where forced
+  * broadcast still beat Bloom 1.4× at 1.5M keys). The ladder exercises
+  * only ~0% and ~28% mismatch scenarios, so the cutover's neighborhood
+  * was never measured before that sweep — this tool runs ONE
   * (rate, prune-mode) cell so a shell driver can sweep rates across the
   * boundary with BOTH branches forced at every rate, ladder-style (one
   * fresh JVM per cell).

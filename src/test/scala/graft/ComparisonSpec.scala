@@ -580,6 +580,74 @@ class ComparisonSpec extends SparkSpec {
     r1.unpersist(); r2.unpersist()
   }
 
+  test("decimal widening preserves INTEGER digits when 38 total digits don't fit") {
+    import org.apache.spark.sql.functions.col
+    // bigint vs decimal(38,20): max-int-digits 20 + max-scale 20 = 40 > 38.
+    // Keeping scale 20 (the old arithmetic) caps int digits at 18, so a
+    // 19-digit bigint OVERFLOWS the upfront cast — ANSI throws in an
+    // executor task, non-ANSI nulls the value and a present row silently
+    // matches a NULL. Integer digits must win: common type decimal(38,18).
+    // (a 19-digit value cannot even EXIST as decimal(38,20) — the overflow
+    // risk is entirely on the bigint side's upfront cast)
+    val big = 1234567890123456789L // 19 digits
+    val longSide = Seq((1L, big), (2L, 100L)).toDF("id", "n")
+    val decSide = Seq((1L, None: Option[String]), (2L, Some("100")))
+      .toDF("id", "n")
+      .select(col("id"), col("n").cast("decimal(38,20)").as("n"))
+    // row 1: present 19-digit value vs NULL — must report UNMATCHED. The
+    // old cast overflowed the bigint side to NULL first: ANSI (Spark 4
+    // default) threw deep in an executor task; non-ANSI silently matched
+    // NULL <=> NULL and reported the dataset PASSED.
+    val r1 = Comparison.compareDataFrames(spark, longSide, decSide,
+      DatasetParams("dec_overflow", Seq("id")))
+    val o1 = r1.overallTestReport.collect().head
+    assert(o1.getAs[String]("test_status") == "FAILED")
+    assert(o1.getAs[Long]("matched_count") == 1L, o1.toString)
+    val row1 = r1.rowLvlTestReport.filter(col("id") === 1L).collect().head
+    assert(!row1.getAs[Boolean]("all_rows_matched"), row1.toString)
+    // per-column count stays 0: value-vs-NULL under the numeric predicate
+    // is NULL-poisoned and counts 0, the reference's own semantics — the
+    // row-level and overall reports are where this failure surfaces
+    // the documented trade: differences BELOW the retained scale (here 18)
+    // round away on both sides — same lossy-coercion class as the
+    // decimal-vs-double corner, never a missed integer-digit difference
+    val tiny = Seq((1L, "1.00000000000000000001")).toDF("id", "n") // 10^-20
+      .select(col("id"), col("n").cast("decimal(38,20)").as("n"))
+    val one = Seq((1L, 1L)).toDF("id", "n")
+    val r3 = Comparison.compareDataFrames(spark, one, tiny,
+      DatasetParams("dec_subscale", Seq("id")))
+    assert(r3.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    r1.unpersist(); r3.unpersist()
+  }
+
+  test("struct-field metadata drift is normalized away — no cast, clean compare") {
+    import org.apache.spark.sql.{Row => SqlRow}
+    import org.apache.spark.sql.types._
+    // identical structs except inner-field metadata (parquet comment /
+    // annotation drift): must plan ZERO casts (reconcileTypes empty) and
+    // compare clean — the metadata is invisible to null-safe equality
+    def frame(withMeta: Boolean): org.apache.spark.sql.DataFrame = {
+      val meta =
+        if (withMeta) new MetadataBuilder().putString("comment", "drifted").build()
+        else Metadata.empty
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("st", StructType(Seq(
+          StructField("a", IntegerType, nullable = true, meta),
+          StructField("b", StringType, nullable = true))), nullable = true)))
+      spark.createDataFrame(
+        java.util.List.of(SqlRow(1L, SqlRow(7, "x"))), schema)
+    }
+    val src = frame(withMeta = false)
+    val tgt = frame(withMeta = true)
+    assert(Comparison.reconcileTypes(src, tgt, DatasetParams("meta", Seq("id"))).isEmpty,
+      "metadata-only drift must not inject a cast")
+    val res = Comparison.compareDataFrames(spark, src, tgt, DatasetParams("meta", Seq("id")))
+    assert(res.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED")
+    assert(res.cachedFrames.size == 4, "metadata-only drift keeps the clean fast path")
+    res.unpersist()
+  }
+
   test("map equality is key-order-insensitive (entries canonicalize sorted by key)") {
     import org.apache.spark.sql.functions.{array, col, lit, map, struct}
     // the same map built in two insertion orders is SEMANTICALLY equal —
