@@ -68,7 +68,7 @@ object Bench {
     * growing storage/heap/gc across the sequence means an engine-side
     * leak to hunt.
     */
-  private final class Vitals(spark: SparkSession) {
+  private[graft] final class Vitals(spark: SparkSession) {
     private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     private val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

@@ -13,12 +13,17 @@ import scala.jdk.CollectionConverters._
   * for 10× data at the sf10 rung) then fails the run instead of waiting
   * for a human to read the JSON.
   *
-  * Usage: `LadderGuard [--exclude <sfDirSubstr>:<q1,q2,…>]... <bound>
-  * <out.json> <rung1.json> <rung2.json> [...]` — `bound` is the max
-  * allowed wall-time ratio between consecutive rungs (rungs are 10× data
-  * steps by protocol, so a bound of 12 means "at most mildly
-  * superlinear"). Exit 1 + the violation list on stderr when any query
-  * crosses it.
+  * Usage: `LadderGuard [--exclude <sfDirSubstr>:<q1,q2,…>]...
+  * [--host-cpu-floor <cores>] <bound> <out.json> <rung1.json>
+  * <rung2.json> [...]` — `bound` is the max allowed wall-time ratio
+  * between consecutive rungs (rungs are 10× data steps by protocol, so a
+  * bound of 12 means "at most mildly superlinear"). Exit 1 + the
+  * violation list on stderr when any query crosses it. Rung files
+  * carrying per-query `vitals` (ScaleProbe emits them) get the
+  * [[hostExclusions]] pass first: a bound violation whose own vitals show
+  * the JVM was not being scheduled (process cpu under the floor per
+  * wall-second) is moved to `excluded` automatically, with the evidence
+  * on stderr and in the artifact.
   *
   * `--exclude` moves a query's measurement at the matching rung(s) from
   * the guarded `queries` map into the stage's `excluded` map: MEASURED,
@@ -64,7 +69,12 @@ object LadderGuard {
       totalSec: Double,
       queries: Seq[(String, Double)],
       missing: Seq[String] = Seq.empty,
-      excluded: Seq[(String, Double)] = Seq.empty)
+      excluded: Seq[(String, Double)] = Seq.empty,
+      // per-query vitals JSON (the ScaleProbe/Bench snapshot: process-cpu
+      // seconds, gc ms, heap/storage MB, codegen count, load) — carried
+      // verbatim into the committed ladder so every rung row can be
+      // host-vs-engine adjudicated from the artifact alone
+      vitals: Map[String, String] = Map.empty)
 
   /** Move each rung's `--exclude`-matched measurements from the guarded
     * `queries` into `excluded`. A rung matches a directive when its sfDir
@@ -84,6 +94,59 @@ object LadderGuard {
         r.copy(queries = kept, excluded = r.excluded ++ out)
       }
     }
+
+  /** Default [[hostExclusions]] floor: a timed window in which the process
+    * accumulated less than half a core-second per wall-second on a 32-thread
+    * local runner means the kernel was NOT scheduling this JVM — the r13/r14
+    * sys-spin pathology signature (92-93% system time, 34 runnable, process
+    * cpu near zero), never a healthy plan: even the most spill-bound query
+    * measured on this box sustains >1 core of process cpu. Tunable via
+    * `--host-cpu-floor` (0 disables) because the right floor is
+    * host-specific; the vitals stay in the artifact either way, so a
+    * disabled or mis-set floor still leaves the evidence for a human.
+    */
+  val DefaultHostCpuFloor = 0.5
+
+  /** Move bound-violating measurements whose OWN vitals prove the host was
+    * not scheduling the JVM (process cpu/wall under `cpuFloor`) from
+    * `queries` into `excluded` — the automated form of the bench-notes
+    * "measured on a poisoned host" adjudication, driven by in-artifact
+    * evidence instead of live vmstat + prose. Deliberately NARROW: only
+    * measurements that would otherwise FAIL the guard are touched (a
+    * passing row is never excluded), and only when vitals exist for the
+    * query; a violation with healthy cpu stays a violation. Returns the
+    * adjusted rungs plus one stderr line per exclusion.
+    */
+  def hostExclusions(
+      rungs: Seq[Rung], bound: Double, cpuFloor: Double): (Seq[Rung], Seq[String]) = {
+    if (cpuFloor <= 0.0) return (rungs, Seq.empty)
+    val mapper = new ObjectMapper()
+    val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val adjusted = rungs.zipWithIndex.map { case (r, i) =>
+      if (i == 0) r
+      else {
+        val base = rungs(i - 1).queries.toMap
+        val (out, kept) = r.queries.partition { case (q, t) =>
+          val violates = base.contains(q) && t >= 1.0 &&
+            t / math.max(base(q), NoiseFloorSec) > bound
+          violates && r.vitals.get(q).exists { v =>
+            try {
+              val n = mapper.readTree(v)
+              n.has("cpu") && n.get("cpu").asDouble() / t < cpuFloor
+            } catch { case scala.util.control.NonFatal(_) => false }
+          }
+        }
+        out.foreach { case (q, t) =>
+          val cpu = try mapper.readTree(r.vitals(q)).path("cpu").asDouble()
+            catch { case scala.util.control.NonFatal(_) => Double.NaN }
+          notes += f"$q: HOST-EXCLUDED at ${r.sfDir} ($t%.2f s wall, $cpu%.1f cpu-s = ${cpu / t}%.2f cores; " +
+            f"step ${t / math.max(base(q), NoiseFloorSec)}%.1fx > bound — vitals say the host was not scheduling the JVM)"
+        }
+        if (out.isEmpty) r else r.copy(queries = kept, excluded = r.excluded ++ out)
+      }
+    }
+    (adjusted, notes.toSeq)
+  }
 
   /** Violation lines for every consecutive-rung query growth above `bound`. */
   def violations(rungs: Seq[Rung], bound: Double): Seq[String] = {
@@ -157,7 +220,11 @@ object LadderGuard {
       if (!node.has("excluded")) Seq.empty[(String, Double)]
       else node.get("excluded").properties().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asDouble())
-    Rung(node.get("sf").asText(), node.get("value").asDouble(), qs, missing, excluded)
+    val vitals =
+      if (!node.has("vitals")) Map.empty[String, String]
+      else node.get("vitals").properties().asScala
+        .map(e => e.getKey -> e.getValue.toString).toMap
+    Rung(node.get("sf").asText(), node.get("value").asDouble(), qs, missing, excluded, vitals)
   }
 
   def ladderJson(rungs: Seq[Rung], bound: Double): String = {
@@ -170,16 +237,21 @@ object LadderGuard {
       val excl =
         if (r.excluded.isEmpty) ""
         else s""","excluded":${qmap(r.excluded)}"""
-      s"""{"sf_dir":${Jsons.str(r.sfDir)},"total_sec":${r.totalSec},"queries":${qmap(r.queries)}$miss$excl}"""
+      val vits =
+        if (r.vitals.isEmpty) ""
+        else s""","vitals":${r.vitals.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${Jsons.str(k)}:$v" }.mkString("{", ",", "}")}"""
+      s"""{"sf_dir":${Jsons.str(r.sfDir)},"total_sec":${r.totalSec},"queries":${qmap(r.queries)}$miss$excl$vits}"""
     }
     s"""{"metric":"scale_ladder","unit":"sec","protocol":"ScaleProbe per rung (fresh JVM, cold shuffles) + LadderGuard bound ${bound}x per 10x step; 'excluded' = measured but exempt from the bound, 'missing' = attempted but lost","stages":[${rungs.map(stage).mkString(",")}]}"""
   }
 
   def main(args: Array[String]): Unit = {
     val usage = "usage: LadderGuard [--exclude <sfDirSubstr>:<q1,q2,...>]... " +
-      "<bound> <out.json> <rung1.json> <rung2.json> [...]"
+      "[--host-cpu-floor <cores>] <bound> <out.json> <rung1.json> <rung2.json> [...]"
     var rest = args.toSeq
     val directives = scala.collection.mutable.ArrayBuffer.empty[(String, Set[String])]
+    var hostCpuFloor = DefaultHostCpuFloor
     while (rest.headOption.exists(_.startsWith("--"))) {
       rest.head match {
         case "--exclude" =>
@@ -190,6 +262,10 @@ object LadderGuard {
             s"--exclude wants <sfDirSubstr>:<q1,q2,...>, got: $spec")
           directives += spec.substring(0, i) ->
             spec.substring(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+          rest = rest.drop(2)
+        case "--host-cpu-floor" =>
+          require(rest.size >= 2, usage)
+          hostCpuFloor = rest(1).toDouble
           rest = rest.drop(2)
         case other =>
           System.err.println(s"unknown flag: $other\n$usage")
@@ -205,7 +281,9 @@ object LadderGuard {
       require(probe.nonEmpty, s"$f: no scale_probe JSON line")
       parseRung(probe.last)
     }
-    val rungs = applyExclusions(parsed, directives.toSeq)
+    val manual = applyExclusions(parsed, directives.toSeq)
+    val (rungs, hostNotes) = hostExclusions(manual, bound, hostCpuFloor)
+    hostNotes.foreach(n => System.err.println("  [guard-host-excluded] " + n))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out), ladderJson(rungs, bound))
     exemptions(rungs, bound).foreach(e => System.err.println("  [guard-exempt] " + e))

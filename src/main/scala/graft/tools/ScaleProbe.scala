@@ -16,7 +16,10 @@ import org.apache.spark.sql.SparkSession
   * is timed. The fresh instance matters: re-counting the SAME DataFrame
   * skips every map stage whose shuffle files survive from the warm run,
   * which silently measures only the result stage (~6× too fast on shuffle
-  * queries). One JSON line on stdout.
+  * queries). One JSON line on stdout, carrying per-query `vitals` (the
+  * [[graft.Bench.Vitals]] snapshot over exactly the timed window) so every
+  * rung measurement is host-vs-engine adjudicable from the artifact alone —
+  * [[LadderGuard]] reads them to auto-exclude host-starved violations.
   *
   * `--isolate` runs EVERY query in its own child JVM (same classpath,
   * same --add-opens/-Xmx, warm+timed inside the child) and merges the
@@ -82,7 +85,7 @@ object ScaleProbe {
     * shuffle dirs to this sweep, which the previous diff-the-shared-tmpdir
     * approach could not guarantee.
     */
-  private def runChild(sfDir: String, name: String): Option[(Double, String)] = {
+  private def runChild(sfDir: String, name: String): Option[(Double, Option[String])] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -104,12 +107,21 @@ object ScaleProbe {
     val rc = p.waitFor()
     deleteRecursively(scratch)
     if (rc != 0) { System.err.println(s"[scaleprobe] child $name rc=$rc"); return None }
-    // extract this query's seconds from the child's one-line JSON
-    val m = java.util.regex.Pattern
-      .compile("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.Ee+-]+)")
-      .matcher(out)
-    if (!m.find()) { System.err.println(s"[scaleprobe] child $name: no result in: $out"); None }
-    else Some((m.group(1).toDouble, out))
+    // parse this query's seconds — and its vitals, when the child emitted
+    // them — from the child's one-line JSON
+    try {
+      val line = out.linesIterator.find(_.contains("\"metric\":\"scale_probe\""))
+      if (line.isEmpty) { System.err.println(s"[scaleprobe] child $name: no result in: $out"); return None }
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line.get)
+      val q = node.path("queries").path(name)
+      if (q.isMissingNode) { System.err.println(s"[scaleprobe] child $name: no result in: $out"); return None }
+      val vit = node.path("vitals").path(name)
+      Some((q.asDouble(), if (vit.isMissingNode) None else Some(vit.toString)))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scaleprobe] child $name: unparseable output ($e): $out")
+        None
+    }
   }
 
   /** Fault every parquet byte under `dir` back into the OS page cache
@@ -163,10 +175,12 @@ object ScaleProbe {
     }
     if (isolate) {
       val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val vitals = scala.collection.mutable.LinkedHashMap.empty[String, String]
       names.foreach { n =>
         if (precache) precacheParquet(sfDir)
-        runChild(sfDir, n).foreach { case (sec, _) =>
+        runChild(sfDir, n).foreach { case (sec, vit) =>
           results += n -> sec
+          vit.foreach(vitals += n -> _)
           System.err.println(f"[scaleprobe] $n%-26s $sec%8.2f s  (isolated)")
         }
       }
@@ -180,9 +194,10 @@ object ScaleProbe {
       val missing = names.filterNot(results.contains)
       missing.foreach(q => System.err.println(s"[scaleprobe] MISSING: $q (child failed; see stderr above)"))
       val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }.mkString("{", ",", "}")
+      val vs = vitals.map { case (k, v) => Jsons.str(k) + ":" + v }.mkString("{", ",", "}")
       val missJson = missing.map(Jsons.str).mkString("[", ",", "]")
       println(s"""{"metric":"scale_probe","unit":"sec","value":${results.values.sum},""" +
-        s""""queries":$qs,"sf":${Jsons.str(sfDir)},"n_queries":${results.size},""" +
+        s""""queries":$qs,"vitals":$vs,"sf":${Jsons.str(sfDir)},"n_queries":${results.size},""" +
         s""""missing":$missJson,"isolated":true}""")
       if (missing.nonEmpty) sys.exit(3)
       return
@@ -211,6 +226,13 @@ object ScaleProbe {
     // recompute either way — only the pre-touch differs.
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0"
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Per-query vitals over exactly the timed window — the same snapshot
+    // the driver bench commits (graft.Bench.Vitals), so ladder rungs are
+    // self-adjudicating: inflated wall + flat cpu/gc = the host was not
+    // scheduling this JVM (LadderGuard reads these and host-excludes
+    // automatically); growing heap/storage across a rung = engine state.
+    val vitals = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val vt = new graft.Bench.Vitals(spark)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       if (warm) fn(spark, sfDir).queryExecution.toRdd.count() // warm (separate lineage)
@@ -226,9 +248,11 @@ object ScaleProbe {
       // triggered mid-measurement charges the previous instance's heap to
       // the timed one (observed as multi-second stalls in the sf10 ladder).
       System.gc()
+      vt.reset()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       results += name -> (System.nanoTime() - t0) / 1e9
+      vitals += name -> vt.snapshot()
       System.err.println(f"[scaleprobe] $name%-26s ${results(name)}%8.2f s  ($n rows)")
       // and release what the timed instance itself left behind, so query k
       // does not inherit query k-1's heap (the in-JVM accumulation that
@@ -240,8 +264,9 @@ object ScaleProbe {
       System.gc()
     }
     val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }.mkString("{", ",", "}")
+    val vs = vitals.map { case (k, v) => Jsons.str(k) + ":" + v }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","unit":"sec","value":${results.values.sum},""" +
-      s""""queries":$qs,"sf":${Jsons.str(sfDir)},"n_queries":${results.size}}""")
+      s""""queries":$qs,"vitals":$vs,"sf":${Jsons.str(sfDir)},"n_queries":${results.size}}""")
   }
 }

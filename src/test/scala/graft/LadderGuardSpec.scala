@@ -154,4 +154,48 @@ class LadderGuardSpec extends AnyFunSuite {
     assert(node.get("stages").size() == 1)
     assert(node.get("stages").get(0).get("queries").get("q_b").asDouble() == 4.25)
   }
+
+  test("vitals survive parse -> merge into the committed ladder") {
+    val line = """{"metric":"scale_probe","unit":"sec","value":5.5,""" +
+      """"queries":{"q_a":5.5},""" +
+      """"vitals":{"q_a":{"cpu":42.10,"gc_ms":7,"heap_mb":900,"store_mb":120,"cg_n":55,"load":3.1}},""" +
+      """"sf":"/tmp/x","n_queries":1}"""
+    val r = LadderGuard.parseRung(line)
+    assert(r.vitals.contains("q_a"), r.vitals)
+    val merged = LadderGuard.ladderJson(Seq(r), 12.0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(merged)
+    val stage = node.get("stages").get(0)
+    assert(stage.has("vitals"), merged)
+    assert(stage.get("vitals").get("q_a").get("cpu").asDouble() == 42.10)
+    // a vitals-free rung carries no vitals key — old rung files still merge
+    val bare = LadderGuard.ladderJson(Seq(r.copy(vitals = Map.empty)), 12.0)
+    assert(!new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bare).get("stages").get(0).has("vitals"))
+  }
+
+  test("host-cpu exclusion fires ONLY on bound violations whose vitals show a starved JVM") {
+    def vit(cpu: Double) =
+      s"""{"cpu":$cpu,"gc_ms":10,"heap_mb":900,"store_mb":100,"cg_n":50,"load":30.0}"""
+    val base = Rung("/sf10", 30.0,
+      Seq("q_starved" -> 10.0, "q_real" -> 10.0, "q_ok" -> 10.0))
+    val next = Rung("/sf100", 600.0,
+      // q_starved: 20x step, 5 cpu-s over 200 s wall = 0.025 cores -> host
+      // q_real:    20x step, 400 cpu-s over 200 s = 2 cores -> genuine violation
+      // q_ok:      8x step under the bound, ALSO starved-looking -> untouched
+      Seq("q_starved" -> 200.0, "q_real" -> 200.0, "q_ok" -> 80.0),
+      vitals = Map("q_starved" -> vit(5.0), "q_real" -> vit(400.0), "q_ok" -> vit(1.0)))
+    val (adj, notes) = LadderGuard.hostExclusions(Seq(base, next), 12.0, 0.5)
+    assert(notes.size == 1 && notes.head.startsWith("q_starved:"), notes.mkString("; "))
+    assert(adj(1).excluded.map(_._1) == Seq("q_starved"))
+    assert(adj(1).queries.map(_._1).toSet == Set("q_real", "q_ok"))
+    // the genuine violation still fails the guard after the host pass
+    assert(LadderGuard.violations(adj, 12.0).exists(_.startsWith("q_real:")))
+    // floor 0 disables the pass entirely
+    val (off, none) = LadderGuard.hostExclusions(Seq(base, next), 12.0, 0.0)
+    assert(none.isEmpty && off(1).excluded.isEmpty)
+    // a violation WITHOUT vitals is never auto-excused
+    val blind = next.copy(vitals = Map.empty)
+    val (adj2, notes2) = LadderGuard.hostExclusions(Seq(base, blind), 12.0, 0.5)
+    assert(notes2.isEmpty && adj2(1).excluded.isEmpty)
+  }
 }
