@@ -226,6 +226,43 @@ object Queries {
         DatasetParams("orders_widen", Seq("o_orderkey")))
     }
 
+  // EP1 failure isolation through the FULL config-driven job: three
+  // file-backed datasets under continue_on_error=true, the middle one
+  // irreconcilable (double vs string o_totalprice — reconcileTypes throws
+  // upfront). The job must keep going: the clean dataset reports PASSED,
+  // the value-drifted one FAILED with arithmetic counts, and the broken
+  // one contributes exactly the FAILED-with-zeros capture row — all three
+  // landing in ONE consolidated overall report, which DuckDB predicts
+  // with pure key arithmetic. Fixtures are written fresh from the orders
+  // table (same derivation the oracle replays), so the scenario also
+  // exercises read-back through IoUtils rather than in-memory frames.
+  private def compareFailisolResult(s: SparkSession, d: String) =
+    memoizedCompare(s, d, "failisol") {
+      val work = java.nio.file.Files.createTempDirectory("graft-failisol").toString
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val k = col("o_orderkey")
+      o.write.mode("overwrite").parquet(s"$work/src")
+      o.withColumn("o_totalprice",
+          when(k % 101 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .write.mode("overwrite").parquet(s"$work/tgt_drift")
+      o.withColumn("o_totalprice", col("o_totalprice").cast("string"))
+        .write.mode("overwrite").parquet(s"$work/tgt_badtype")
+      def ds(name: String, tgt: String) = graft.config.DatasetConfig(
+        DatasetParams(name, Seq("o_orderkey")),
+        graft.config.DataframeConfig(s"$work/src"),
+        graft.config.DataframeConfig(s"$work/$tgt"))
+      graft.jobs.ComparisonJob.runComparisonJob(s, graft.config.ComparisonJobConfig(
+        jobName = "failisol",
+        datasetConfigs = Seq(
+          ds("orders_ok", "src"),
+          // deliberately in the MIDDLE: datasets after the failure must run
+          ds("orders_badtype", "tgt_badtype"),
+          ds("orders_drift", "tgt_drift")),
+        outputConfig = graft.config.OutputConfig(s"$work/out"),
+        continueOnError = true))
+    }
+
   // orders reshaped with a STRUCT column (status, priority) vs a copy with
   // dropped keys and perturbed struct fields — the struct-column
   // (nested-type canonicalization) engine scenario: the checksum and the
@@ -733,6 +770,20 @@ object Queries {
     // width-mixed schema (int vs bigint) widened upfront: equal values
     // match — and keep the clean fast path, pinned in ComparisonSpec
     "q_compare_widen" -> ((s, d) => compareWidenResult(s, d).rowLvlTestReport),
+
+    // EP1 continue_on_error isolation: one irreconcilable dataset of three
+    // contributes a FAILED-with-zeros row while the other two complete
+    "q_compare_failisol" -> ((s, d) =>
+      compareFailisolResult(s, d).overallTestReport.select(
+        col("dataset_name"),
+        col("count").getItem("source").as("source_count"),
+        col("count").getItem("target").as("target_count"),
+        col("matched_count"),
+        col("duplicate_count").getItem("source").as("source_duplicate_count"),
+        col("duplicate_count").getItem("target").as("target_duplicate_count"),
+        col("missing_rows").getItem("source").as("source_missing_rows"),
+        col("missing_rows").getItem("target").as("target_missing_rows"),
+        col("test_status"))),
 
     // EP1 multi-dataset consolidation: two engine runs (orders + embeddings
     // scenarios) positionally unioned, overall report flattened
@@ -3690,6 +3741,37 @@ object Queries {
         |  'PRESENT_IN_BOTH' AS missing_row_status,
         |  (o_orderkey % 13 <> 0) AS all_rows_matched
         |FROM orders""".stripMargin,
+
+    // three overall rows, all pure key arithmetic: the clean dataset
+    // PASSES with full counts, the %101-drifted one FAILS with
+    // count-minus-drifted matched, and the irreconcilable one is the
+    // engine's FAILED-with-zeros capture shape (zeros are unambiguous —
+    // an empty dataset compares PASSED, so this row can only mean "never
+    // ran")
+    "q_compare_failisol" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM orders),
+        |     m AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT 'orders_ok' AS dataset_name,
+        |  (SELECT c FROM n) AS source_count,
+        |  (SELECT c FROM n) AS target_count,
+        |  (SELECT c FROM n) AS matched_count,
+        |  CAST(0 AS BIGINT) AS source_duplicate_count,
+        |  CAST(0 AS BIGINT) AS target_duplicate_count,
+        |  CAST(0 AS BIGINT) AS source_missing_rows,
+        |  CAST(0 AS BIGINT) AS target_missing_rows,
+        |  'PASSED' AS test_status
+        |UNION ALL
+        |SELECT 'orders_badtype',
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), 'FAILED'
+        |UNION ALL
+        |SELECT 'orders_drift',
+        |  (SELECT c FROM n), (SELECT c FROM n),
+        |  (SELECT c FROM n) - (SELECT c FROM m),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT),
+        |  CASE WHEN (SELECT c FROM m) = 0 THEN 'PASSED' ELSE 'FAILED' END""".stripMargin,
 
     "q_compare_multi" ->
       (cmpCte +

@@ -26,15 +26,27 @@ import graft.config.DatasetParams
   * measured work is exactly checksum scan + slim join + refetch of
   * |keys|/denom keys + tolerance pass.
   *
-  * Usage: `MismatchSweep <sfDir> <denom> <auto|broadcast|bloom>` — prints
-  * one JSON line with wall seconds, the mismatch-key count, and the mode.
+  * Usage: `MismatchSweep <sfDir> <denom> <auto|broadcast|bloom>
+  * [simple|composite]` — prints one JSON line with wall seconds, the
+  * mismatch-key count, and the mode. `composite` runs the identical
+  * scenario with a 3-column primary key (o_orderkey, o_custkey,
+  * o_orderstatus — still unique, since o_orderkey alone is): the r14
+  * sweep that set the 4M cutover used single-long keys, and a composite
+  * key multiplies the broadcast hash-relation's bytes/row, so the
+  * cutover's memory arithmetic needs its own forced-branch measurement
+  * at the boundary.
   */
 object MismatchSweep {
   def main(args: Array[String]): Unit = {
-    val (sfDir, denom, mode) = args match {
-      case Array(d, dn, m) if Set("auto", "broadcast", "bloom")(m) => (d, dn.toLong, m)
+    val (sfDir, denom, mode, keymode) = args match {
+      case Array(d, dn, m) if Set("auto", "broadcast", "bloom")(m) =>
+        (d, dn.toLong, m, "simple")
+      case Array(d, dn, m, km) if Set("auto", "broadcast", "bloom")(m) &&
+          Set("simple", "composite")(km) =>
+        (d, dn.toLong, m, km)
       case _ =>
-        System.err.println("usage: MismatchSweep <sfDir> <denom> <auto|broadcast|bloom>")
+        System.err.println(
+          "usage: MismatchSweep <sfDir> <denom> <auto|broadcast|bloom> [simple|composite]")
         sys.exit(2)
         throw new IllegalStateException
     }
@@ -63,9 +75,12 @@ object MismatchSweep {
     val tgt = orders.withColumn(
       "o_totalprice",
       col("o_totalprice") + when(k % denom === 0, lit(1.0)).otherwise(lit(0.0)))
+    val pks =
+      if (keymode == "composite") Seq("o_orderkey", "o_custkey", "o_orderstatus")
+      else Seq("o_orderkey")
     val t0 = System.nanoTime()
     val res = graft.core.Comparison.compareDataFrames(
-      spark, orders, tgt, DatasetParams(s"sweep_$denom", Seq("o_orderkey")))
+      spark, orders, tgt, DatasetParams(s"sweep_$denom", pks))
     // consume the engine end-to-end the way the catalog rows do: the
     // eager stats jobs already ran inside compareDataFrames; the row-level
     // report is the one lazily-deferred consumer
@@ -76,6 +91,7 @@ object MismatchSweep {
     val total = overall.getAs[Map[String, Long]]("count")("source")
     res.unpersist()
     println(s"""{"metric":"mismatch_sweep","sec":$sec,"mode":${Jsons.str(mode)},""" +
+      s""""keymode":${Jsons.str(keymode)},""" +
       s""""denom":$denom,"keys":$total,"mismatch_keys":${total - matched},""" +
       s""""row_lvl_rows":$rowN,"sf":${Jsons.str(sfDir)}}""")
     spark.stop()

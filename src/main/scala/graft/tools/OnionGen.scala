@@ -29,19 +29,34 @@ import org.apache.spark.sql.functions._
   * Everything is closed-form from (i, j) — no randomness, so the A/B's
   * two cells read byte-identical inputs.
   *
-  * Usage: `OnionGen <outPath> <layers> <perLayer>` — writes an edge list
-  * (pa, pb) parquet that `KcoreAB <outPath> <on|off> 3 <layers+10>`
-  * consumes.
+  * The optional `bulkNodes` argument turns the onion into a COMET: that
+  * many extra degree-2 nodes, each with two edges into distinct core
+  * slots, all peeling in round 1. This is the shape the base-shrink
+  * lever's VALUE claim lives in — the uniform onion is the adversarial
+  * shape (live base stays large while rounds accumulate, rebuilds can
+  * only lose), while real deep peels drop most of the graph early and
+  * grind their long round tail over a small residual. With a 75M-node
+  * bulk over a 150 × 5k onion (~150M edges), survivors fall under the 1M
+  * rebuild gate after round 1: shrink-on then probes a ~1.5M-edge
+  * rebuilt base for 149 rounds where shrink-off scans the full ~152M-edge
+  * original cache every round — the rounds × O(|live base|) term the
+  * lever exists to cut, finally measured where it dominates.
+  *
+  * Usage: `OnionGen <outPath> <layers> <perLayer> [bulkNodes]` — writes
+  * an edge list (pa, pb) parquet that `KcoreAB <outPath> <on|off> 3
+  * <layers+10>` consumes.
   */
 object OnionGen {
   def main(args: Array[String]): Unit = {
-    val (out, layers, perLayer) = args match {
-      case Array(o, l, p) => (o, l.toInt, p.toInt)
+    val (out, layers, perLayer, bulkNodes) = args match {
+      case Array(o, l, p) => (o, l.toInt, p.toInt, 0L)
+      case Array(o, l, p, b) => (o, l.toInt, p.toInt, b.toLong)
       case _ =>
-        System.err.println("usage: OnionGen <outPath> <layers> <perLayer>")
+        System.err.println("usage: OnionGen <outPath> <layers> <perLayer> [bulkNodes]")
         sys.exit(2)
         throw new IllegalStateException
     }
+    require(bulkNodes >= 0, s"bulkNodes must be >= 0, got $bulkNodes")
     require(layers >= 2 && perLayer >= 8 && perLayer % 2 == 0,
       s"need layers >= 2 and even perLayer >= 8, got ($layers, $perLayer)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -74,12 +89,31 @@ object OnionGen {
       (lit(coreBase) + col("c")).as("pa"),
       (lit(coreBase) + (col("c") + d) % n).as("pb")))
       .reduce(_ unionByName _)
-    up.unionByName(up2).unionByName(core)
+    // comet bulk: node bulkBase+b sends two edges to distinct core slots
+    // (b and b+half mod n) — degree 2 < k, peels in round 1; the core's
+    // transient extra degree decrements away the same round and its
+    // internal circulant degree 6 keeps it in the k=3 core regardless
+    val bulkBase = (layers + 2).toLong * n
+    val onion = up.unionByName(up2).unionByName(core)
+    val all =
+      if (bulkNodes == 0L) onion
+      else {
+        val bulk = spark.range(bulkNodes)
+        val b1 = bulk.select(
+          (lit(bulkBase) + col("id")).as("pa"),
+          (lit(coreBase) + col("id") % n).as("pb"))
+        val b2 = bulk.select(
+          (lit(bulkBase) + col("id")).as("pa"),
+          (lit(coreBase) + (col("id") + half) % n).as("pb"))
+        onion.unionByName(b1).unionByName(b2)
+      }
+    all
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(out)
     val written = spark.read.parquet(out).count()
     println(s"""{"metric":"onion_gen","edges":$written,"layers":$layers,""" +
-      s""""per_layer":$perLayer,"expected_rounds":$layers,"core_nodes":$n}""")
+      s""""per_layer":$perLayer,"bulk_nodes":$bulkNodes,""" +
+      s""""expected_rounds":$layers,"core_nodes":$n}""")
     spark.stop()
   }
 }
