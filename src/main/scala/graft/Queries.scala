@@ -337,13 +337,32 @@ object Queries {
 
   /** Part co-occurrence edges (distinct part pairs sharing an order) — the
     * shared input of the q_graph_* queries.
+    *
+    * In-row pair emission (guide §2.3-2.4, optimization r15): the previous
+    * shape — `distinct()` on (order, part), then a self-join on the order
+    * key — paid one exchange of every distinct lineitem row for the
+    * distinct plus a second full exchange for the self-join, and only then
+    * handed the pair rows to the consumer's own canonicalization exchange.
+    * Baskets are small and bounded (avg 4.1, max 17 distinct parts/order at
+    * sf0.1; the TPC-H-shaped generator keeps that distribution flat as sf
+    * grows), so each order's pair set is emitted IN-ROW instead: scan →
+    * partial `collect_set` (map-side, so the one exchange carries ~one
+    * array row per order, not every lineitem row) → final set per order →
+    * explode the strictly-following pairs of the ascending-sorted item set.
+    * The pair multiset is IDENTICAL to the self-join's (sorted unique items;
+    * "y strictly follows x" ≡ `x.i < y.i`), pa < pb as before; 2 wide
+    * exchanges + join → 1 narrow exchange. Per-basket work stays O(k²) with
+    * k ≤ 17 — the same pairs the join emitted, minus the join machinery.
     */
-  private[graft] def partEdges(s: SparkSession, d: String): DataFrame = {
-    val parts = li(s, d).select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-    parts.as("x").join(parts.as("y"),
-        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .select(col("x.i").as("pa"), col("y.i").as("pb"))
-  }
+  private[graft] def partEdges(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), " +
+          "y -> named_struct('pa', x, 'pb', y))))")).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
 
   // ---- the catalog ------------------------------------------------------
 
