@@ -95,8 +95,39 @@ object Bench {
     }
   }
 
+  /** Scratch placement (optimization guide §6): shuffle files, streaming
+    * state/checkpoint dirs and per-query fixture temp dirs are ephemeral by
+    * construction, so they belong on the fastest LOCAL medium — on a
+    * production node the local NVMe SSD; on this sandbox the virtio disk
+    * behind /tmp writes at ~166 MB/s with ~14 ms small-file fsyncs
+    * (measured r15: `dd conv=fsync` + 4 KiB create/fsync loop) while tmpfs
+    * moves at 1.8 GB/s. The streaming rows alone pay 8 state partitions ×
+    * 4 RocksDB stores × 4 micro-batches of changelog commits per query —
+    * `q_stream_join` measured 22.6 s on /tmp scratch vs 9.4 s on tmpfs,
+    * identical rows. Parameterized: `SPARK_GRAFT_SCRATCH` overrides (point
+    * it at a local SSD path in production, or at /tmp to get the old
+    * behavior); default is tmpfs when writable — the sf0.1 suite's scratch
+    * footprint stays under 1 GiB, far below the 50%-of-RAM tmpfs bound.
+    * Set BEFORE the session builds: `spark.local.dir` defaults to
+    * `java.io.tmpdir`, so the one property moves shuffle dirs and the
+    * `Files.createTempDirectory` fixture/checkpoint dirs together.
+    */
+  private def pickScratch(): Option[String] = {
+    val chosen = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some("/dev/shm/graft-bench") else None
+    }
+    chosen.foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      System.setProperty("java.io.tmpdir", dir)
+    }
+    chosen
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scratch = pickScratch()
     if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0") preTouchHeap()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -220,6 +251,16 @@ object Bench {
     // failures (round-1's parse broke on sbt's "[info] " prefix); the
     // bare JSON line is printed LAST, after Spark is fully stopped.
     spark.stop()
+    // best-effort scratch cleanup: repeated runs must not accumulate
+    // fixture/checkpoint dirs on the (RAM-backed by default) scratch
+    scratch.filter(_ == "/dev/shm/graft-bench").foreach { dir =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }
     println(json)
     System.out.flush()
   }

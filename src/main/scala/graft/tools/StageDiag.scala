@@ -49,6 +49,9 @@ object StageDiag {
     // right trade when one pass of the query runs for minutes.
     if (sys.env.getOrElse("SPARK_GRAFT_DIAG_WARM", "1") != "0")
       fn(spark, sfDir).queryExecution.toRdd.count() // warm
+    // match Bench methodology: the measured pass must re-pay comparison
+    // construction, not read the warm pass's memoized result
+    graft.Queries.clearComparisonCache()
 
     val stages = mutable.LinkedHashMap.empty[Int, StageAgg]
     val tracing = new java.util.concurrent.atomic.AtomicBoolean(false)
