@@ -385,23 +385,71 @@ object Graphs {
       .union(edges.select(col("hi").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
 
+  /** Closing-join strategy gate for [[graphProfile]]: at or below this many
+    * canonical edges the triangle-closing probe BROADCASTS the oriented
+    * edge list instead of shuffling the Σ out-deg² wedge relation to meet
+    * it. The wedge relation is the largest intermediate of the whole
+    * profile (34× the edge count on the catalog co-occurrence graph:
+    * 41M rows / 354 MB at sf0.1) and under the broadcast it never leaves
+    * its producing stage — wedge emission, the closing hash probe and the
+    * partial count fuse into ONE WholeStageCodegen pass over the oriented
+    * scan, zero exchanges on the wedge relation (r15 A/B below). The
+    * broadcast costs ~60 B/edge of hash relation on every executor
+    * (20M edges ≈ 1.2 GB, inside a 16 GB executor; the 8 GB broadcast
+    * hard cap sits at ~130M edges), so past the bound the closing join
+    * falls back to the previous shuffled-hash shape, which scales
+    * unbounded. Tune per deployment via
+    * [[ProfileClosingBroadcastMaxEdgesConf]] (executor-memory-bound, the
+    * same sizing logic as the compare engine's refetch cutover).
+    */
+  private val ProfileClosingBroadcastMaxEdges = 20000000L
+  val ProfileClosingBroadcastMaxEdgesConf = "spark.graft.graph.profileClosingBroadcastMaxEdges"
+
   def graphProfile(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // FOUR consumers read the canonical edge relation (degree union ×2,
     // the orientation join, the edge count); without a cache each one
     // re-runs the whole upstream pair pipeline — a traced sf0.1 run spent
-    // 4 identical self-join stages on it. The checkpoint is LAZY: profile
-    // stays construction-time job-free, the cache fills during the one
-    // real action and every later stage reads it.
+    // 4 identical self-join stages on it. The checkpoint fills on the
+    // eager count below and every later stage reads it.
     val edges = canonicalEdges(pairs, aCol, bCol).localCheckpoint(false)
-    val degrees = edges.select(col("lo").as("n"))
+    // One bounded eager action (a scalar count over the checkpoint — this
+    // also fills the edge cache before any consumer plans against it).
+    // Plan-time size knowledge is what the closing-join gate needs; the
+    // count feeds the n_edges output column too, so no later recount runs.
+    // This departs from construction-time laziness the same way
+    // buildPrGraph does, deliberately.
+    val nEdges = edges.count()
+    val closingMax = pairs.sparkSession.conf
+      .getOption(ProfileClosingBroadcastMaxEdgesConf).map(_.toLong)
+      .getOrElse(ProfileClosingBroadcastMaxEdges)
+    // |V| ≤ 2·|E|, so the one gate bounds the degree frame too.
+    val smallGraph = nEdges <= closingMax
+    // THREE consumers evaluate the degree subtree (the dlo join, the dhi
+    // join, nodeStats) and Spark does not share subtrees across join
+    // inputs — the traced r15 run computed the full union+aggregate twice
+    // inside the oriented materialization alone (2 × 200 MB edge-cache
+    // scans → 364k-row partials). Under the gate: lazy checkpoint (fills
+    // on first use, |V| rows, construction stays one eager count) + the
+    // EXPLICIT broadcasts below — a checkpointed LogicalRDD hides its
+    // stats, and the planner answered with a sort-merge join of the edge
+    // relation (traced: a new 1.2M-row exchange and a 52-task-s merge
+    // stage) where the stats-visible subtree had broadcast. Above the
+    // gate: the original shape unchanged (stats-driven planner choice,
+    // duplicate evaluation that scales by lineage re-run).
+    val degCore = edges.select(col("lo").as("n"))
       .union(edges.select(col("hi").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+    val degrees = if (smallGraph) degCore.localCheckpoint(false) else degCore
     // orient by (deg, n): strict total order, so orientation is acyclic.
     // BOTH endpoint degrees ride along so the wedge stage never has to
     // re-join the degree table onto its largest intermediate.
+    def degFor(side: String, dcol: String): DataFrame = {
+      val d = degrees.withColumnRenamed("n", side).withColumnRenamed("deg", dcol)
+      if (smallGraph) broadcast(d) else d
+    }
     val withDeg = edges
-      .join(degrees.withColumnRenamed("n", "lo").withColumnRenamed("deg", "dlo"), Seq("lo"))
-      .join(degrees.withColumnRenamed("n", "hi").withColumnRenamed("deg", "dhi"), Seq("hi"))
+      .join(degFor("lo", "dlo"), Seq("lo"))
+      .join(degFor("hi", "dhi"), Seq("hi"))
     val loFirst = col("dlo") < col("dhi") ||
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
     // three consumers (both wedge legs + the closing join): cache the
@@ -416,20 +464,31 @@ object Graphs {
     // pure in-join filter, no lookups on the Σ out-deg² wedge relation
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
-    val wedges = o1.join(o2, Seq("src"))
+    // o2 explicitly broadcast under the gate: the checkpointed inputs hide
+    // their stats, and without the hint the planner shuffled BOTH oriented
+    // copies into a merge join (traced: 2.39M rows re-exchanged, 56 task-s)
+    // where the stats-visible subtree had auto-broadcast it.
+    val wedges = o1.join(if (smallGraph) broadcast(o2) else o2, Seq("src"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("v").as("src"), col("w").as("dst"))
     // The closing check joins the Σ out-deg² wedge relation (34× the edge
     // count on this co-occurrence graph) against the |E|-row oriented
-    // list. SHUFFLE_HASH, not sort-merge: the wedge side is the dominant
-    // cost of the whole profile and a hash probe only shuffles it — an SMJ
+    // list. Below the gate the oriented list BROADCASTS (keyed by the full
+    // (src, dst) pair) and the wedge relation never shuffles at all —
+    // emission, probe and partial count run in the producing stage (see
+    // [[ProfileClosingBroadcastMaxEdges]]). Above it: SHUFFLE_HASH, not
+    // sort-merge — a hash probe only shuffles the wedge side where an SMJ
     // would also SORT it (the traced sf0.1 run spent 9 of 23 s in that
-    // sort). The build side is the bounded one (|E| rows hash-partitioned),
-    // exactly the shuffled-hash sweet spot at any scale.
+    // sort); the build side is the bounded one (|E| rows hash-partitioned).
+    val closing = oriented.select("src", "dst")
     val triangles = wedges
-      .join(oriented.select("src", "dst").hint("shuffle_hash"), Seq("src", "dst"))
+      .join(
+        if (smallGraph) broadcast(closing) else closing.hint("shuffle_hash"),
+        Seq("src", "dst"))
       .agg(count(lit(1)).as("n_triangles"))
-    val base = edges.agg(count(lit(1)).as("n_edges"))
+    // n_edges from the already-collected count — same value the old
+    // edges.agg(count) job produced, zero extra stages.
+    val base = pairs.sparkSession.range(1).select(lit(nEdges).as("n_edges"))
     val nodeStats = degrees.agg(
       count(lit(1)).as("n_nodes"),
       max(col("deg")).as("max_degree"),

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 import scala.collection.mutable
@@ -54,8 +54,19 @@ object StageDiag {
     graft.Queries.clearComparisonCache()
 
     val stages = mutable.LinkedHashMap.empty[Int, StageAgg]
+    // stageId -> the submitting job's callsite (the AQE shuffle-stage jobs
+    // all report "withThreadLocalCaptured at CompletableFuture" as their
+    // stage name; the JOB-level callsite still names the driving action)
+    val stageSite = mutable.HashMap.empty[Int, String]
     val tracing = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = if (tracing.get) {
+        val p = Option(j.properties)
+        val exec = p.flatMap(x => Option(x.getProperty("spark.sql.execution.id"))).getOrElse("-")
+        val desc = p.flatMap(x => Option(x.getProperty("spark.job.description"))).getOrElse("")
+        val site = s"exec=$exec${if (desc.nonEmpty) s" $desc" else ""}"
+        stageSite.synchronized(j.stageIds.foreach(id => stageSite.getOrElseUpdate(id, site)))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = if (tracing.get) {
         val a = stages.synchronized(stages.getOrElseUpdate(t.stageId, StageAgg()))
         val m = t.taskMetrics
@@ -94,9 +105,11 @@ object StageDiag {
     println(f"${"stage"}%-7s${"wall_s"}%8s${"task_s"}%8s${"input_MB"}%10s" +
       f"${"shR_MB"}%10s${"shR_rec"}%12s${"shW_MB"}%10s${"shW_rec"}%12s${"spill_MB"}%10s  name")
     stages.toSeq.sortBy(_._1).foreach { case (id, a) =>
+      val site = stageSite.getOrElse(id, "")
+      val label = if (site.nonEmpty) s"[$site] ${a.name}" else a.name
       println(f"$id%-7d${a.wallMs / 1e3}%8.2f${a.taskTimeMs / 1e3}%8.1f${mb(a.inputBytes)}%10s" +
         f"${mb(a.shuffleReadBytes)}%10s${a.shuffleReadRecords}%12d${mb(a.shuffleWriteBytes)}%10s" +
-        f"${a.shuffleWriteRecords}%12d${mb(a.diskSpill)}%10s  ${a.name}")
+        f"${a.shuffleWriteRecords}%12d${mb(a.diskSpill)}%10s  $label")
     }
     spark.stop()
   }

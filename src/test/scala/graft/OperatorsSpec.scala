@@ -1617,6 +1617,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getLong(1) == canon.size.toLong)
   }
 
+  test("graphProfile: big-graph branch (broadcast gate forced off) is row-identical") {
+    import graft.operators.Graphs
+    // r15: below the gate the closing/wedge/degree joins broadcast (the
+    // Σ out-deg² wedge relation never shuffles); above it the previous
+    // shuffled shape runs. Forcing the gate to 0 must change ONLY the plan.
+    val rng = new scala.util.Random(7)
+    val es = (1 to 400).map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong)).toDF("a", "b")
+    val small = Graphs.graphProfile(es, "a", "b").head()
+    spark.conf.set(Graphs.ProfileClosingBroadcastMaxEdgesConf, "0")
+    try {
+      val big = Graphs.graphProfile(es, "a", "b").head()
+      assert(small == big, s"gate branches disagree: $small vs $big")
+    } finally spark.conf.unset(Graphs.ProfileClosingBroadcastMaxEdgesConf)
+  }
+
   test("kCore: peeling reaches the exact core on hand graphs and a random graph") {
     import graft.operators.Graphs
     // clique of 5 (nodes 1-5) + pendant chain 5-6-7: 4-core = the clique
