@@ -346,37 +346,59 @@ object Graphs {
       seedCol: String,
       maxHops: Int = 3): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50, s"maxHops out of range: $maxHops")
-    val edges = canonicalEdges(pairs, aCol, bCol).persist()
-    val adj = edges.select(col("lo").as("u"), col("hi").as("v"))
-      .union(edges.select(col("hi").as("u"), col("lo").as("v")))
-      .persist()
-    adj.count() // materialize so edges can release and hops plan against the cache
-    edges.unpersist(false)
-    var dist = seeds
-      .filter(col(seedCol).isNotNull)
-      .select(col(seedCol).as("node")).distinct()
-      .withColumn("hops", lit(0L))
-      .localCheckpoint()
-    var frontier = dist
-    var hop = 0L
-    var exhausted = false
-    while (hop < maxHops && !exhausted) {
-      val next = frontier.select(col("node").as("u"))
-        .join(adj, Seq("u"))
-        .select(col("v").as("node")).distinct()
-        .join(dist.select("node"), Seq("node"), "left_anti")
-        .withColumn("hops", lit(hop + 1L))
+    val spark = pairs.sparkSession
+    // The PageRank adjacency discipline (r15, guide §2.4): the adjacency is
+    // cached HASH-PARTITIONED by the probe key and sorted, and the conf
+    // below keeps that layout visible to every hop's join — without it the
+    // hop joins planned sort-merge against the stats-blind checkpointed
+    // frontier and RE-EXCHANGED all 2|E| adjacency rows EVERY HOP (traced
+    // r15 at sf0.1: hops 2 and 3 each re-shuffled the full 2.39M-row
+    // adjacency, ~10 of the query's 29 executor-CPU seconds; at the sf100
+    // rung that is 239M rows per hop). With the layout visible only the
+    // dwindling frontier moves per hop, at every scale.
+    val cacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevCacheConf = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    try {
+      val edges = canonicalEdges(pairs, aCol, bCol).persist()
+      val adj = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+        .repartition(col("u"))
+        .sortWithinPartitions("u")
+        .persist()
+      adj.count() // materialize so edges can release and hops plan against the cache
+      edges.unpersist(false)
+      var dist = seeds
+        .filter(col(seedCol).isNotNull)
+        .select(col(seedCol).as("node")).distinct()
+        .withColumn("hops", lit(0L))
         .localCheckpoint()
-      if (next.isEmpty) exhausted = true
-      else {
-        dist = dist.union(next).localCheckpoint()
-        frontier = next
-        hop += 1
-        iterGc() // opt-in: drop the superseded hop's shuffles/blocks
+      var frontier = dist
+      var hop = 0L
+      var exhausted = false
+      while (hop < maxHops && !exhausted) {
+        val next = frontier.select(col("node").as("u"))
+          .join(adj, Seq("u"))
+          .select(col("v").as("node")).distinct()
+          .join(dist.select("node"), Seq("node"), "left_anti")
+          .withColumn("hops", lit(hop + 1L))
+          .localCheckpoint()
+        if (next.isEmpty) exhausted = true
+        else {
+          dist = dist.union(next).localCheckpoint()
+          frontier = next
+          hop += 1
+          iterGc() // opt-in: drop the superseded hop's shuffles/blocks
+        }
+      }
+      adj.unpersist(false) // dist is checkpointed; nothing re-reads the cache
+      dist
+    } finally {
+      prevCacheConf match {
+        case Some(v) => spark.conf.set(cacheKey, v)
+        case None => spark.conf.unset(cacheKey)
       }
     }
-    adj.unpersist(false) // dist is checkpointed; nothing re-reads the cache
-    dist
   }
 
   // (n, deg) over the canonical undirected edge relation

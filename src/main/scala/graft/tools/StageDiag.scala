@@ -20,6 +20,7 @@ object StageDiag {
   private final case class StageAgg(
       var name: String = "",
       var taskTimeMs: Long = 0L,
+      var taskCpuNs: Long = 0L,
       var inputBytes: Long = 0L,
       var shuffleReadBytes: Long = 0L,
       var shuffleReadRecords: Long = 0L,
@@ -72,6 +73,7 @@ object StageDiag {
         val m = t.taskMetrics
         if (m != null) a.synchronized {
           a.taskTimeMs += m.executorRunTime
+          a.taskCpuNs += m.executorCpuTime
           a.inputBytes += m.inputMetrics.bytesRead
           a.shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
           a.shuffleReadRecords += m.shuffleReadMetrics.recordsRead
@@ -102,12 +104,12 @@ object StageDiag {
 
     def mb(b: Long): String = f"${b / 1e6}%9.1f"
     println(f"== $name @ $sfDir: $wall%.2f s wall, $n rows ==")
-    println(f"${"stage"}%-7s${"wall_s"}%8s${"task_s"}%8s${"input_MB"}%10s" +
+    println(f"${"stage"}%-7s${"wall_s"}%8s${"task_s"}%8s${"cpu_s"}%8s${"input_MB"}%10s" +
       f"${"shR_MB"}%10s${"shR_rec"}%12s${"shW_MB"}%10s${"shW_rec"}%12s${"spill_MB"}%10s  name")
     stages.toSeq.sortBy(_._1).foreach { case (id, a) =>
       val site = stageSite.getOrElse(id, "")
       val label = if (site.nonEmpty) s"[$site] ${a.name}" else a.name
-      println(f"$id%-7d${a.wallMs / 1e3}%8.2f${a.taskTimeMs / 1e3}%8.1f${mb(a.inputBytes)}%10s" +
+      println(f"$id%-7d${a.wallMs / 1e3}%8.2f${a.taskTimeMs / 1e3}%8.1f${a.taskCpuNs / 1e9}%8.1f${mb(a.inputBytes)}%10s" +
         f"${mb(a.shuffleReadBytes)}%10s${a.shuffleReadRecords}%12d${mb(a.shuffleWriteBytes)}%10s" +
         f"${a.shuffleWriteRecords}%12d${mb(a.diskSpill)}%10s  $label")
     }

@@ -1775,6 +1775,29 @@ class OperatorsSpec extends SparkSpec {
     assert(gotR == ref, s"random-graph mismatch: got ${gotR.size} ref ${ref.size}")
   }
 
+  test("bfsHops scopes the cached-partitioning conf: caller values restored, results unchanged") {
+    import graft.operators.Graphs
+    // r15: bfsHops pins canChangeCachedPlanOutputPartitioning=false around
+    // its hop loop (the adjacency cache's hash(u) layout must stay visible
+    // so hops never re-exchange 2|E| rows). The caller's value — set,
+    // or unset — must survive, and a pre-set caller value must not change
+    // the result.
+    val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val expected = Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+    val before = spark.conf.getOption(key)
+    val r1 = Graphs.bfsHops(g, "a", "b", Seq(1L).toDF("s"), "s", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == expected && spark.conf.getOption(key) == before,
+      s"conf not restored: ${spark.conf.getOption(key)} vs $before")
+    spark.conf.set(key, "true")
+    try {
+      val r2 = Graphs.bfsHops(g, "a", "b", Seq(1L).toDF("s"), "s", maxHops = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(r2 == expected && spark.conf.get(key) == "true")
+    } finally spark.conf.unset(key)
+  }
+
   test("pageRank matches an exact integer reference implementation") {
     import graft.operators.Graphs
     val rng = new scala.util.Random(13)
