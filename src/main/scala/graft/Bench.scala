@@ -131,7 +131,7 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0") preTouchHeap()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -148,7 +148,13 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
       .config("spark.executor.heartbeat.maxFailures", "1000")
-      .getOrCreate()
+    // The catalog's saveAsTable rows (q_s2_table_scan, q_sink_roundtrip's
+    // bucketed copy) write through spark.sql.warehouse.dir, which defaults
+    // to $PWD/spark-warehouse — the one ephemeral write the tmpdir move
+    // above does NOT cover. Put it under the same scratch root (same §6
+    // rule, same SPARK_GRAFT_SCRATCH override, cleaned with it).
+    scratch.foreach(d => builder.config("spark.sql.warehouse.dir", s"$d/graft-warehouse"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup AT THE TARGET scale factor: a representative subset
     // covering the scan / SMJ / BHJ / window / explode / HOF / codegen
