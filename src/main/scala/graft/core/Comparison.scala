@@ -460,20 +460,39 @@ object Comparison {
     * 30-byte rows instead of the full M·N join with two 16-byte checksums
     * aboard, and the old post-window distinct pass disappears — at the
     * sf100 rung that sort+distinct dominated the report materialization.
-    * Both the aggregation and the window reuse the slim join's hash(keys)
-    * partitioning: zero exchanges in the whole report.
+    * ONE slim exchange in the whole report, pinned explicitly (see the
+    * repartition below; PlanSpec asserts the count): the report plans on
+    * the consumer side, outside the cached-partitioning conf scope, so
+    * "reuse the slim join's partitioning" is not something the planner
+    * can see there — left to itself it exchanged the slim rows twice.
     */
   private def rowLevelReport(
       datasetName: String,
       joined: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val keyColumns = keyCols.map(col)
+    // ONE exchange for the whole report, pinned explicitly (r15): the
+    // report is lazy and materializes on the CONSUMER side, outside the
+    // cached-partitioning conf scope compareDataFrames sets — so the
+    // planner cannot see the slim caches' hash(keys) layout there and
+    // answered with TWO slim exchanges (traced: the groupBy exchanged by
+    // (keys, status, matched), then the duplicate-count window re-exchanged
+    // the same rows by the keys alone). Repartitioning by the KEYS first
+    // costs the one exchange, and both downstream operators then consume
+    // it in place: hash(keys) satisfies the aggregation's clustering (the
+    // grouping set is a superset of the keys) and the window's partitionBy
+    // exactly. At the sf100 rung this removes a |keys|-row exchange from
+    // every row-level materialization.
     val grouped = joined
-      .withColumn(
-        MissingRowStatusCol,
-        when(col(srcCol(ChkSumCol)).isNull, MissingAtSourceStatus)
-          .when(col(tgtCol(ChkSumCol)).isNull, MissingAtTargetStatus)
-          .otherwise(lit(PresentInBothStatus).cast(StringType)))
+      .select(
+        keyColumns
+          :+ when(col(srcCol(ChkSumCol)).isNull, MissingAtSourceStatus)
+            .when(col(tgtCol(ChkSumCol)).isNull, MissingAtTargetStatus)
+            .otherwise(lit(PresentInBothStatus).cast(StringType))
+            .as(MissingRowStatusCol)
+          :+ col(AllRowsMatchedCol): _*) // project BEFORE the exchange: the
+      // checksum structs must not ride the shuffle (guide §2.3)
+      .repartition(keyColumns: _*)
       .groupBy(keyColumns :+ col(MissingRowStatusCol) :+ col(AllRowsMatchedCol): _*)
       .agg(count(lit(1)).as("__pairs"))
     val dupWindow = Window

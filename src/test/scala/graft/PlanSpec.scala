@@ -113,6 +113,38 @@ class PlanSpec extends SparkSpec {
     } finally res.unpersist()
   }
 
+  test("row-level report: one slim exchange feeds both the aggregation and the dup window") {
+    // r15: the report materializes on the CONSUMER side, outside the
+    // cached-partitioning conf scope, where the planner answered with TWO
+    // slim exchanges (groupBy by (keys,status,matched), then the window
+    // re-exchanged by the keys). The explicit hash(keys) repartition must
+    // be the ONLY exchange — the aggregation's clustering (superset of the
+    // keys) and the window's partitionBy both consume it in place — and it
+    // must ship only (keys, status, matched), never the checksum structs.
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val res = graft.core.Comparison.compareDataFrames(spark, orders, orders,
+      graft.config.DatasetParams("rowlvl_audit", Seq("o_orderkey")))
+    try {
+      val plan = res.rowLvlTestReport.queryExecution.executedPlan.toString
+      // Scope to the report's OWN subtree: the printed tree nests every
+      // upstream cached plan (slim fills with their build exchanges) under
+      // further InMemoryTableScan nodes — the report body is what lies
+      // between its own scan (1st occurrence) and the first nested one.
+      val scans = "InMemoryTableScan".r.findAllMatchIn(plan).map(_.start).toSeq
+      assert(scans.size >= 2, s"expected the report IMR over the joined-slim IMR:\n$plan")
+      val body = plan.substring(scans.head, scans(1))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(body).size
+      assert(exchanges == 1, s"row-level report must plan exactly one exchange, got $exchanges:\n$body")
+      assert(body.contains("REPARTITION_BY_COL"),
+        s"the one exchange must be the explicit hash(keys) repartition:\n$body")
+      assert(!body.contains("Exchange rangepartitioning"),
+        s"no global sort in the row-level report:\n$body")
+      val exchangeLine = body.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+      assert(!exchangeLine.contains("_chk_sum"),
+        s"the report exchange must not carry checksum structs:\n$exchangeLine")
+    } finally res.unpersist()
+  }
+
   test("a clean compare never refetches: one persisted slim frame + the row report, no extracts") {
     // the common 100 TB regression-gate case — identical sides — must do
     // ALL its work on the slim join: no mismatch keys, no full-width
