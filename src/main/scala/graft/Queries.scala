@@ -241,13 +241,16 @@ object Queries {
       val work = java.nio.file.Files.createTempDirectory("graft-failisol").toString
       val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val k = col("o_orderkey")
-      o.write.mode("overwrite").parquet(s"$work/src")
-      o.withColumn("o_totalprice",
-          when(k % 101 === 0, col("o_totalprice") + lit(1.0))
-            .otherwise(col("o_totalprice")))
-        .write.mode("overwrite").parquet(s"$work/tgt_drift")
-      o.withColumn("o_totalprice", col("o_totalprice").cast("string"))
-        .write.mode("overwrite").parquet(s"$work/tgt_badtype")
+      // three independent fixture writes to three directories — overlap
+      // them (guide §2.6) instead of paying three serial write commits
+      graft.core.Par.runAll(Seq(
+        () => o.write.mode("overwrite").parquet(s"$work/src"),
+        () => o.withColumn("o_totalprice",
+            when(k % 101 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+          .write.mode("overwrite").parquet(s"$work/tgt_drift"),
+        () => o.withColumn("o_totalprice", col("o_totalprice").cast("string"))
+          .write.mode("overwrite").parquet(s"$work/tgt_badtype")))
       def ds(name: String, tgt: String) = graft.config.DatasetConfig(
         DatasetParams(name, Seq("o_orderkey")),
         graft.config.DataframeConfig(s"$work/src"),

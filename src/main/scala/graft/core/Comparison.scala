@@ -177,10 +177,77 @@ object Comparison {
   }
 
   /** The engine's one JSON rendering: canonicalized (maps key-sorted) then
-    * `to_json` — checksum inputs, per-column predicates and unmatched
-    * extracts all agree on it.
+    * `to_json` — per-column predicates and unmatched extracts agree on it.
+    * The ROW CHECKSUM of JSON-routed columns hashes [[hashableNested]]
+    * instead (r16): a native canonical form exactly as fine as this text,
+    * without materializing a string per row in the one unavoidable
+    * full-width scan.
     */
   private def jsonCanonical(c: Column, dt: DataType): Column = to_json(canonMaps(c, dt))
+
+  /** Native canonical form of a JSON-routed value for the ROW CHECKSUM
+    * (guide §4 — keep the hot full-width scan on expressions, not on
+    * per-row Jackson string rendering). The value is rewrapped as
+    * `(isnull-marker, value)` structs at EVERY level, maps become
+    * key-sorted entry arrays (same comparator as [[canonMaps]], so the
+    * same unorderable-map-key limit applies: physical entry order is kept
+    * at that level), and float/double leaves carry an explicit
+    * sign-of-zero marker. The wrapping makes hash equality of the result
+    * EXACTLY as fine as equality of the canonical JSON text, which is
+    * what keeps every report identical to the `to_json` checksum it
+    * replaces:
+    *
+    *  - `xxhash64` contributes nothing for a NULL input and nothing for
+    *    an empty container, so without the per-level markers `[NULL]` vs
+    *    `[]`, a NULL struct vs an all-NULL-fields struct, and a value
+    *    shifting across a NULL element would all FALSELY checksum-match
+    *    where the JSON text distinguishes them — a checksum-matched row
+    *    never reaches the per-column pass, so a false match would be
+    *    silent. The markers render every null explicitly, like the JSON
+    *    text does.
+    *  - Spark's hash (and `<=>`) normalize `-0.0` to `0.0` while the JSON
+    *    text keeps the sign; the zero-sign marker (string-cast begins with
+    *    `-`, evaluated only inside the `x = 0` branch — a division probe
+    *    would trip ANSI's DIVIDE_BY_ZERO) restores the distinction.
+    *  - All NaN bit patterns collapse in BOTH paths (the hash goes through
+    *    `doubleToLongBits`, the JSON writer prints one `NaN`), so no
+    *    marker is needed there.
+    *  - Maps never reach the hash as MapType (Spark 4 rejects hashing
+    *    maps); the sorted entry array is hashable and order-canonical.
+    *
+    * The finer-only direction is also safe BY CONSTRUCTION: a checksum
+    * mismatch on JSON-equal values (impossible under the mapping above,
+    * but the argument matters for future edits) would only route the key
+    * through the tolerance refetch, whose per-column predicate still uses
+    * [[jsonCanonical]] — the key comes back "rescued" and every report is
+    * unchanged; only a false MATCH could alter results, and the markers
+    * exist to rule exactly that out.
+    */
+  private def hashableNested(c: Column, dt: DataType): Column = dt match {
+    case m: MapType =>
+      val entries =
+        if (containsMap(m.keyType)) map_entries(c)
+        else array_sort(map_entries(c), (l, r) =>
+          when(l("key") < r("key"), -1).when(l("key") > r("key"), 1).otherwise(0))
+      val wrapped = transform(entries, e => struct(
+        hashableNested(e("key"), m.keyType).as("k"),
+        hashableNested(e("value"), m.valueType).as("v")))
+      struct(isnull(c).cast(IntegerType).as("n"), wrapped.as("v"))
+    case a: ArrayType =>
+      struct(
+        isnull(c).cast(IntegerType).as("n"),
+        transform(c, x => hashableNested(x, a.elementType)).as("v"))
+    case s: StructType =>
+      struct(
+        isnull(c).cast(IntegerType).as("n"),
+        struct(s.fields.toSeq.map(f =>
+          hashableNested(c.getField(f.name), f.dataType).as(f.name)): _*).as("v"))
+    case FloatType | DoubleType =>
+      val negZero = when(c === lit(0.0) && c.cast(StringType).startsWith("-"), 1).otherwise(0)
+      struct(isnull(c).cast(IntegerType).as("n"), c.as("v"), negZero.as("z"))
+    case _ =>
+      struct(isnull(c).cast(IntegerType).as("n"), c.as("v"))
+  }
 
   /** Per-column match predicate (`comparison_job.py:19-34`): numerics match
     * within tolerance (NULL-vs-NULL numeric pairs yield NULL, kept — SURVEY
@@ -417,7 +484,14 @@ object Comparison {
     val schemaByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val chkInputs = nonKeyCols.flatMap { c =>
       val dt = schemaByName(c)
-      if (jsonRouted(dt, params)) Seq(jsonCanonical(col(c), dt))
+      // JSON-routed columns hash the NATIVE canonical form (r16): the
+      // checksum scan is the one unavoidable pass over the full-width
+      // table, and rendering a JSON string per row there cost an order of
+      // magnitude over hashing expressions; hashableNested is exactly as
+      // fine as the canonical text, so match classification — and every
+      // report — is unchanged. Predicates and extracts (mismatch-pruned,
+      // tiny) keep the JSON rendering.
+      if (jsonRouted(dt, params)) Seq(hashableNested(col(c), dt))
       else if (isNested(dt)) Seq(isnull(col(c)).cast(IntegerType), col(c))
       else Seq(col(c))
     }
@@ -469,7 +543,8 @@ object Comparison {
   private def rowLevelReport(
       datasetName: String,
       joined: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String],
+      nPartitions: Int): DataFrame = {
     val keyColumns = keyCols.map(col)
     // ONE exchange for the whole report, pinned explicitly (r15): the
     // report is lazy and materializes on the CONSUMER side, outside the
@@ -491,8 +566,10 @@ object Comparison {
             .otherwise(lit(PresentInBothStatus).cast(StringType))
             .as(MissingRowStatusCol)
           :+ col(AllRowsMatchedCol): _*) // project BEFORE the exchange: the
-      // checksum structs must not ride the shuffle (guide §2.3)
-      .repartition(keyColumns: _*)
+      // checksum structs must not ride the shuffle (guide §2.3); partition
+      // count matches the slim caches' scale-derived layout (same sizing
+      // rule, same cap — see slimPartitions in buildComparison)
+      .repartition(nPartitions, keyColumns: _*)
       .groupBy(keyColumns :+ col(MissingRowStatusCol) :+ col(AllRowsMatchedCol): _*)
       .agg(count(lit(1)).as("__pairs"))
     val dupWindow = Window
@@ -554,6 +631,18 @@ object Comparison {
     */
   private val BroadcastMismatchKeysMax = 4000000L
   val BroadcastMismatchKeysMaxConf = "spark.graft.compare.broadcastMismatchKeysMax"
+
+  /** Target bytes per partition of the slim cached layout (and of the
+    * row-level report keyed on it). Slim rows are ~30 B regardless of
+    * table width, so the default packs ~2M keys per task — inside the
+    * guide's 100 MB - 1 GB shuffle-partition band once join/sort working
+    * state is counted. The derived count is CAPPED at
+    * `spark.sql.shuffle.partitions`, so a cluster deployment that sizes
+    * that knob for its data keeps today's layout exactly; the estimate
+    * only shrinks task waves when the input is provably small.
+    */
+  private val SlimPartitionBytes = 64L << 20
+  val SlimPartitionBytesConf = "spark.graft.compare.slimPartitionBytes"
 
   private def broadcastMismatchKeysMax(spark: SparkSession): Long =
     spark.conf.getOption(BroadcastMismatchKeysMaxConf)
@@ -795,16 +884,48 @@ object Comparison {
     // counts) would plan its own exchange of the very rows this layout
     // exists to shuffle once (the sf100 profile measured the previous
     // shape's separate side-count subtree at ~80 s of re-scan + re-shuffle).
-    def slimSide(full: DataFrame, chk: String): DataFrame = {
-      val s = full
-        .select(keyColumns :+ col(chk): _*)
-        .repartition(keyColumns: _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      s.count()
-      s
+    def slimProjected(full: DataFrame, chk: String): DataFrame =
+      full.select(keyColumns :+ col(chk): _*)
+    // SCALE-ADAPTIVE slim layout width (guide §2.2): the cached layout's
+    // partition count is derived from the ESTIMATED slim bytes (Catalyst
+    // plan stats — key columns + 16-byte checksum, so ~30 B/row at any
+    // table width), targeting [[SlimPartitionBytes]] per partition and
+    // capped at the session's shuffle partitions. The previous shape used
+    // spark.sql.shuffle.partitions unconditionally — right at cluster
+    // scale (the cap keeps that behavior bit-identical there), but at
+    // small inputs it spread kilobyte partitions over dozens of tasks and
+    // every downstream stage (join, stats, window, fold-back) paid a full
+    // task-launch wave for microseconds of work per task; AQE cannot
+    // repair it because the engine deliberately pins cached-plan
+    // partitioning (canChangeCachedPlanOutputPartitioning=false), which
+    // also disables coalescing inside the cached plans. Both sides use
+    // the SAME count, so the full-outer join stays exchange-free.
+    val slimPartitions: Int = {
+      val targetBytes = spark.conf.getOption(SlimPartitionBytesConf)
+        .map(_.toLong).getOrElse(SlimPartitionBytes)
+      val est = Seq(
+        slimProjected(srcFull, srcCol(ChkSumCol)),
+        slimProjected(tgtFull, tgtCol(ChkSumCol)))
+        .map(_.queryExecution.optimizedPlan.stats.sizeInBytes).max
+      val wanted = (est + targetBytes - 1) / targetBytes
+      wanted
+        .min(BigInt(spark.sessionState.conf.numShufflePartitions))
+        .max(BigInt(1))
+        .toInt
     }
+    def slimSide(full: DataFrame, chk: String): DataFrame =
+      slimProjected(full, chk)
+        .repartition(slimPartitions, keyColumns: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val srcSlim = slimSide(srcFull, srcCol(ChkSumCol))
     val tgtSlim = slimSide(tgtFull, tgtCol(ChkSumCol))
+    // The two fills are independent jobs; run them CONCURRENTLY (guide
+    // §2.6 — actions are only sequential because the driver calls them
+    // sequentially) so one side's checksum-scan tail back-fills the other
+    // side's idle cores. Both caches are still fully materialized before
+    // any downstream plan is built, which is what the co-partitioned
+    // zero-exchange planning below requires.
+    Par.runAll(Seq(() => srcSlim.count(), () => tgtSlim.count()))
 
     // Align the sides: the full-outer join (J1, never broadcastable) runs
     // on the co-partitioned cached layouts — sorts only, NO exchange.
@@ -884,7 +1005,7 @@ object Comparison {
     }
 
     val colLvl = columnLevelReport(spark, params.datasetName, nonKeyCols, colSums)
-    val rowLvl = rowLevelReport(params.datasetName, joined, keyCols)
+    val rowLvl = rowLevelReport(params.datasetName, joined, keyCols, slimPartitions)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val offending = nonKeyCols.filter(c => colSums(c) > 0)
     val extracts = afterTolOpt match {

@@ -51,21 +51,26 @@ object ComparisonJob {
       jobName: String,
       outputConfig: OutputConfig): Unit = {
     val base = s"${outputConfig.outputDir}/$jobName"
-    IoUtils.writeResult(
-      result.colLvlTestReport.orderBy(DatasetNameCol),
-      s"$base/$ColLvlTestReportDir",
-      outputConfig)
-    IoUtils.writeResult(
-      result.rowLvlTestReport.orderBy(DatasetNameCol),
-      s"$base/$RowLvlTestReportDir",
-      outputConfig)
-    result.unmatchedRecords.foreach { case (colName, df) =>
-      IoUtils.writeResult(df, s"$base/${unmatchedRowsDir(colName)}", outputConfig)
-    }
-    IoUtils.writeResult(
-      result.overallTestReport.orderBy(DatasetNameCol),
-      s"$base/$OverallTestReportDir",
-      outputConfig)
+    // Every report targets its own directory, so the writes are independent
+    // jobs — overlap them (guide §2.6) instead of paying each small write's
+    // commit latency serially. Failures rethrow in this argument order.
+    graft.core.Par.runAll(
+      Seq(
+        () => IoUtils.writeResult(
+          result.colLvlTestReport.orderBy(DatasetNameCol),
+          s"$base/$ColLvlTestReportDir",
+          outputConfig),
+        () => IoUtils.writeResult(
+          result.rowLvlTestReport.orderBy(DatasetNameCol),
+          s"$base/$RowLvlTestReportDir",
+          outputConfig)) ++
+        result.unmatchedRecords.toSeq.map { case (colName, df) =>
+          () => IoUtils.writeResult(df, s"$base/${unmatchedRowsDir(colName)}", outputConfig)
+        } ++
+        Seq(() => IoUtils.writeResult(
+          result.overallTestReport.orderBy(DatasetNameCol),
+          s"$base/$OverallTestReportDir",
+          outputConfig)))
   }
 
   def runComparisonJobFromDfs(
@@ -138,22 +143,36 @@ object ComparisonJob {
     */
   def runComparisonJob(spark: SparkSession, config: ComparisonJobConfig): ComparisonResult = {
     require(config.datasetConfigs.nonEmpty, "dataset_configs cannot be empty")
-    val attempts: Seq[Either[(String, Throwable), ComparisonResult]] =
-      config.datasetConfigs.map { dc =>
-        def run() = Comparison.compareDataFrames(
-          spark,
-          IoUtils.readDataframe(spark, dc.sourceConfig),
-          IoUtils.readDataframe(spark, dc.targetConfig),
-          dc.params)
-        if (!config.continueOnError) Right(run())
-        else
-          try {
-            val r = run()
+    // Datasets are independent until consolidation, so their read + compare
+    // pipelines run CONCURRENTLY (guide §2.6) — each dataset's eager-job
+    // sequence back-fills cores the others' straggler tails leave idle,
+    // which is where the sequential loop lost most of its wall-clock (the
+    // per-dataset jobs are many and small). Outcomes come back in config
+    // order, so report order, fail-fast choice ("first" = first in config
+    // order) and the captured-failure set are identical to the sequential
+    // loop. The cached-partitioning conf that compareDataFrames scopes
+    // around each construction is HOISTED around the whole parallel
+    // section: with per-dataset set/restore, dataset A's restore could
+    // strip cached-layout visibility mid-B-planning; under the hoist every
+    // inner capture/restore sees the same "false", so the inner scoping
+    // degenerates to a harmless no-op.
+    val cacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevCacheConf = spark.conf.getOption(cacheKey)
+    spark.conf.set(cacheKey, "false")
+    val outcomes: Seq[Either[Throwable, ComparisonResult]] =
+      try {
+        graft.core.Par.attemptAll(config.datasetConfigs.map { dc => () =>
+          val r = Comparison.compareDataFrames(
+            spark,
+            IoUtils.readDataframe(spark, dc.sourceConfig),
+            IoUtils.readDataframe(spark, dc.targetConfig),
+            dc.params)
+          if (config.continueOnError) {
             // Force the dataset's LAZY outputs while still inside its own
-            // try: the row-level report and the unmatched extracts don't
-            // execute until writeResults, and by then the per-dataset
-            // frames are consolidated — a deferred failure (cache
-            // eviction forcing a source re-read that now errors, a
+            // attempt: the row-level report and the unmatched extracts
+            // don't execute until writeResults, and by then the
+            // per-dataset frames are consolidated — a deferred failure
+            // (cache eviction forcing a source re-read that now errors, a
             // transient storage fault) would abort the whole consolidated
             // write and lose every completed dataset, which is exactly
             // the outcome this flag exists to prevent. The count() fills
@@ -165,14 +184,25 @@ object ComparisonJob {
             // by design: they are not attributable to one dataset.
             r.rowLvlTestReport.count()
             r.unmatchedRecords.valuesIterator.foreach(_.count())
-            Right(r)
           }
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(
-                s"[graft] dataset '${dc.params.datasetName}' failed, continuing: $e")
-              Left(dc.params.datasetName -> e)
-          }
+          r
+        })
+      } finally {
+        prevCacheConf match {
+          case Some(v) => spark.conf.set(cacheKey, v)
+          case None => spark.conf.unset(cacheKey)
+        }
+      }
+    val attempts: Seq[Either[(String, Throwable), ComparisonResult]] =
+      config.datasetConfigs.zip(outcomes).map {
+        case (_, Right(r)) => Right(r)
+        case (dc, Left(e)) =>
+          // fail-fast parity: without continue_on_error the first failing
+          // dataset IN CONFIG ORDER aborts the job, nothing is written
+          if (!config.continueOnError) throw e
+          System.err.println(
+            s"[graft] dataset '${dc.params.datasetName}' failed, continuing: $e")
+          Left(dc.params.datasetName -> e)
       }
     val failures = attempts.collect { case Left(f) => f }
     val successes = attempts.collect { case Right(r) => r }

@@ -456,6 +456,62 @@ class ComparisonSpec extends SparkSpec {
     resA.unpersist(); resS.unpersist()
   }
 
+  test("native JSON-route checksum classifies exactly like the canonical JSON text (r16)") {
+    import org.apache.spark.sql.functions.{col, struct, lit, map, expr}
+    // r16 replaced the JSON-routed columns' ROW CHECKSUM (to_json string
+    // per row) with a native wrapped-hash form; these are the corners
+    // where a naive native hash would diverge from the JSON text — each
+    // must classify exactly as the canonical JSON semantics dictate.
+    // 1) [null] vs [] under the flag: JSON renders "[null]" vs "[]" —
+    //    must UNMATCH (Spark's raw hash sees both as nothing).
+    val srcA = Seq((1L, Some(Seq[Option[Int]](None)), "k"), (2L, Some(Seq(Some(1))), "k"))
+      .toDF("id", "arr", "pad")
+    val tgtA = Seq((1L, Some(Seq.empty[Option[Int]]), "k"), (2L, Some(Seq(Some(1))), "k"))
+      .toDF("id", "arr", "pad")
+    val resA = Comparison.compareDataFrames(spark, srcA, tgtA,
+      DatasetParams("json_chk_nullelem", Seq("id"), TestParams(canonicalizeNestedTypes = true)))
+    val byIdA = resA.rowLvlTestReport.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("all_rows_matched")).toMap
+    assert(byIdA == Map(1L -> false, 2L -> true),
+      s"[null] vs [] must mismatch under the JSON route: $byIdA")
+    // 2) a value shifting across a NULL element: ["x", null] vs [null, "x"]
+    //    — must UNMATCH.
+    val srcB = Seq((1L, Seq(Option("x"), None), "k")).toDF("id", "arr", "pad")
+    val tgtB = Seq((1L, Seq(None, Option("x")), "k")).toDF("id", "arr", "pad")
+    val resB = Comparison.compareDataFrames(spark, srcB, tgtB,
+      DatasetParams("json_chk_shift", Seq("id"), TestParams(canonicalizeNestedTypes = true)))
+    assert(!resB.rowLvlTestReport.collect().head.getAs[Boolean]("all_rows_matched"),
+      "a value shifting across a NULL element must mismatch under the JSON route")
+    // 3) -0.0 vs 0.0 inside a struct: the JSON text keeps the sign while
+    //    Spark's hash and <=> normalize it — must UNMATCH.
+    def zeroSide(v: String) = Seq((1L, "k")).toDF("id", "pad")
+      .select(col("id"), struct(expr(v).as("d")).as("payload"), col("pad"))
+    val resC = Comparison.compareDataFrames(
+      spark, zeroSide("cast('-0.0' as double)"), zeroSide("cast('0.0' as double)"),
+      DatasetParams("json_chk_negzero", Seq("id"), TestParams(canonicalizeNestedTypes = true)))
+    assert(!resC.rowLvlTestReport.collect().head.getAs[Boolean]("all_rows_matched"),
+      "-0.0 vs 0.0 must mismatch under the JSON route (the text keeps the sign)")
+    // 4) deep nesting — a map inside a struct inside an array, built in
+    //    OPPOSITE entry order with identical content: must checksum-MATCH
+    //    end to end, taking the clean fast path (no refetch frames), which
+    //    proves the native form is deterministic and order-canonical.
+    def deepSide(swap: Boolean) = Seq((1L, "k")).toDF("id", "pad").select(
+      col("id"),
+      org.apache.spark.sql.functions.array(struct(
+        (if (swap) map(lit("b"), lit(2), lit("a"), lit(1))
+         else map(lit("a"), lit(1), lit("b"), lit(2))).as("m"),
+        lit("t").as("tag"))).as("payload"),
+      col("pad"))
+    val resD = Comparison.compareDataFrames(
+      spark, deepSide(swap = false), deepSide(swap = true),
+      DatasetParams("json_chk_deep", Seq("id"), TestParams(canonicalizeNestedTypes = true)))
+    assert(resD.overallTestReport.collect().head.getAs[String]("test_status") == "PASSED",
+      "key-order-swapped deep nesting must checksum-match (order-canonical native form)")
+    assert(resD.unmatchedRecords.isEmpty && resD.cachedFrames.size == 4,
+      "an order-swapped equal compare must keep the clean fast path (no refetch)")
+    resA.unpersist(); resB.unpersist(); resC.unpersist(); resD.unpersist()
+  }
+
   test("legacyDecimalComparison reproduces the reference's DecimalType(10,0)-only numeric set") {
     import org.apache.spark.sql.functions._
     val src = Seq((1L, "1.00")).toDF("id", "d")
