@@ -112,11 +112,33 @@ object Bench {
     * `java.io.tmpdir`, so the one property moves shuffle dirs and the
     * `Files.createTempDirectory` fixture/checkpoint dirs together.
     */
-  private def pickScratch(): Option[String] = {
+  /** Minimum usable tmpfs bytes before the /dev/shm default engages. The
+    * sf0.1 suite's scratch footprint stays under 1 GiB; requiring 8× that
+    * margin means the default only fires where tmpfs demonstrably has the
+    * headroom. On a production node tmpfs is typically sized at 50% of RAM
+    * while shuffle + state can exceed RAM — there the gate refuses and
+    * scratch stays wherever the operator pointed `java.io.tmpdir` (or
+    * `SPARK_GRAFT_SCRATCH`, which bypasses the gate entirely and should
+    * name the local NVMe).
+    */
+  private[graft] val ScratchMinFreeBytes: Long = 8L << 30
+
+  /** True when `dir` is a writable directory with at least `minFree`
+    * usable bytes — the space gate (r16) that keeps the tmpfs DEFAULT from
+    * being a local-mode assumption: a box whose /dev/shm is small (or
+    * already full) must not get shuffle files racing the executor heap
+    * for RAM. Exposed for the unit test; any probe failure gates to false.
+    */
+  private[graft] def scratchEligible(dir: java.nio.file.Path, minFree: Long): Boolean =
+    try
+      java.nio.file.Files.isDirectory(dir) && java.nio.file.Files.isWritable(dir) &&
+        java.nio.file.Files.getFileStore(dir).getUsableSpace >= minFree
+    catch { case _: Exception => false }
+
+  private[graft] def pickScratch(): Option[String] = {
     val chosen = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        Some("/dev/shm/graft-bench") else None
+      if (scratchEligible(shm, ScratchMinFreeBytes)) Some("/dev/shm/graft-bench") else None
     }
     chosen.foreach { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))

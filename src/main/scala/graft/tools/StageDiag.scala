@@ -29,10 +29,15 @@ object StageDiag {
       var memorySpill: Long = 0L,
       var diskSpill: Long = 0L,
       var outputRecords: Long = 0L,
-      var wallMs: Long = 0L)
+      var wallMs: Long = 0L,
+      var numTasks: Int = 0,
+      var firstLaunch: Long = Long.MaxValue,
+      var lastFinish: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir) = args.take(2)
+    graft.Bench.pickScratch() // same scratch placement as Bench, so I/O-bound
+    // stages (fixture writes, streaming state) trace under bench conditions
     if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0") graft.Bench.preTouchHeap()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -72,6 +77,11 @@ object StageDiag {
         val a = stages.synchronized(stages.getOrElseUpdate(t.stageId, StageAgg()))
         val m = t.taskMetrics
         if (m != null) a.synchronized {
+          a.numTasks += 1
+          if (t.taskInfo != null) {
+            a.firstLaunch = math.min(a.firstLaunch, t.taskInfo.launchTime)
+            a.lastFinish = math.max(a.lastFinish, t.taskInfo.finishTime)
+          }
           a.taskTimeMs += m.executorRunTime
           a.taskCpuNs += m.executorCpuTime
           a.inputBytes += m.inputMetrics.bytesRead
@@ -104,12 +114,14 @@ object StageDiag {
 
     def mb(b: Long): String = f"${b / 1e6}%9.1f"
     println(f"== $name @ $sfDir: $wall%.2f s wall, $n rows ==")
-    println(f"${"stage"}%-7s${"wall_s"}%8s${"task_s"}%8s${"cpu_s"}%8s${"input_MB"}%10s" +
+    println(f"${"stage"}%-7s${"t0_s"}%7s${"wall_s"}%8s${"tasks"}%6s${"task_s"}%8s${"cpu_s"}%8s${"input_MB"}%10s" +
       f"${"shR_MB"}%10s${"shR_rec"}%12s${"shW_MB"}%10s${"shW_rec"}%12s${"spill_MB"}%10s  name")
+    val tBase = stages.valuesIterator.map(_.firstLaunch).foldLeft(Long.MaxValue)(math.min)
     stages.toSeq.sortBy(_._1).foreach { case (id, a) =>
       val site = stageSite.getOrElse(id, "")
       val label = if (site.nonEmpty) s"[$site] ${a.name}" else a.name
-      println(f"$id%-7d${a.wallMs / 1e3}%8.2f${a.taskTimeMs / 1e3}%8.1f${a.taskCpuNs / 1e9}%8.1f${mb(a.inputBytes)}%10s" +
+      val t0 = if (a.firstLaunch == Long.MaxValue) -1.0 else (a.firstLaunch - tBase) / 1e3
+      println(f"$id%-7d$t0%7.2f${a.wallMs / 1e3}%8.2f${a.numTasks}%6d${a.taskTimeMs / 1e3}%8.1f${a.taskCpuNs / 1e9}%8.1f${mb(a.inputBytes)}%10s" +
         f"${mb(a.shuffleReadBytes)}%10s${a.shuffleReadRecords}%12d${mb(a.shuffleWriteBytes)}%10s" +
         f"${a.shuffleWriteRecords}%12d${mb(a.diskSpill)}%10s  $label")
     }
