@@ -931,9 +931,22 @@ object Comparison {
     // on the co-partitioned cached layouts — sorts only, NO exchange.
     // Primary row match = checksum null-safe equality; a present row
     // always has a non-null checksum.
+    //
+    // The joined cache is RE-KEYED before the persist (r16): Spark reports
+    // UnknownPartitioning for a full-outer SMJ's output (the coalesced key
+    // columns' clustering is real but unmodeled), so every keyed consumer
+    // of this cache — the match-stats aggregation, the mismatch-key frame —
+    // planned its own |keys|-row exchange of the very rows the cache holds
+    // (traced r16 at sf0.1: two 150k-row exchanges per mismatch scenario).
+    // The explicit repartition satisfies the in-plan aggregation's
+    // clustering directly (no extra exchange in the stats job — it
+    // REPLACES the one the aggregation would have inserted) and, once the
+    // cache is filled, mkInfo's groupBy consumes the cached layout with no
+    // exchange at all. Same derived partition count as the slim sides.
     val joinedSlim = srcSlim
       .join(tgtSlim, keyCols, FullOuterJoin)
       .withColumn(AllRowsMatchedCol, col(srcCol(ChkSumCol)) <=> col(tgtCol(ChkSumCol)))
+      .repartition(slimPartitions, keyColumns: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // FIRST eager stats job: every slim report number (fills the
