@@ -908,7 +908,17 @@ object Comparison {
         slimProjected(tgtFull, tgtCol(ChkSumCol)))
         .map(_.queryExecution.optimizedPlan.stats.sizeInBytes).max
       val wanted = (est + targetBytes - 1) / targetBytes
+      // Parallelism floor of min(4, defaultParallelism): plan-stats bytes
+      // are a rough LOWER bound on useful parallelism (projection-scaled
+      // scan sizes underestimate the checksum-bearing slim rows), and an
+      // underestimate serializes every keyed stage of the engine onto one
+      // core — measured +0.3-0.7 s on the flat-column scenarios at sf0.1.
+      // The floor bounds that harm at the cost of at most 3 extra tasks
+      // per stage wave (~10 ms each); at any real size the bytes-derived
+      // count dominates and the floor is inert.
+      val floor = BigInt(math.min(4, spark.sparkContext.defaultParallelism))
       wanted
+        .max(floor)
         .min(BigInt(spark.sessionState.conf.numShufflePartitions))
         .max(BigInt(1))
         .toInt

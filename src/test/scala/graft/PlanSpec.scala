@@ -133,46 +133,52 @@ class PlanSpec extends SparkSpec {
       val scans = "InMemoryTableScan".r.findAllMatchIn(plan).map(_.start).toSeq
       assert(scans.size >= 2, s"expected the report IMR over the joined-slim IMR:\n$plan")
       val body = plan.substring(scans.head, scans(1))
-      // r16: the explicit repartition carries the scale-derived slim
-      // partition count (see Comparison.SlimPartitionBytesConf), so at
-      // test scale it prints as `Exchange SinglePartition,
-      // REPARTITION_BY_NUM` rather than `Exchange hashpartitioning(...,
-      // REPARTITION_BY_COL)` — the invariant pinned here is unchanged:
-      // exactly ONE explicit shuffle in the report, nothing else.
+      // r16: the joined-slim cache is itself keyed (and the report's
+      // explicit repartition carries the same scale-derived count), so
+      // when the cached layout is visible at planning time the redundant
+      // repartition is ELIDED and the report plans ZERO exchanges — the
+      // aggregation and the window consume the cache's hash(keys) layout
+      // in place. When the layout is not visible (consumer-side planning
+      // outside the conf scope) the explicit repartition executes as the
+      // single exchange. Pin: AT MOST one, never range, never carrying
+      // the checksum structs.
       val exchanges = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(body).size
-      assert(exchanges == 1, s"row-level report must plan exactly one exchange, got $exchanges:\n$body")
-      assert(body.contains("REPARTITION_BY_NUM") || body.contains("REPARTITION_BY_COL"),
-        s"the one exchange must be the explicit keyed repartition:\n$body")
+      assert(exchanges <= 1, s"row-level report must plan at most one exchange, got $exchanges:\n$body")
       assert(!body.contains("Exchange rangepartitioning"),
         s"no global sort in the row-level report:\n$body")
-      val exchangeLine = body.linesIterator
-        .find(l => l.contains("Exchange hashpartitioning") || l.contains("Exchange SinglePartition")).get
-      assert(!exchangeLine.contains("_chk_sum"),
-        s"the report exchange must not carry checksum structs:\n$exchangeLine")
+      body.linesIterator
+        .find(l => l.contains("Exchange hashpartitioning") || l.contains("Exchange SinglePartition"))
+        .foreach(exchangeLine =>
+          assert(!exchangeLine.contains("_chk_sum"),
+            s"the report exchange must not carry checksum structs:\n$exchangeLine"))
     } finally res.unpersist()
   }
 
   test("slim cached layout derives its partition count from input size, capped at shuffle partitions") {
     // r16 (guide §2.2): tiny inputs must not spread kilobyte partitions
     // over a full task wave per stage — the slim layout packs to
-    // SlimPartitionBytes per partition; the conf'd floor of 1 and the
-    // shuffle-partitions cap bound it on both sides. Observable on the
-    // persisted slim frames (cachedFrames head = srcSlim).
-    val orders = spark.read.parquet(s"$sf/orders.parquet")
-    val res = graft.core.Comparison.compareDataFrames(spark, orders, orders,
+    // SlimPartitionBytes per partition, floored at min(4,
+    // defaultParallelism) (estimate-error insurance) and capped at
+    // spark.sql.shuffle.partitions. Observable on the persisted slim
+    // frames (cachedFrames head = srcSlim). A cloned session raises the
+    // shuffle-partitions cap so floor and cap assert different values.
+    val wide = spark.newSession()
+    wide.conf.set("spark.sql.shuffle.partitions", "16")
+    val orders = wide.read.parquet(s"$sf/orders.parquet")
+    val res = graft.core.Comparison.compareDataFrames(wide, orders, orders,
       graft.config.DatasetParams("slim_scale_audit", Seq("o_orderkey")))
-    try assert(res.cachedFrames.head.rdd.getNumPartitions == 1,
-      "a kilobyte-scale input must collapse the slim layout to one partition")
+    try assert(res.cachedFrames.head.rdd.getNumPartitions ==
+      math.min(4, wide.sparkContext.defaultParallelism),
+      "a kilobyte-scale input must collapse the slim layout to the parallelism floor")
     finally res.unpersist()
-    spark.conf.set(graft.core.Comparison.SlimPartitionBytesConf, "1")
+    wide.conf.set(graft.core.Comparison.SlimPartitionBytesConf, "1")
     try {
-      val res2 = graft.core.Comparison.compareDataFrames(spark, orders, orders,
+      val res2 = graft.core.Comparison.compareDataFrames(wide, orders, orders,
         graft.config.DatasetParams("slim_scale_audit2", Seq("o_orderkey")))
-      try assert(res2.cachedFrames.head.rdd.getNumPartitions ==
-        spark.sessionState.conf.numShufflePartitions,
+      try assert(res2.cachedFrames.head.rdd.getNumPartitions == 16,
         "the derived count must cap at spark.sql.shuffle.partitions")
       finally res2.unpersist()
-    } finally spark.conf.unset(graft.core.Comparison.SlimPartitionBytesConf)
+    } finally wide.conf.unset(graft.core.Comparison.SlimPartitionBytesConf)
   }
 
   test("a clean compare never refetches: one persisted slim frame + the row report, no extracts") {
